@@ -1,0 +1,253 @@
+"""Deterministic synthetic web corpus (seed=42) in the BASELINE.json shape.
+
+Generates the Common-Crawl-style input table
+``documents(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang
+STRING)`` plus, optionally, golden columns (``expected_kind``,
+``expected_text``, ``expected_error``) known *by construction* — the page
+builder records exactly the main content it embeds, so the extraction
+kernels can be verified byte-for-byte (the north-rule invariant).
+
+Mirrors the role of the reference's ``seed.py:16-191`` (deterministic
+miniature world) at web scale:
+
+- every row is a pure function of ``(seed, doc_id)`` — ``random.Random`` is
+  seeded with a string, which Python hashes with sha512 (stable across
+  processes and platforms), so generation is parallelism-independent and can
+  run *inside executors* via ``mapInArrow`` (no driver-side materialization);
+- host distribution is Zipf-skewed (a few hosts own ~half the rows) to
+  exercise hot-host salting (FIXTURES.md §1);
+- payload mix per FIXTURES.md: ~85% HTML with known main content wrapped in
+  high-link-density boilerplate, ~10% simple PDF payloads, ~5% edge cases
+  (empty body, malformed/unclosed tags, non-UTF8 bytes, huge element,
+  compressed-PDF error case).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from collections.abc import Iterator
+
+DEFAULT_SEED = 42
+_EPOCH = dt.datetime(2025, 6, 1)
+
+# Fixed vocabulary — plain ASCII, no PDF-escape chars, no HTML-special chars.
+_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt labore dolore magna aliqua enim minim veniam quis "
+    "nostrud exercitation ullamco laboris nisi aliquip commodo consequat "
+    "duis aute irure reprehenderit voluptate velit esse cillum fugiat nulla "
+    "pariatur excepteur sint occaecat cupidatat non proident sunt culpa qui "
+    "officia deserunt mollit anim laborum signal harbor lattice meadow "
+    "quartz ember drift cascade willow summit ledger copper orbit prairie "
+    "anchor beacon canyon delta ember fjord glacier hollow inlet juniper "
+    "keystone lagoon mesa nexus outpost pinnacle quarry ridge strata tundra "
+    "upland vertex wharf yonder zenith basin cobble dune estuary foothill"
+).split()
+
+# Per-language stopword injections so language-ID heuristics have signal.
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "that", "with"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une"],
+    "es": ["el", "los", "que", "por", "con", "una", "para"],
+    "hi": ["hai", "aur", "ke", "ki", "se", "mein", "par"],
+}
+_LANGS = sorted(_LANG_STOPWORDS)
+_LANG_WEIGHTS = [0.50, 0.15, 0.15, 0.12, 0.08]  # aligned with sorted langs
+
+_N_HOSTS = 40
+_HOSTS = [f"site-{i:02d}.example.org" for i in range(_N_HOSTS)]
+# Zipf(s=1.2) weights: top-3 hosts own ~43% of documents.
+_HOST_W = [1.0 / (r + 1) ** 1.2 for r in range(_N_HOSTS)]
+_HOST_CUM: list[float] = []
+_acc = 0.0
+for _w in _HOST_W:
+    _acc += _w
+    _HOST_CUM.append(_acc)
+_HOST_TOTAL = _acc
+
+
+def _pick_host(rng: random.Random) -> str:
+    x = rng.random() * _HOST_TOTAL
+    lo, hi = 0, _N_HOSTS - 1
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if _HOST_CUM[mid] < x:
+            lo = mid + 1
+        else:
+            hi = mid
+    return _HOSTS[lo]
+
+
+def _words(rng: random.Random, n: int, lang: str) -> str:
+    stop = _LANG_STOPWORDS[lang]
+    out = []
+    for i in range(n):
+        if i % 4 == 1:  # every 4th word a language stopword → lang-id signal
+            out.append(stop[rng.randrange(len(stop))])
+        else:
+            out.append(_WORDS[rng.randrange(len(_WORDS))])
+    return " ".join(out)
+
+
+def _sentence_words(rng: random.Random, lo: int, hi: int, lang: str) -> str:
+    return _words(rng, rng.randint(lo, hi), lang)
+
+
+def _nav_links(rng: random.Random, n: int) -> str:
+    items = []
+    for _ in range(n):
+        w = _WORDS[rng.randrange(len(_WORDS))]
+        items.append(f'<li><a href="/{w}">{w}</a></li>')
+    return "".join(items)
+
+
+def _build_html(rng: random.Random, lang: str) -> tuple[bytes, str]:
+    """Boilerplate-wrapped page; returns (bytes, expected_main_text)."""
+    title = _sentence_words(rng, 3, 6, lang)
+    heading = title.capitalize()
+    n_paras = rng.randint(2, 8)
+    paras = [_sentence_words(rng, 20, 60, lang) for _ in range(n_paras)]
+    expected_parts = [heading]
+
+    body_parts: list[str] = []
+    body_parts.append(f"<nav><ul>{_nav_links(rng, rng.randint(5, 10))}</ul></nav>")
+    body_parts.append(
+        f'<aside class="sidebar"><ul>{_nav_links(rng, rng.randint(10, 20))}</ul></aside>'
+    )
+    article = [f"<h1>{heading}</h1>"]
+    for i, p in enumerate(paras):
+        if i == 1 and n_paras > 2:
+            # one paragraph carries an inline link (low link-density: kept)
+            words = p.split()
+            k = len(words) // 2
+            linked = words[k]
+            html_p = " ".join(words[:k]) + f' <a href="/x">{linked}</a> ' + " ".join(
+                words[k + 1 :]
+            )
+            article.append(f"<p>{html_p}</p>")
+        else:
+            article.append(f"<p>{p}</p>")
+        expected_parts.append(p)
+    # a content list: long items are retained by the kernel (>=25 chars, no links)
+    if rng.random() < 0.5:
+        items = [_sentence_words(rng, 7, 12, lang) for _ in range(rng.randint(2, 4))]
+        article.append("<ul>" + "".join(f"<li>{it}</li>" for it in items) + "</ul>")
+        expected_parts.extend(items)
+    body_parts.append("<article>" + "".join(article) + "</article>")
+    # link-farm div (dropped by link density despite not being <nav>)
+    farm = " ".join(
+        f'<a href="/{_WORDS[rng.randrange(len(_WORDS))]}">'
+        f"{_WORDS[rng.randrange(len(_WORDS))]}</a>"
+        for _ in range(rng.randint(8, 15))
+    )
+    body_parts.append(f'<div class="related">{farm}</div>')
+    body_parts.append(
+        "<footer><p>copyright 2025 example org</p>"
+        f"<ul>{_nav_links(rng, 4)}</ul></footer>"
+    )
+    html = (
+        "<!DOCTYPE html><html><head><title>"
+        + title
+        + "</title><style>body{margin:0}</style>"
+        + '<script>var x = "tracking";</script></head><body>'
+        + "".join(body_parts)
+        + "</body></html>"
+    )
+    return html.encode("utf-8"), "\n\n".join(expected_parts)
+
+
+def _build_pdf(rng: random.Random, lang: str) -> tuple[bytes, str]:
+    """Minimal uncompressed single-page PDF; returns (bytes, expected_text)."""
+    lines = [_sentence_words(rng, 4, 10, lang) for _ in range(rng.randint(3, 10))]
+    ops = ["BT /F1 12 Tf 72 720 Td"]
+    for i, ln in enumerate(lines):
+        if i:
+            ops.append("0 -14 Td")
+        ops.append(f"({ln}) Tj")
+    ops.append("ET")
+    stream = " ".join(ops).encode("ascii")
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(stream)).encode("ascii") + b" >> stream\n"
+        + stream
+        + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    return pdf, "\n".join(lines)
+
+
+def _build_edge(
+    rng: random.Random, lang: str
+) -> tuple[bytes, str, str, str | None]:
+    """Edge-case payloads; returns (bytes, expected_kind, expected_text, expected_error)."""
+    which = rng.randrange(5)
+    if which == 0:  # empty body
+        return (
+            b"<html><head><title>t</title></head><body></body></html>",
+            "html", "", None,
+        )
+    if which == 1:  # malformed: unclosed tags
+        p1 = _sentence_words(rng, 20, 40, lang)
+        p2 = _sentence_words(rng, 20, 40, lang)
+        html = f"<html><body><p>{p1}</p><div><p>{p2}".encode("utf-8")
+        return html, "html", f"{p1}\n\n{p2}", None
+    if which == 2:  # non-UTF8 bytes inside a paragraph → U+FFFD, deterministic
+        head = _sentence_words(rng, 10, 20, lang)
+        tail = _sentence_words(rng, 10, 20, lang)
+        html = (
+            b"<html><body><p>"
+            + head.encode("utf-8")
+            + b" \xff\xfe "
+            + tail.encode("utf-8")
+            + b"</p></body></html>"
+        )
+        return html, "html", f"{head} �� {tail}", None
+    if which == 3:  # huge single element
+        big = _words(rng, 4000, lang)
+        html = f"<html><body><article><p>{big}</p></article></body></html>"
+        return html.encode("utf-8"), "html", big, None
+    # which == 4: PDF with a /Filter → unsupported, error-as-data
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Length 8 /Filter /FlateDecode >> stream\n"
+        b"xxxxxxxx\nendstream endobj\ntrailer << >>\n%%EOF\n"
+    )
+    return pdf, "pdf", "", "pdf-unsupported-filter"
+
+
+def gen_doc(doc_id: int, seed: int = DEFAULT_SEED) -> dict:
+    """Generate one document row (pure function of (seed, doc_id))."""
+    rng = random.Random(f"corpus-{seed}-{doc_id}")
+    host = _pick_host(rng)
+    lang = rng.choices(_LANGS, weights=_LANG_WEIGHTS, k=1)[0]
+    url = f"https://{host}/page/{doc_id:012d}"
+    warc_ts = _EPOCH + dt.timedelta(seconds=(doc_id * 9973) % (30 * 86400))
+    r = rng.random()
+    if r < 0.85:
+        html, expected = _build_html(rng, lang)
+        kind, err = "html", None
+    elif r < 0.95:
+        html, expected = _build_pdf(rng, lang)
+        kind, err = "pdf", None
+    else:
+        html, kind, expected, err = _build_edge(rng, lang)
+        if kind == "html" and not html:
+            kind = "empty"
+    return {
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": html,
+        "text": None,  # raw pre-extracted channel intentionally null
+        "lang": lang,
+        "expected_kind": kind,
+        "expected_text": expected,
+        "expected_error": err,
+    }
+
+
+def gen_batch(doc_ids: Iterator[int] | list[int], seed: int = DEFAULT_SEED) -> list[dict]:
+    return [gen_doc(i, seed) for i in doc_ids]

@@ -1,0 +1,213 @@
+"""Deterministic HTML main-content extraction (boilerplate stripping).
+
+Readability/trafilatura-style heuristics — block segmentation + per-block
+link-density and length scoring — implemented on the stdlib
+``html.parser.HTMLParser`` (lxml/selectolax are not available in this
+environment, and a pure-Python tokenizer keeps the output bit-stable across
+platforms).
+
+This kernel replaces the reference's per-document remote extraction call
+(``ocr_backend/app/utils/gemini_ocr.py:156-207``) with a *pure function of
+the payload bytes*: same bytes in → same text out, on any executor, at any
+parallelism (the north rule's byte-identical requirement).
+
+Semantics kept from the reference:
+- missing/empty content → empty result, never an exception
+  (``gemini_ocr.py:235-248``: missing fields → null, never dropped);
+- parse errors are carried as data, not raised
+  (``gemini_ocr.py:252-258``; ``data_conversion.py:261-302``).
+
+Output per document: ``(text, spans, error)`` where ``spans`` is a list of
+``(field, start, end, value)`` tuples — character offsets into ``text`` for
+each retained block, ``field`` being the source tag (h1, p, li, ...).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+# Elements whose text is never content.
+_SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "svg", "head", "title", "iframe"}
+)
+
+# Structural boilerplate containers: everything inside is dropped.
+# (Maps the reference's payload-category branching idea — gemini_ocr.py:93-154 —
+# onto DOM structure: navigation/chrome vs. content.)
+_BOILER_TAGS = frozenset(
+    {"nav", "footer", "header", "aside", "form", "button", "select", "option", "label"}
+)
+
+# Elements that open a text block of their own.
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "blockquote", "pre",
+        "td", "th", "dt", "dd", "figcaption", "caption", "summary",
+        "div", "article", "section", "main", "body",
+    }
+)
+
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+# Void elements never pushed on the open-tag stack.
+_VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+
+# Tuning constants (fixture-pinned; changing them changes golden output).
+MIN_BLOCK_CHARS = 25          # non-heading blocks shorter than this are boilerplate
+MAX_LINK_DENSITY = 0.35       # blocks with more linked chars than this are nav/chrome
+MIN_HEADING_CHARS = 2
+
+
+class _Block:
+    __slots__ = ("tag", "parts", "link_chars", "total_chars", "boiler", "order")
+
+    def __init__(self, tag: str, boiler: bool, order: int) -> None:
+        self.tag = tag
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.total_chars = 0
+        self.boiler = boiler
+        self.order = order
+
+
+class _ContentParser(HTMLParser):
+    """Single-pass block segmenter.
+
+    Text attaches to the *nearest* open block element only (no double
+    counting up the ancestor chain); blocks are finalized in document order.
+    Tolerant of unclosed tags: ``close()`` flushes everything still open.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self._boiler = 0
+        self._link = 0
+        self._tag_stack: list[str] = []
+        self._block_stack: list[_Block] = []
+        self._seq = 0
+        self.blocks: list[_Block] = []
+
+    def _new_block(self, tag: str) -> _Block:
+        blk = _Block(tag, self._boiler > 0, self._seq)
+        self._seq += 1
+        return blk
+
+    # -- tag events ------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID_TAGS:
+            if tag == "br" and self._block_stack:
+                self._block_stack[-1].parts.append(" ")
+            return
+        self._tag_stack.append(tag)
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        if tag in _BOILER_TAGS:
+            self._boiler += 1
+        if tag == "a":
+            self._link += 1
+        if tag in _BLOCK_TAGS:
+            self._block_stack.append(self._new_block(tag))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID_TAGS:
+            return
+        # Unwind to the matching open tag (tolerates interleaved/unclosed tags).
+        if tag not in self._tag_stack:
+            return
+        while self._tag_stack:
+            open_tag = self._tag_stack.pop()
+            self._leave(open_tag)
+            if open_tag == tag:
+                break
+
+    def _leave(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip -= 1
+        if tag in _BOILER_TAGS:
+            self._boiler -= 1
+        if tag == "a":
+            self._link = max(0, self._link - 1)
+        if tag in _BLOCK_TAGS and self._block_stack:
+            self.blocks.append(self._block_stack.pop())
+
+    # -- text ------------------------------------------------------------
+    def handle_data(self, data: str) -> None:
+        if self._skip or not data:
+            return
+        stripped_len = len(data.strip())
+        if not self._block_stack:
+            if stripped_len == 0:
+                return
+            # Text outside any block element (e.g. no <body>): implicit root.
+            self._block_stack.append(self._new_block("body"))
+        blk = self._block_stack[-1]
+        blk.parts.append(data)
+        blk.total_chars += stripped_len
+        if self._link:
+            blk.link_chars += stripped_len
+
+    def close(self) -> None:  # flush unclosed blocks, innermost first
+        super().close()
+        while self._block_stack:
+            self.blocks.append(self._block_stack.pop())
+
+
+def _normalize(parts: list[str]) -> str:
+    """Collapse all whitespace runs to single spaces and strip ends.
+
+    Mirrors the reference's whitespace collapse (``app/tally/utils.py:128``,
+    ``tally_routes.py:157``: ``re.sub(r'\\s+', ' ', s).strip()``)."""
+    return " ".join("".join(parts).split())
+
+
+def extract_html(data: bytes) -> tuple[str, list[tuple[str, int, int, str]], str | None]:
+    """Extract main content text + block spans from HTML bytes.
+
+    Returns ``(text, spans, error)``; never raises (error-as-data semantics,
+    cf. ``data_conversion.py:261-302``).
+    """
+    try:
+        raw = data.decode("utf-8", errors="replace")
+    except Exception as exc:  # pragma: no cover - decode with replace can't fail
+        return "", [], f"decode-error: {exc}"
+    parser = _ContentParser()
+    try:
+        parser.feed(raw)
+        parser.close()
+    except Exception as exc:
+        return "", [], f"html-parse-error: {type(exc).__name__}: {exc}"
+
+    kept: list[tuple[int, str, str]] = []  # (doc_order, tag, normalized_text)
+    for blk in parser.blocks:
+        if blk.boiler:
+            continue
+        text = _normalize(blk.parts)
+        if not text:
+            continue
+        if blk.total_chars > 0 and blk.link_chars / blk.total_chars > MAX_LINK_DENSITY:
+            continue
+        if blk.tag in _HEADING_TAGS:
+            if len(text) < MIN_HEADING_CHARS or blk.link_chars > 0:
+                continue
+        elif blk.total_chars < MIN_BLOCK_CHARS:
+            continue
+        kept.append((blk.order, blk.tag, text))
+
+    # Blocks finalize at end-tag time (nested blocks close before parents), so
+    # re-sort by the sequence number assigned at *open* time → document order.
+    kept.sort(key=lambda t: t[0])
+    out_parts: list[str] = []
+    spans: list[tuple[str, int, int, str]] = []
+    pos = 0
+    for _, tag, text in kept:
+        if out_parts:
+            pos += 2  # "\n\n" separator
+        start = pos
+        out_parts.append(text)
+        pos += len(text)
+        spans.append((tag, start, pos, text))
+    return "\n\n".join(out_parts), spans, None

@@ -1,0 +1,133 @@
+"""The extraction operator: whole-partition Arrow kernels, no per-row Python.
+
+Replaces the reference's one-document-per-HTTP-request loop
+(``ocr_backend/app/api/ocr_routes.py:485-738``: load → extract → convert →
+persist, one doc at a time) with a single set-oriented ``mapInArrow`` pass:
+each Python worker receives whole Arrow batches of ``(url, html)``, runs the
+deterministic kernels, and emits result batches plus per-partition lineage
+counters (north rule).
+
+Scale notes
+-----------
+- The kernel cost is a function of ``length(html)``, which Catalyst cannot
+  see — so skew handling is explicit: see partitioning.py
+  (``repartition_for_extraction``) for size-class range partitioning and
+  hot-host salting, applied *before* this operator.
+- Only ``url`` and ``html`` are shipped to Python (column pruning by
+  explicit select); the parquet scan reads nothing else.
+- ``cum_elapsed_ms`` is a per-partition running counter carried on rows so
+  lineage can be derived with one hash aggregate (max per partition) without
+  a second pass over the payloads.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_platform_spark import EXTRACTOR_VERSION
+from ocr_platform_spark.kernels import extract_payload
+from ocr_platform_spark.schemas import EXTRACTED_ARROW
+
+_EXTRACTED_DDL = (
+    "url string, payload_kind string, text string, "
+    "spans array<struct<field:string,start:int,end:int,value:string>>, "
+    "error string, partition_id int, input_bytes bigint, cum_elapsed_ms bigint"
+)
+
+
+def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    elapsed_ns = 0
+    for batch in batches:
+        t0 = time.monotonic_ns()
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        n = len(urls)
+        kinds: list[str] = []
+        texts: list[str] = []
+        spans_col: list[list[dict]] = []
+        errors: list[str | None] = []
+        nbytes: list[int] = []
+        for data in payloads:
+            kind, text, spans, err = extract_payload(data)
+            kinds.append(kind)
+            texts.append(text)
+            spans_col.append(
+                [{"field": f, "start": s, "end": e, "value": v} for f, s, e, v in spans]
+            )
+            errors.append(err)
+            nbytes.append(len(data) if data else 0)
+        elapsed_ns += time.monotonic_ns() - t0
+        cum_ms = elapsed_ns // 1_000_000
+        yield pa.RecordBatch.from_pydict(
+            {
+                "url": urls,
+                "payload_kind": kinds,
+                "text": texts,
+                "spans": spans_col,
+                "error": errors,
+                "partition_id": [pid] * n,
+                "input_bytes": nbytes,
+                "cum_elapsed_ms": [cum_ms] * n,
+            },
+            schema=EXTRACTED_ARROW,
+        )
+
+
+def extract_documents(docs: DataFrame) -> DataFrame:
+    """documents(url, warc_ts, html, ...) → extracted rows.
+
+    Pure function of the payload bytes → byte-identical output at any
+    parallelism. Input columns beyond (url, html) are pruned before the
+    Python hop.
+    """
+    return docs.select("url", "html").mapInArrow(_extract_batches, _EXTRACTED_DDL)
+
+
+def lineage_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage rows (partition id, input count, bytes,
+    extractor version, elapsed ms, run id) — FIXTURES.md §3, north rule.
+
+    One hash aggregate; partial aggregation (map-side combine) makes this
+    nearly free at scale."""
+    return (
+        extracted.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("input_count"),
+            F.sum("input_bytes").alias("input_bytes"),
+            F.max("cum_elapsed_ms").alias("elapsed_ms"),
+        )
+        .select(
+            "partition_id",
+            "input_count",
+            "input_bytes",
+            F.lit(EXTRACTOR_VERSION).alias("extractor_version"),
+            "elapsed_ms",
+            F.lit(run_id).alias("run_id"),
+        )
+    )
+
+
+def extracted_clean(extracted: DataFrame) -> DataFrame:
+    """Analysis-facing projection: drop the lineage carrier columns."""
+    return extracted.select("url", "payload_kind", "text", "spans", "error")
+
+
+def extraction_stats(extracted: DataFrame) -> DataFrame:
+    """Corpus-level rollup used as the flagship aggregate (SURVEY §7.1)."""
+    return (
+        extracted.groupBy("payload_kind")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_text_chars"),
+            F.sum(F.size(F.coalesce("spans", F.array()))).alias("total_spans"),
+            F.count(F.col("error")).alias("n_errors"),
+        )
+        .orderBy("payload_kind")
+    )

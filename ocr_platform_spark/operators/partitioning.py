@@ -1,0 +1,115 @@
+"""Explicit partitioning / skew control for the extraction stage.
+
+Catalyst cannot see that kernel cost scales with ``length(html)`` — payload
+size is data, not plan shape — so balancing the heavy map stage is designed
+in (SURVEY.md §4.2, north rule):
+
+1. **Size-tiered bucketed url-hash partitioning** (``repartition_for_extraction``):
+   documents are bucketed by ``xxhash64(url)`` — uniform, host-independent —
+   and *tiered by payload size*: oversized payloads (default >256 KiB) go to
+   their own, smaller buckets so a partition never mixes thousands of small
+   pages with a handful of multi-MB ones. With many docs per bucket, hash
+   placement concentrates per-partition byte totals around the mean
+   (σ/√n), and the big-doc tier bounds the tail — uniform task durations →
+   scaling efficiency.
+
+2. **Hot-host salting** (``detect_hot_hosts`` / ``with_salted_host``): web
+   corpora are Zipf-skewed by host. Any host-keyed shuffle (per-host aggs,
+   host-level joins) gets a salt ``pmod(xxhash64(url), salt)`` appended for
+   hosts above a frequency threshold, then a two-phase re-aggregate. AQE
+   skew-join handles *join* skew at runtime; map-stage and agg skew need
+   this explicit treatment.
+
+All keys derive from ``url`` alone → partitioning never affects output
+content, only placement (determinism across cluster sizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_BIG_PAYLOAD_BYTES = 256 * 1024
+
+
+def host_of(url_col: str | F.Column = "url") -> F.Column:
+    """Host component of the url (pure column expr, no UDF)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.parse_url(c, F.lit("HOST"))
+
+
+def repartition_for_extraction(
+    docs: DataFrame,
+    num_partitions: int | None = None,
+    big_payload_bytes: int = DEFAULT_BIG_PAYLOAD_BYTES,
+    big_tier_fraction: float = 0.25,
+) -> DataFrame:
+    """Size-tiered bucketed url-hash repartition before the Arrow kernel.
+
+    One shuffle. Bucket id = ``pmod(xxhash64(url), n_small)`` for normal
+    payloads, ``n_small + pmod(xxhash64(url), n_big)`` for oversized ones;
+    ``repartitionByRange`` on the integer bucket maps buckets ≈ 1:1 onto
+    partitions (its sampler sees one distinct value per range).
+    """
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 4
+    n_big = max(1, int(num_partitions * big_tier_fraction))
+    n_small = max(1, num_partitions - n_big)
+    h = F.abs(F.xxhash64("url"))
+    bucket = F.when(
+        F.coalesce(F.length("html"), F.lit(0)) <= F.lit(big_payload_bytes),
+        F.pmod(h, F.lit(n_small)),
+    ).otherwise(F.lit(n_small) + F.pmod(h, F.lit(n_big)))
+    return (
+        docs.withColumn("_bucket", bucket)
+        .repartitionByRange(num_partitions, "_bucket")
+        .drop("_bucket")
+    )
+
+
+def detect_hot_hosts(docs: DataFrame, threshold_fraction: float = 0.01) -> list[str]:
+    """Hosts owning more than ``threshold_fraction`` of rows.
+
+    One cheap aggregate over the url column only (payloads pruned). At 10^12
+    rows the same aggregate runs on a sample: ``docs.sample(1e-4)`` — host
+    frequencies are stable under uniform sampling."""
+    total = docs.count()
+    if total == 0:
+        return []
+    rows = (
+        docs.select(host_of("url").alias("host"))
+        .groupBy("host")
+        .count()
+        .where(F.col("count") > total * threshold_fraction)
+        .collect()
+    )
+    return sorted(r["host"] for r in rows)
+
+
+def with_salted_host(
+    docs: DataFrame, hot_hosts: list[str], salt: int = 16
+) -> DataFrame:
+    """Append ``host`` and ``host_salted`` columns: hot hosts fan out into
+    ``salt`` subkeys; cold hosts keep salt 0. Aggregations on ``host_salted``
+    then re-aggregate by ``host`` (two-phase; see per_host_stats)."""
+    host = host_of("url")
+    salted = F.when(
+        host.isin(hot_hosts) & (F.lit(salt) > 1),
+        F.concat(host, F.lit("#"), F.pmod(F.abs(F.xxhash64("url")), F.lit(salt)).cast("string")),
+    ).otherwise(host)
+    return docs.withColumn("host", host).withColumn("host_salted", salted)
+
+
+def per_host_stats(docs: DataFrame, hot_hosts: list[str], salt: int = 16) -> DataFrame:
+    """Skew-safe per-host rollup: partial agg on the salted key, then final
+    agg on the true host — the hot key's work spreads over ``salt`` tasks."""
+    salted = with_salted_host(docs, hot_hosts, salt)
+    partial = salted.groupBy("host", "host_salted").agg(
+        F.count("*").alias("n"),
+        F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("bytes"),
+    )
+    return (
+        partial.groupBy("host")
+        .agg(F.sum("n").alias("n_docs"), F.sum("bytes").alias("total_bytes"))
+        .orderBy(F.desc("n_docs"), "host")
+    )
