@@ -1,0 +1,118 @@
+"""Text analytics for a training-data pipeline — pure column expressions.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting,
+and document fingerprinting over a ``text`` column. Every function here is
+JVM-side (whole-stage codegen); nothing drops to Python. Each is designed to
+be expressible in ANSI/DuckDB SQL too, so the driver's oracle comparison can
+verify values exactly (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Stopword profiles for the language-ID heuristic. Order matters: argmax
+# ties resolve to the first language in this list (deterministic).
+LANG_PROFILES: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of", "to", "in", "that", "with"]),
+    ("de", ["der", "die", "und", "das", "nicht", "ist", "ein"]),
+    ("es", ["el", "los", "que", "por", "con", "una", "para"]),
+    ("fr", ["le", "la", "et", "les", "des", "est", "une"]),
+    ("hi", ["hai", "aur", "ke", "ki", "se", "mein", "par"]),
+]
+
+_PUNCT_CLASS = "[.,;:!?()]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank → 0."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def stopword_regex(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def stopword_count(col: Column | str, words: list[str]) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit(stopword_regex(words)), F.lit(0))).cast("int")
+
+
+def punct_count(col: Column | str) -> Column:
+    s = _c(col)
+    return (F.length(s) - F.length(F.regexp_replace(s, _PUNCT_CLASS, ""))).cast("int")
+
+
+def uppercase_ratio(col: Column | str) -> Column:
+    s = _c(col)
+    upper = F.length(s) - F.length(F.regexp_replace(s, "[A-Z]", ""))
+    return F.when(F.length(s) > 0, upper / F.length(s)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + stopword density
+    − punctuation noise. Rounded to 4 dp for cross-engine value stability.
+
+    Mirrors the *shape* of boilerplate/quality heuristics used in web-corpus
+    curation (length / punct / stopword ratios)."""
+    s = _c(col)
+    toks = token_count(s).cast("double")
+    en_stops = stopword_count(s, LANG_PROFILES[0][1]).cast("double")
+    punct = punct_count(s).cast("double")
+    length_part = F.least(toks / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+    stop_part = F.least(
+        F.when(toks > 0, en_stops / toks).otherwise(F.lit(0.0)) * F.lit(5.0),
+        F.lit(1.0),
+    ) * F.lit(0.3)
+    punct_part = (
+        F.lit(1.0)
+        - F.least(
+            F.when(toks > 0, punct / toks).otherwise(F.lit(1.0)) * F.lit(2.0),
+            F.lit(1.0),
+        )
+    ) * F.lit(0.3)
+    return F.round(length_part + stop_part + punct_part, 4)
+
+
+def lang_scores(col: Column | str) -> list[tuple[str, Column]]:
+    return [(lang, stopword_count(col, words)) for lang, words in LANG_PROFILES]
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax of per-language stopword hits; ties → first profile in order;
+    zero hits everywhere → 'und' (undetermined)."""
+    scores = lang_scores(col)
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, score in reversed(scores):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_text(col: Column | str) -> Column:
+    """lowercase + collapse whitespace + trim (the canonical form used by
+    fingerprinting and near-dup shingling)."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text (md5
+    exists in both Spark and DuckDB → oracle-checkable)."""
+    return F.md5(normalized_text(_c(col)))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles over the normalized text (built-ins only:
+    split + transform + slice + concat_ws). Short texts (<k words) yield a
+    single shingle of whatever is there."""
+    words = F.split(normalized_text(_c(col)), " ")
+    n = F.size(words)
+    n_shingles = F.greatest(n - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n_shingles)
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))
+    )

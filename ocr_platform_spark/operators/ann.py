@@ -1,0 +1,186 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths (SURVEY-mandated training-data-pipeline ops):
+
+- **Brute-force cosine top-k** — the correctness baseline. The query set is
+  small by assumption (a dimension): broadcast it, score every (query, item)
+  pair with built-in ``zip_with``/``aggregate`` (JVM-side fold — a
+  deterministic left-to-right sum, reproducible across engines), then
+  window top-k per query. No shuffle on the corpus side except the final
+  per-query top-k (tiny).
+
+- **Hyperplane-LSH bucketed ANN** — the scale path: sign-random-projection
+  buckets computed in a vectorized numpy kernel (one matmul per Arrow
+  batch), exact cosine only within matching buckets. Multi-probe via
+  several independent tables. Recall/cost is tunable (n_planes, n_tables).
+
+Embedding-cosine near-duplicate detection reuses the LSH buckets with a
+self-join, mirroring the text-side MinHash pipeline (dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def cosine_sim(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity of two float arrays, built-ins only: deterministic
+    sequential fold (``aggregate``), identical operation order everywhere."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (query ids must not collide
+    with nothing — self-matches are excluded by id inequality)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    it = items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec"))
+    scored = (
+        it.crossJoin(F.broadcast(q))
+        .where(F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "item_id",
+            F.round(cosine_sim(F.col("q_vec"), F.col("i_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("item_id")  # deterministic tie-break
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (seeded; same on every worker)."""
+    return np.random.RandomState(seed).standard_normal((dim, n_planes)).astype(np.float64)
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
+    out_col: str = "buckets",
+) -> DataFrame:
+    """Append an ``array<bigint>`` of per-table sign-projection bucket ids.
+
+    One numpy matmul per Arrow batch (vectorized pandas UDF) — the only
+    Python hop, amortized over whole batches."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+
+    planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+
+    @F.pandas_udf("array<bigint>")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        out = []
+        per_table = []
+        for t, pl in enumerate(planes):
+            bits = (mat @ pl) > 0  # (batch, n_planes)
+            ids = bits.astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64))
+            per_table.append(ids + (t << 32))  # disjoint id space per table
+        stacked = np.stack(per_table, axis=1)  # (batch, n_tables)
+        for row in stacked:
+            out.append(row.tolist())
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _bucket(F.col(vec_col)))
+
+
+def lsh_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact cosine only for bucket-colliding pairs."""
+    it = with_lsh_bucket(
+        items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec")),
+        "i_vec", n_planes, n_tables, seed,
+    ).select("item_id", "i_vec", F.explode("buckets").alias("bucket"))
+    q = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", n_planes, n_tables, seed,
+    ).select("query_id", "q_vec", F.explode("buckets").alias("bucket"))
+    scored = (
+        it.join(F.broadcast(q), "bucket")
+        .where(F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "item_id",
+            F.round(cosine_sim(F.col("q_vec"), F.col("i_vec")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "item_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 3,
+    seed: int = 42,
+    max_bucket: int = 128,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold):
+    LSH self-join candidates → exact cosine verify."""
+    b = with_lsh_bucket(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "vec", n_planes, n_tables, seed,
+    ).select("id", "vec", F.explode("buckets").alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("id")
+    b = b.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= max_bucket).drop("_rn")
+    a = b.alias("a")
+    c = b.alias("b")
+    pairs = (
+        a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,80 @@
+"""Incremental extraction + event-time aggregation (SURVEY.md §2.11).
+
+The reference's ``auto_process=true`` (extract immediately per arriving
+document, ``ocr_backend/app/api/document_routes.py:213,237-260``) becomes a
+Structured Streaming job over the input directory: same kernel, same sink,
+micro-batch driven. ``Trigger.AvailableNow`` drains the backlog and stops —
+the cron/incremental mode; a processing-time trigger makes it continuous.
+
+Exactly-once: each micro-batch goes through ``foreachBatch`` into the
+snapshot table with run_id = ``stream-<query_id>-<epoch>``; replays of an
+epoch overwrite the same snapshot directory before the commit marker lands,
+so duplicates cannot become visible (idempotent sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_platform_spark.operators.extract import (
+    extract_documents,
+    extracted_clean,
+    lineage_from_extracted,
+)
+from ocr_platform_spark.operators.resume import SnapshotTable
+from ocr_platform_spark.schemas import DOCUMENTS_SCHEMA
+
+
+def stream_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """readStream(parquet dir) → kernel → snapshot sink. Returns the query."""
+    table = SnapshotTable(table_path)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        extracted = extract_documents(batch_df)
+        extracted.persist()
+        try:
+            if extracted.take(1):
+                run_id = f"stream-{epoch_id:08d}"
+                lineage = lineage_from_extracted(extracted, run_id)
+                table.append(extracted_clean(extracted), lineage, run_id)
+        finally:
+            extracted.unpersist()
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream —
+    late rows beyond the watermark are dropped, state is bounded. Works on
+    both a streaming and a batch DataFrame (same plan)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,93 @@
+"""Dedup operator family: exact, MinHash-LSH, SimHash, embedding near-dup."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ocr_platform_spark.operators import ann, dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "a long tune about rivers and mountains under a quiet evening sky"
+)
+NEAR = BASE.replace("quiet", "silent")  # one-word change → high jaccard
+FAR = (
+    "completely different content about databases indexes partitions "
+    "shuffles joins aggregations and the optimizer that plans them all"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                      # exact dup of 1
+        (3, "  " + BASE.upper() + "  "),  # normalized dup of 1
+        (4, NEAR),                      # near dup of 1
+        (5, FAR),
+        (6, FAR + " with a tail"),      # near dup of 5
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_duplicates(spark):
+    d = dedup.exact_duplicates(_docs(spark), "id", "text").collect()
+    assert len(d) == 1
+    assert d[0]["keep_id"] == 1 and d[0]["n_dups"] == 3  # 1,2,3 normalize equal
+    kept = dedup.drop_exact_duplicates(_docs(spark), "id", "text")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 4, 5, 6]
+
+
+def test_minhash_near_duplicates(spark):
+    pairs = dedup.minhash_near_duplicates(_docs(spark), "id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got       # exact dups surface too
+    assert (1, 4) in got or (2, 4) in got or (3, 4) in got  # near dup found
+    assert (5, 6) in got
+    assert not any({a, b} == {1, 5} for a, b in got)  # unrelated not paired
+
+
+def test_jaccard_exact_values(spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 5)], "id_a long, id_b long")
+    j = dedup.jaccard_pairs(_docs(spark), pairs, "id", "text")
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in j.collect()}
+    assert by_pair[(1, 2)] == 1.0
+    assert by_pair[(1, 5)] < 0.05
+
+
+def test_simhash_near_duplicates(spark):
+    pairs = dedup.simhash_near_duplicates(_docs(spark), "id", "text", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert not any({a, b} == {1, 5} for a, b in got)
+
+
+def test_simhash_is_64bit_stable(spark):
+    df = _docs(spark).select(dedup.simhash64("text").alias("sh"))
+    a = [r["sh"] for r in df.collect()]
+    b = [r["sh"] for r in df.collect()]
+    assert a == b
+    assert a[0] == a[1]  # identical text → identical simhash
+
+
+def test_embedding_near_duplicates(spark):
+    import numpy as np
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(32)
+    rows = [
+        (1, (base + 0.001 * rng.standard_normal(32)).tolist()),
+        (2, (base + 0.001 * rng.standard_normal(32)).tolist()),
+        (3, rng.standard_normal(32).tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = ann.embedding_near_duplicates(df, threshold=0.99, n_planes=6, n_tables=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in got)
+
+
+def test_bucket_cap_bounds_quadratic_corner(spark):
+    # 100 identical docs: pairs are capped by max_bucket, not 100*99/2 per band
+    rows = [(i, BASE) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = dedup.minhash_candidate_pairs(df, "id", "text", max_bucket=10)
+    assert pairs.count() <= 10 * 9 / 2

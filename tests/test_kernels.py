@@ -1,0 +1,128 @@
+"""Pure-Python kernel unit tests (no Spark) — golden behavior of the HTML
+boilerplate stripper and the PDF content-stream parser."""
+
+from __future__ import annotations
+
+from ocr_platform_spark.kernels import extract_html, extract_payload, extract_pdf, sniff_payload_kind
+
+
+PAGE = b"""<!DOCTYPE html><html><head><title>t</title>
+<script>var boiler = 'yes';</script><style>p{}</style></head><body>
+<nav><ul><li><a href="/a">home</a></li><li><a href="/b">about us</a></li></ul></nav>
+<article>
+<h1>A Real Heading</h1>
+<p>This paragraph is long enough to clear the minimum block length easily.</p>
+<p>Another paragraph with an <a href="/x">inline link</a> inside it that stays below the density cutoff.</p>
+</article>
+<div class="farm"><a href="/1">one</a> <a href="/2">two</a> <a href="/3">three</a> <a href="/4">four</a></div>
+<footer><p>copyright 2025 somebody somewhere incorporated</p></footer>
+</body></html>"""
+
+
+def test_html_main_content():
+    text, spans, err = extract_html(PAGE)
+    assert err is None
+    parts = text.split("\n\n")
+    assert parts[0] == "A Real Heading"
+    assert parts[1].startswith("This paragraph is long enough")
+    assert "inline link" in parts[2]
+    # boilerplate dropped
+    assert "home" not in text and "about us" not in text
+    assert "copyright" not in text
+    assert "one" not in parts  # link farm dropped by density
+    assert "var boiler" not in text
+
+
+def test_html_spans_offsets():
+    text, spans, _ = extract_html(PAGE)
+    assert [s[0] for s in spans] == ["h1", "p", "p"]
+    for field, start, end, value in spans:
+        assert text[start:end] == value
+
+
+def test_html_whitespace_collapse():
+    text, _, _ = extract_html(
+        b"<body><p>many    spaces\n\tand\r\nnewlines collapse to single spaces here</p></body>"
+    )
+    assert text == "many spaces and newlines collapse to single spaces here"
+
+
+def test_html_unclosed_tags():
+    text, _, err = extract_html(
+        b"<body><p>first paragraph long enough to keep around here</p>"
+        b"<div><p>second paragraph also long enough but never closed"
+    )
+    assert err is None
+    assert text.split("\n\n") == [
+        "first paragraph long enough to keep around here",
+        "second paragraph also long enough but never closed",
+    ]
+
+
+def test_html_entities_and_bad_utf8():
+    text, _, _ = extract_html(
+        b"<body><p>fish &amp; chips &lt;tag&gt; costs more than twenty chars</p></body>"
+    )
+    assert "fish & chips <tag>" in text
+    text2, _, _ = extract_html(
+        b"<body><p>prefix \xff\xfe suffix padding padding padding padding</p></body>"
+    )
+    assert "prefix �� suffix" in text2
+
+
+def test_html_empty_and_garbage():
+    assert extract_html(b"")[0] == ""
+    text, _, err = extract_html(b"\x00\x01\x02 random bytes not html at all \x9f")
+    assert err is None  # tolerant, never raises
+
+
+def test_heading_link_dropped():
+    # headings containing links are navigation, not content
+    text, _, _ = extract_html(
+        b"<body><h2><a href='/sec'>Section nav heading</a></h2>"
+        b"<p>kept paragraph that is long enough to stay in the output</p></body>"
+    )
+    assert "Section nav heading" not in text
+    assert "kept paragraph" in text
+
+
+def test_sniff():
+    assert sniff_payload_kind(b"%PDF-1.4 etc") == "pdf"
+    assert sniff_payload_kind(b"<html>") == "html"
+    assert sniff_payload_kind(b"") == "empty"
+    assert sniff_payload_kind(None) == "empty"
+
+
+PDF = (
+    b"%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n"
+    b"4 0 obj << /Length 99 >> stream\n"
+    b"BT /F1 12 Tf 72 720 Td (first line) Tj 0 -14 Td (second \\(escaped\\) line) Tj "
+    b"0 -14 Td [(arr) -250 (ay line)] TJ ET\nendstream endobj\n%%EOF"
+)
+
+
+def test_pdf_lines():
+    text, spans, err = extract_pdf(PDF)
+    assert err is None
+    assert text == "first line\nsecond (escaped) line\narray line"
+    for field, start, end, value in spans:
+        assert text[start:end] == value
+
+
+def test_pdf_octal_escape():
+    pdf = b"%PDF-1.4\nstream\nBT (caf\\351) Tj ET\nendstream"
+    text, _, err = extract_pdf(pdf)
+    assert err is None
+    assert text == "caf�" or text == "caf\xe9"  # \351 = 0xE9, lone byte → replacement
+
+
+def test_pdf_filtered_is_error_as_data():
+    pdf = b"%PDF-1.4\n1 0 obj << /Filter /FlateDecode >> stream\nxx\nendstream"
+    text, spans, err = extract_pdf(pdf)
+    assert text == "" and err == "pdf-unsupported-filter"
+
+
+def test_dispatch_never_raises():
+    for payload in [None, b"", b"%PDF-", b"<p>x</p>", b"\xff" * 64]:
+        kind, text, spans, err = extract_payload(payload)
+        assert isinstance(text, str)

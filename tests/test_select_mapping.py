@@ -1,0 +1,81 @@
+"""Fuzzy SELECT-mapper corpus — modeled on the reference's
+``ocr_backend/tests/test_map_select_field.py:38-52`` TEST_DEFINITIONS
+(exact/typo/case/punctuation/whitespace/ampersand/no-match), with a
+committed vocabulary replacing the absent external JSON fixture."""
+
+from __future__ import annotations
+
+from ocr_platform_spark.functions.fuzzy import map_select_value, wratio_like
+from ocr_platform_spark.operators.select_mapping import map_select_column
+
+# committed vocabulary (option_value, option_label) — FIXTURES.md §4
+VOCAB = [
+    ("AAMRAPALI", "AAMRAPALI CREATION"),
+    ("AMBIKA", "AMBIKA SAREES PVT LTD (KOLKATA)"),
+    ("AM_SONS", "A.M & SONS"),
+    ("QUEENS", "QUEEN'S EMPORIUM"),
+    ("AASHIRVAD", "AASHIRVAD SAREES PVT. LTD."),
+    ("ZANVAR", "ZANVAR SAREES HOUSE"),
+    ("MAHALAXMI", "MAHA LAXMI TEXTILE"),
+]
+VALUES = [v for v, _ in VOCAB]
+
+CASES = {
+    "exact": ("AAMRAPALI CREATION", "in_options"),
+    "typo": ("AAMRAPLI CREATION", "in_options"),
+    "no_match": ("qwertyuiopasdfgh", "none"),
+    "case_insensitive": ("ambika sarees pvt ltd", "in_options"),
+    "punctuation": ("AMBIKA SAREES PVT LTD.", "in_options"),
+    "ampersand_and": ("A.M AND SONS", "in_options"),
+    "apostrophe": ("QUEENS EMPORIUM", "in_options"),
+    "missing_periods": ("AASHIRVAD SAREES PVT LTD", "in_options"),
+    "extra_whitespace": ("  AMBIKA   SAREES   PVT   LTD  ", "in_options"),
+    "similar": ("ZANVAR SAREES", "in_options"),
+    "mixed_case": ("Maha Laxmi Textile", "in_options"),
+}
+
+
+def test_corpus_cases():
+    for name, (value, expect) in CASES.items():
+        got = map_select_value(value, VOCAB)
+        if expect == "in_options":
+            assert got in VALUES, f"{name}: {value!r} -> {got!r}"
+        else:
+            assert got is None, f"{name}: {value!r} -> {got!r}"
+
+
+def test_reference_thresholds():
+    # cutoff 75 / auto-accept 90 / best-fallback (ocr_routes.py:54-76,153-163)
+    assert map_select_value(None, VOCAB) is None
+    assert map_select_value("", VOCAB) is None
+    assert map_select_value("anything", []) == "anything"  # no vocab → passthrough
+
+
+def test_scorer_is_symmetric_enough():
+    assert wratio_like("abc", "abc") == 100
+    assert wratio_like("", "") == 0
+    assert 0 <= wratio_like("a", "zzzz") <= 100
+
+
+def test_operator_distributed(spark):
+    rows = [(v,) for v, _ in ((c[0], None) for c in CASES.values())]
+    df = spark.createDataFrame(rows, "ocr_value string")
+    field_options = spark.createDataFrame(
+        [("VENDOR_NAME", v, l) for v, l in VOCAB],
+        "field_name string, option_value string, option_label string",
+    )
+    out = map_select_column(
+        df.selectExpr("ocr_value", "'VENDOR_NAME' as field_name"),
+        "ocr_value", "field_name", field_options,
+    ).collect()
+    by_value = {r["ocr_value"]: r["mapped_value"] for r in out}
+    assert by_value["AAMRAPALI CREATION"] == "AAMRAPALI"
+    assert by_value["qwertyuiopasdfgh"] is None
+    assert by_value["  AMBIKA   SAREES   PVT   LTD  "] == "AMBIKA"
+
+
+def test_determinism_across_vocab_order(spark):
+    # vocab arrives sorted inside vocab_dict → same result for any input order
+    a = map_select_value("ZANVAR SAREES", VOCAB)
+    b = map_select_value("ZANVAR SAREES", list(reversed(VOCAB)))
+    assert a == b == "ZANVAR"
