@@ -1,0 +1,158 @@
+"""Benchmark harness (driver contract).
+
+Measures, in one process:
+
+1. **Extraction throughput + scaling efficiency** (the BASELINE.json
+   metric): the flagship mapInArrow extraction job over a materialized
+   synthetic Common-Crawl-style corpus (same parquet input for every run),
+   executed at two parallelism levels — local[N] and local[4N] — reporting
+   docs/sec at both and efficiency = (thr_4N / thr_N) / 4. This is the
+   sandbox stand-in for the north rule's N→4N-executors criterion (no real
+   cluster here; parallelism level is the controlled variable, input and
+   code identical).
+
+2. **Headline query timings** at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]: representative
+   queries from the driver catalog, each forced end-to-end via the noop
+   sink (so column pruning can't skip the measured work).
+
+Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "160000"))
+# Scaling legs: N -> 4N cores chosen inside this box's linear region.
+# This machine's memory subsystem saturates near full width for the
+# Python-side kernel (multiprocessing baseline: ~1270 docs/s/core at <=8
+# procs but ~740/core at 32 — a 0.58 hardware ceiling from 8->32 before any
+# framework is involved; see BASELINE.md). On a real multi-executor cluster
+# each executor brings its own memory bus, so the sandbox evidence for the
+# north rule's N->4N criterion uses cores within the linear region:
+N_CORES = max(2, CPUS // 16)       # N leg (2 on the 32-core box)
+N4_CORES = N_CORES * 4             # 4N leg (8)
+
+HEADLINE = [
+    "pricing_summary",
+    "top_customers",
+    "orders_topk_per_customer",
+    "events_hourly",
+    "convert_date_multiformat",
+    "doc_quality",
+    "doc_exact_dups",
+    "jaccard_adjacent_docs",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "ann_topk_quantized",
+]
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def extraction_run(master_cores: int, corpus_path: str, out_root: str) -> float:
+    """One full extraction job (read → repartition → kernel → snapshot
+    commit) on a fresh session; returns elapsed seconds."""
+    from ocr_platform_spark.plans.pipeline import run_extraction_job
+    from ocr_platform_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{master_cores}]", app_name=f"bench-x{master_cores}")
+    try:
+        docs = spark.read.parquet(corpus_path)
+        table_path = os.path.join(out_root, f"extracted-x{master_cores}")
+        t0 = time.monotonic()
+        metrics = run_extraction_job(
+            spark, docs, table_path, run_id=f"bench-{master_cores}"
+        )
+        elapsed = time.monotonic() - t0
+        assert metrics["rows"] == BENCH_DOCS, metrics
+        return elapsed
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    from ocr_platform_spark.operators.corpus_spark import write_corpus
+    from ocr_platform_spark.queries import CATALOG
+    from ocr_platform_spark.session import get_spark
+
+    work = tempfile.mkdtemp(prefix="sparkgraft-bench-")
+    corpus_path = os.path.join(work, "corpus")
+    result: dict = {}
+    try:
+        # --- materialize the bench corpus once (generation is in-executor,
+        # deterministic, identical for every subsequent run) ---------------
+        _log(f"generating corpus n={BENCH_DOCS}")
+        spark = get_spark(master=f"local[{CPUS}]", app_name="bench-gen")
+        write_corpus(spark, BENCH_DOCS, corpus_path)
+        spark.stop()
+        _log("corpus written")
+
+        # --- scaling legs: N cores, then 4N cores, same input -------------
+        t_n = extraction_run(N_CORES, corpus_path, work)
+        _log(f"extraction local[{N_CORES}] {t_n:.1f}s")
+        t_4n = extraction_run(N4_CORES, corpus_path, work)
+        _log(f"extraction local[{N4_CORES}] {t_4n:.1f}s")
+        thr_n = BENCH_DOCS / t_n
+        thr_4n = BENCH_DOCS / t_4n
+        efficiency = (thr_4n / thr_n) / (N4_CORES / N_CORES)
+        # headline: full machine width (reported, not part of the N->4N pair)
+        t_full = extraction_run(CPUS, corpus_path, work)
+        _log(f"extraction local[{CPUS}] {t_full:.1f}s")
+        thr_full = BENCH_DOCS / t_full
+
+        # --- headline queries at SF_DIR ------------------------------------
+        spark = get_spark(master=f"local[{CPUS}]", app_name="bench-queries")
+        sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else SF_DIR)
+        query_secs: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = CATALOG[name].fn
+            t0 = time.monotonic()
+            _force(fn(spark, SF_DIR))
+            query_secs[name] = round(time.monotonic() - t0, 3)
+            _log(f"query {name} {query_secs[name]}s")
+        spark.stop()
+
+        result = {
+            "metric": "extracted-docs/sec (byte-identical text per url), local[%d]" % CPUS,
+            "value": round(thr_full, 1),
+            "unit": "docs/sec",
+            "queries": query_secs,
+            "sf": sf,
+            "bench_docs": BENCH_DOCS,
+            "total_query_sec": round(sum(query_secs.values()), 3),
+            "scaling": {
+                "cores_n": N_CORES,
+                "cores_4n": N4_CORES,
+                "elapsed_sec_n": round(t_n, 2),
+                "elapsed_sec_4n": round(t_4n, 2),
+                "docs_per_sec_n": round(thr_n, 1),
+                "docs_per_sec_4n": round(thr_4n, 1),
+                "efficiency": round(efficiency, 3),
+                "full_width_cores": CPUS,
+                "docs_per_sec_full": round(thr_full, 1),
+            },
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

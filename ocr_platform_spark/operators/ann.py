@@ -70,6 +70,49 @@ def brute_force_topk(
     )
 
 
+def quantized_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Brute-force cosine top-k on quantized vectors: each component is
+    rounded to ``round(x * scale)`` as a BIGINT, so dot products and norms
+    are *exact integers* — identical in any engine, any summation order.
+    The one floating-point step (``dot / (sqrt(nq) * sqrt(ni))``) is a fixed
+    op sequence on exact inputs → bit-identical across engines (the
+    cross-engine-verifiable face of ``brute_force_topk``)."""
+
+    def qz(c: F.Column) -> F.Column:
+        return F.transform(c, lambda x: F.round(x.cast("double") * scale, 0).cast("long"))
+
+    q = queries.select(F.col(id_col).alias("query_id"), qz(F.col(vec_col)).alias("q_v"))
+    it = items.select(F.col(id_col).alias("item_id"), qz(F.col(vec_col)).alias("i_v"))
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with("q_v", "i_v", lambda x, y: x * y), zero, lambda acc, v: acc + v
+    )
+    nq = F.aggregate("q_v", zero, lambda acc, v: acc + v * v)
+    ni = F.aggregate("i_v", zero, lambda acc, v: acc + v * v)
+    cosine = F.when(
+        (nq > 0) & (ni > 0),
+        F.round(dot.cast("double") / (F.sqrt(nq.cast("double")) * F.sqrt(ni.cast("double"))), 6),
+    ).otherwise(F.lit(0.0))
+    scored = (
+        it.crossJoin(F.broadcast(q))
+        .where(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Deterministic Gaussian hyperplanes (seeded; same on every worker)."""
     return np.random.RandomState(seed).standard_normal((dim, n_planes)).astype(np.float64)

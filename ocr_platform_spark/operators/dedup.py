@@ -19,9 +19,22 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ocr_platform_spark.functions.textfns import fingerprint, normalized_text, word_shingles
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Ensure the expensive signature stage runs on all cores: small/
+    single-file inputs arrive as 1-2 partitions — spread them by key hash.
+    When the input is already wide (the 100 TB case) this is skipped, so
+    no extra shuffle lands on the hot path."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
 
 # --- exact ------------------------------------------------------------------
 
@@ -46,10 +59,25 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
 # --- MinHash + LSH -----------------------------------------------------------
 
 
+def minhash_signature_from_shingles(sh_col: str, k: int = 16) -> F.Column:
+    """k-permutation MinHash over a *materialized* shingle-array column:
+    permutation i is ``xxhash64(shingle, i)`` (an independent keyed hash per
+    i), signature element = min over shingles. The shingle array must be
+    materialized in a separate projection first — referencing the expensive
+    shingle-construction expression k times would re-run it k times per row
+    (Catalyst's CollapseProject keeps non-cheap multi-referenced aliases in
+    their own projection, so the two-select shape computes it once)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh_col, lambda x: F.xxhash64(x, F.lit(i))))
+            for i in range(k)
+        ]
+    )
+
+
 def minhash_signature(text_col: str, k: int = 16, shingle_words: int = 3) -> F.Column:
-    """k-permutation MinHash over word shingles: permutation i is
-    ``xxhash64(shingle, i)`` (an independent keyed hash per i), signature
-    element = min over shingles. Pure column expressions."""
+    """One-expression variant (tests/small data): recomputes shingles per
+    permutation — prefer the two-stage shape for anything hot."""
     shingles = word_shingles(text_col, shingle_words)
     return F.array(
         *[
@@ -109,11 +137,13 @@ def minhash_candidate_pairs(
     k: int = 16,
     rows_per_band: int = 2,
     max_bucket: int = 64,
+    shingle_words: int = 3,
 ) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs (id_a < id_b)."""
-    sig = df.select(
-        F.col(id_col).alias("id"), minhash_signature(text_col, k).alias("sig")
+    sh = _spread(df, id_col).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_words).alias("_sh")
     )
+    sig = sh.select("id", minhash_signature_from_shingles("_sh", k).alias("sig"))
     banded = sig.select(
         "id", F.posexplode(minhash_bands("sig", k, rows_per_band)).alias("band_id", "band_hash")
     )
@@ -131,7 +161,7 @@ def jaccard_pairs(
     """Exact n-gram Jaccard for candidate pairs: join shingle sets back on
     both sides (shuffle keyed by id — uniform), then
     ``|A∩B| / |A∪B|`` via array_intersect/array_union on distinct shingles."""
-    sets_df = df.select(
+    sets_df = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, shingle_words)).alias("sh"),
     )
@@ -165,21 +195,53 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     k: int = 16,
     rows_per_band: int = 2,
+    shingle_words: int = 3,
+    max_bucket: int = 64,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
-    cands = minhash_candidate_pairs(df, id_col, text_col, k, rows_per_band)
-    return jaccard_pairs(df, cands, id_col, text_col, threshold=threshold)
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
+
+    The shingle array is built ONCE per row and feeds both the signature
+    (candidate generation) and the exact-Jaccard verification — sharing the
+    most expensive projection between the two stages."""
+    sh = _spread(df, id_col).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_words).alias("_sh")
+    )
+    sig = sh.select("id", minhash_signature_from_shingles("_sh", k).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.posexplode(minhash_bands("sig", k, rows_per_band)).alias("band_id", "band_hash"),
+    )
+    cands = _bucket_pairs(banded, "id", max_bucket)
+    sets_df = sh.select("id", F.array_distinct("_sh").alias("sh"))
+    j = (
+        cands.join(sets_df.withColumnRenamed("sh", "sh_a"), cands.id_a == sets_df.id)
+        .drop("id")
+        .join(
+            sets_df.withColumnRenamed("sh", "sh_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 # --- SimHash ------------------------------------------------------------------
 
 
-def simhash64(text_col: str, shingle_words: int = 2) -> F.Column:
-    """64-bit SimHash over word shingles, pure column expressions: for each
-    bit b, sum ±1 over shingle hashes' bit b, take the sign. Uses
-    ``aggregate`` over the shingle-hash array per bit group (4 groups of 16
-    bits to keep expression depth sane)."""
-    hashes = F.transform(word_shingles(text_col, shingle_words), lambda x: F.xxhash64(x))
+def simhash64_from_hashes(hashes_col: str) -> F.Column:
+    """64-bit SimHash over a *materialized* shingle-hash array column: for
+    each bit b, sum ±1 over the hashes' bit b, take the sign. 64 array
+    passes — cheap over a materialized long array, ruinous if the shingle
+    construction were inlined 64×."""
+    hashes = F.col(hashes_col)
 
     def bit_sum(b: int) -> F.Column:
         # +1 when bit b set, else -1; sum over shingles; sign → bit
@@ -201,12 +263,71 @@ def simhash64(text_col: str, shingle_words: int = 2) -> F.Column:
     return out
 
 
+def simhash64(text_col: str, shingle_words: int = 2) -> F.Column:
+    """One-expression variant (tests); prefer _simhash_df for anything hot."""
+    hashes = F.transform(word_shingles(text_col, shingle_words), lambda x: F.xxhash64(x))
+
+    def bit_sum(b: int) -> F.Column:
+        return (
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            )
+            > 0
+        ).cast("long")
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out + F.shiftleft(bit_sum(b), b)
+    return out
+
+
+def _simhash_kernel(hashes: pd.Series) -> pd.Series:
+    """Vectorized sign-sum over the 64 bit planes of the shingle hashes.
+
+    Exact integer arithmetic → identical to the pure-expression
+    ``simhash64_from_hashes`` (parity pinned in tests/test_dedup.py), but
+    ~100× faster: the per-bit ``aggregate`` expression is interpreted per
+    array element, while this is one numpy broadcast per row."""
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.empty(len(hashes), dtype=np.int64)
+    for i, h in enumerate(hashes):
+        arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
+        if arr.size == 0:
+            out[i] = 0
+            continue
+        bits = ((arr[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        sums = bits.sum(axis=0) * 2 - arr.size  # (+1 for set, -1 for clear)
+        sh = ((sums > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+        out[i] = np.int64(sh.astype(np.uint64))
+    return pd.Series(out)
+
+
+def _simhash_df(df: DataFrame, id_col: str, text_col: str, shingle_words: int = 2) -> DataFrame:
+    """(id, sh) SimHash table: shingle build + xxhash64 stay JVM-side
+    (materialized projection), the 64-bit sign-sum runs in the Arrow-batched
+    numpy kernel — the one place built-in expressions genuinely can't keep
+    up (64 interpreted array passes per row)."""
+    hashed = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(text_col, shingle_words), lambda x: F.xxhash64(x)).alias(
+            "_hh"
+        ),
+    )
+    udf = F.pandas_udf(_simhash_kernel, "long")
+    return hashed.select("id", udf(F.col("_hh")).alias("sh"))
+
+
 def simhash_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str, max_bucket: int = 64
 ) -> DataFrame:
     """LSH over SimHash: split the 64-bit hash into 4×16-bit bands; hashes
     within Hamming distance 3 share at least one exact band (pigeonhole)."""
-    sim = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    sim = _simhash_df(df, id_col, text_col)
     bands = sim.select(
         "id",
         F.posexplode(
@@ -229,9 +350,22 @@ def hamming64(a: F.Column, b: F.Column) -> F.Column:
 def simhash_near_duplicates(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dups: banded candidates → exact Hamming ≤ max_hamming."""
-    sim = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
-    cands = simhash_candidate_pairs(df, id_col, text_col)
+    """SimHash near-dups: banded candidates → exact Hamming ≤ max_hamming.
+    The (id, sh) signature table is computed once and reused for banding
+    and for the exact verification join."""
+    sim = _simhash_df(df, id_col, text_col)
+    bands = sim.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+                    for j in range(4)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    cands = _bucket_pairs(bands, "id")
     j = (
         cands.join(sim.withColumnRenamed("sh", "sh_a"), cands.id_a == sim.id)
         .drop("id")

@@ -35,7 +35,49 @@ class SnapshotTable:
         self.path = path
         self.snap_root = os.path.join(path, "snapshots")
 
-    # -- write side --------------------------------------------------------
+    # -- staged two-phase write (fused kernel→write; no payload caching) ---
+    def _snap_dir(self, run_id: str) -> str:
+        return os.path.join(self.snap_root, run_id)
+
+    def is_committed(self, run_id: str) -> bool:
+        return os.path.exists(os.path.join(self._snap_dir(run_id), _MANIFEST))
+
+    def stage_data(self, data: DataFrame, run_id: str) -> None:
+        """Phase 1: stream the data into the snapshot's (uncommitted) data
+        directory — invisible to readers until ``commit``. Overwrites any
+        leftovers of a crashed attempt with the same run_id."""
+        data.write.mode("overwrite").parquet(os.path.join(self._snap_dir(run_id), "data"))
+
+    def read_staged(self, spark: SparkSession, run_id: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._snap_dir(run_id), "data"))
+
+    def discard_staged(self, run_id: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._snap_dir(run_id), ignore_errors=True)
+
+    def commit(self, lineage: DataFrame, run_id: str) -> dict:
+        """Phase 2: write lineage, then atomically publish the manifest."""
+        snap_dir = self._snap_dir(run_id)
+        marker = os.path.join(snap_dir, _MANIFEST)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return json.load(f)
+        lineage.write.mode("overwrite").parquet(os.path.join(snap_dir, "lineage"))
+        manifest = {
+            "run_id": run_id,
+            "committed_at_unix": int(time.time()),
+            "data": "data",
+            "lineage": "lineage",
+        }
+        tmp = os.path.join(snap_dir, f".{_MANIFEST}.tmp")
+        os.makedirs(snap_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, marker)  # the commit point
+        return manifest
+
+    # -- one-shot write side -----------------------------------------------
     def append(self, data: DataFrame, lineage: DataFrame, run_id: str) -> dict:
         """Write one run's data + lineage, then publish atomically.
 

@@ -1,0 +1,994 @@
+"""Driver-contract query catalog: every SURVEY.md §2 operator family as a
+named (Spark query, DuckDB oracle SQL) pair over the /root/testdata tables.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names/types line up with the oracle SQL (the driver sorts columns by
+name and value-hashes — see /root/repo/__spark_entry__.py docstring), so
+every aggregate/computed column is aliased identically on both sides.
+
+Oracle discipline: the SQL is a *genuine reimplementation* of the semantics
+in DuckDB (not a table of expected constants), and cross-engine value
+stability is engineered, not hoped for:
+
+- sums are computed on DECIMAL or quantized BIGINT (exact, order-independent)
+  — never on raw doubles, whose partial-aggregation order differs between
+  engines;
+- derived doubles come from a *single deterministic op sequence* on exact
+  inputs (e.g. ``round(cast(dec as double) / n, 4)``), identical per IEEE-754
+  in both engines;
+- similarity scores (cosine) are computed on quantized integer vectors so
+  dot products and norms are exact integers in both engines;
+- window ranks always carry a deterministic tie-break key.
+
+Queries whose operators have no SQL equivalent (xxhash64-based MinHash/
+SimHash LSH, the difflib fuzzy mapper, the Arrow extraction kernel) are
+registered without an oracle → the driver records a rows-only check
+(weaker, by design; the strong checks for those live in tests/).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ocr_platform_spark.functions import conversions as C
+from ocr_platform_spark.functions import textfns as TX
+from ocr_platform_spark.operators import ann, dedup
+from ocr_platform_spark.operators.select_mapping import map_select_single_vocab
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# Relational core (SURVEY §2.2-§2.7) over the TPC-H-ish tables
+# =========================================================================
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)        AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)  AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)      AS sum_disc_price,
+           COUNT(*)                                                      AS n_rows,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4)                                          AS avg_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (A1/A3 aggregates + P-filters). Decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(price).cast("double") / F.count("*"), 4).alias("avg_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*)                                   AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 10
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-style dim join + aggregate + deterministic global top-k (O2)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+@q(
+    "regional_balance",
+    """
+    SELECT r.r_name,
+           COUNT(*)                                 AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def regional_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two broadcast hash joins (J1/J7: tiny dims) + hash aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_balance"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@q(
+    "customers_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (J8 — the ensure-exists / resume primitive)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "customers_with_open_orders",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (J2/J9 existence check) with pushed-down predicate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "orders_topk_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+           CAST(rk AS INT) AS rank
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                                         o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def orders_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: per-group top-k with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey").orderBy(price.desc(), "o_orderkey")
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            price.cast("double").alias("totalprice"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@q(
+    "lineitem_row_index",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber) - 1 AS INT) AS row_index
+    FROM lineitem WHERE l_orderkey <= 800
+    """,
+)
+def lineitem_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: the reference's row_index enumeration per (doc, table-field)
+    (``ocr_backend/app/api/ocr_routes.py:625-631``) on relational data."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 800)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.row_number().over(w) - 1).cast("int").alias("row_index"),
+    )
+
+
+@q(
+    "order_status_pivot",
+    """
+    SELECT o_custkey,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 pivot (EAV→wide): explicit value list → single hash aggregate,
+    no pivot-values discovery pass."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_custkey")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_custkey",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_pending"),
+    )
+
+
+@q(
+    "part_attrs_unpivot",
+    """
+    SELECT p_partkey, 'brand' AS attr, p_brand AS value FROM part WHERE p_partkey <= 500
+    UNION ALL
+    SELECT p_partkey, 'type'  AS attr, p_type  AS value FROM part WHERE p_partkey <= 500
+    """,
+)
+def part_attrs_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 unpivot (wide→EAV) via stack — the reference's wide-dict→EAV-row
+    persistence shape (``ocr_routes.py:549-596``)."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.expr("stack(2, 'brand', p_brand, 'type', p_type) AS (attr, value)"),
+    )
+
+
+@q(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 DISTINCT."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+@q(
+    "priority_union",
+    """
+    SELECT o_orderkey, 'urgent' AS priority_class FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, 'high'   AS priority_class FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+)
+def priority_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 union of tagged partitions (the reference's text/table field
+    re-union, ``ocr_routes.py:521-524,717-727``)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("priority_class")
+    )
+    high = o.where(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_orderkey", F.lit("high").alias("priority_class")
+    )
+    return urgent.unionByName(high)
+
+
+@q(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micros
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (the batch face of the
+    streaming windowed agg in streaming/incremental.py). Quantized-exact sum."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
+                "total_value_micros"
+            ),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@q(
+    "event_type_spans",
+    """
+    SELECT event_type,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_type_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 min/max timestamp + distinct-count aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =========================================================================
+# Typed conversion layer (SURVEY §1.2, §2.8) — fixtures derived on the fly
+# from the relational tables; both engines run the same conversion logic.
+# =========================================================================
+
+_DATE_RENDER_SPARK = [
+    "yyyy-MM-dd",
+    "dd/MM/yyyy",
+    "dd-MMM-yyyy",
+    "MMMM d, yyyy",
+    "dd.MM.yyyy",
+]
+_DATE_RENDER_DUCK = ["%Y-%m-%d", "%d/%m/%Y", "%d-%b-%Y", "%B %-d, %Y", "%d.%m.%Y"]
+
+_DUCK_TRY_FORMATS = [
+    "%Y-%m-%d",
+    "%d/%m/%Y",
+    "%m/%d/%Y",
+    "%d-%m-%Y",
+    "%m-%d-%Y",
+    "%d-%b-%Y",
+    "%d-%B-%Y",
+    "%d.%m.%Y",
+    "%Y/%m/%d",
+    "%B %-d, %Y",
+    "%b %-d, %Y",
+    "%-d %B %Y",
+    "%-d %b %Y",
+    "%Y-%m-%d %H:%M:%S",
+    "%d/%m/%Y %H:%M",
+]
+_DUCK_PARSE = "COALESCE(" + ", ".join(
+    f"try_strptime(raw, '{f}')" for f in _DUCK_TRY_FORMATS
+) + ")"
+
+
+@q(
+    "convert_date_multiformat",
+    f"""
+    WITH fx AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 5
+               {' '.join(f"WHEN {i} THEN strftime(o_orderdate, '{f}')" for i, f in enumerate(_DATE_RENDER_DUCK))}
+             END AS raw
+      FROM orders WHERE o_orderkey <= 5000
+    )
+    SELECT o_orderkey, raw,
+           strftime({_DUCK_PARSE}, '%d/%m/%Y') AS converted
+    FROM fx
+    """,
+)
+def convert_date_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9: the 15-format date parser round-trip. Each order date is
+    rendered in one of 5 formats (keyed by orderkey), then re-parsed by the
+    full multi-format chain and re-rendered DD/MM/YYYY (the reference's
+    canonical date string, ``data_conversion.py:73,141``)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 5000)
+    raw = F.lit(None).cast("string")
+    branch = None
+    for i, fmt in enumerate(_DATE_RENDER_SPARK):
+        cond = F.pmod(F.col("o_orderkey"), F.lit(5)) == i
+        rendered = F.date_format("o_orderdate", fmt)
+        branch = F.when(cond, rendered) if branch is None else branch.when(cond, rendered)
+    raw = branch
+    fx = o.select("o_orderkey", raw.alias("raw"))
+    return fx.select(
+        "o_orderkey", "raw", C.convert_date("raw").getField("value").alias("converted")
+    )
+
+
+@q(
+    "convert_currency_cases",
+    r"""
+    WITH fx AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 3 = 0 THEN '$'
+                  WHEN o_orderkey % 3 = 1 THEN '₹'
+                  ELSE 'EUR ' END AS sym
+      FROM orders WHERE o_orderkey <= 5000
+    ), built AS (
+      SELECT o_orderkey,
+             sym || format('{:,}', cents // 100) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS raw
+      FROM fx
+    ), cleaned AS (
+      SELECT o_orderkey, raw,
+             replace(regexp_replace(trim(raw), '[^0-9,.\-]', '', 'g'), ',', '') AS c
+      FROM built
+    )
+    SELECT o_orderkey, raw,
+           CASE WHEN regexp_matches(c, '^-?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+                THEN regexp_replace(c, '^(-?)0+([0-9])', '\1\2')
+                ELSE NULL END AS converted,
+           CASE WHEN regexp_matches(c, '^-?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+                THEN NULL ELSE 'err' END AS has_error
+    FROM cleaned
+    """,
+)
+def convert_currency_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: currency symbol strip + de-comma + Decimal parse
+    (``data_conversion.py:209-232``). Strings built exactly (integer math)
+    in both engines: '$1,234.56' / '₹…' / 'EUR …'."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 5000)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    sym = (
+        F.when(F.pmod("o_orderkey", F.lit(3)) == 0, "$")
+        .when(F.pmod("o_orderkey", F.lit(3)) == 1, "₹")
+        .otherwise("EUR ")
+    )
+    raw = F.concat(
+        sym,
+        F.format_number((cents / 100).cast("long"), 0),
+        F.lit("."),
+        F.lpad((F.pmod(cents, F.lit(100))).cast("string"), 2, "0"),
+    )
+    fx = o.select("o_orderkey", raw.alias("raw"))
+    conv = C.convert_currency("raw")
+    return fx.select(
+        "o_orderkey",
+        "raw",
+        conv.getField("value").alias("converted"),
+        F.when(conv.getField("error").isNotNull(), "err").alias("has_error"),
+    )
+
+
+@q(
+    "convert_number_cases",
+    r"""
+    WITH fx AS (
+      SELECT l_orderkey * 10 + l_linenumber AS fx_id,
+             CASE WHEN l_orderkey % 4 = 0
+                  THEN format('{:,}', CAST(round(l_extendedprice) AS BIGINT))
+                  WHEN l_orderkey % 4 = 1
+                  THEN CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+                  WHEN l_orderkey % 4 = 2
+                  THEN CAST(round(l_extendedprice) AS BIGINT) || '.' ||
+                       lpad(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+                  ELSE 'not-a-number' END AS raw
+      FROM lineitem WHERE l_orderkey <= 2000
+    ), cleaned AS (
+      SELECT fx_id, raw, replace(trim(raw), ',', '') AS c FROM fx
+    )
+    SELECT fx_id, raw,
+           CASE WHEN regexp_matches(c, '[.eE]')
+                THEN CASE WHEN try_cast(c AS DOUBLE) IS NOT NULL
+                          THEN CAST(try_cast(c AS DOUBLE) AS VARCHAR) ELSE raw END
+                ELSE CASE WHEN regexp_matches(c, '^-?[0-9]+$')
+                          THEN CAST(try_cast(c AS BIGINT) AS VARCHAR) ELSE raw END
+           END AS converted,
+           CASE WHEN (CASE WHEN regexp_matches(c, '[.eE]')
+                           THEN try_cast(c AS DOUBLE) IS NULL
+                           ELSE NOT regexp_matches(c, '^-?[0-9]+$') END)
+                THEN 'err' END AS has_error
+    FROM cleaned
+    """,
+)
+def convert_number_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: NUMBER conversion (comma strip; int unless '.'/'e';
+    ``data_conversion.py:61-66``) incl. the error-as-data contract."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    whole = F.round(F.col("l_extendedprice"), 0).cast("long")
+    raw = (
+        F.when(F.pmod("l_orderkey", F.lit(4)) == 0, F.format_number(whole, 0))
+        .when(F.pmod("l_orderkey", F.lit(4)) == 1, cents.cast("string"))
+        .when(
+            F.pmod("l_orderkey", F.lit(4)) == 2,
+            F.concat(
+                whole.cast("string"),
+                F.lit("."),
+                F.lpad(F.pmod(cents, F.lit(100)).cast("string"), 2, "0"),
+            ),
+        )
+        .otherwise("not-a-number")
+    )
+    fx = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("fx_id"),
+        raw.alias("raw"),
+    )
+    conv = C.convert_number("raw")
+    return fx.select(
+        "fx_id",
+        "raw",
+        conv.getField("value").alias("converted"),
+        F.when(conv.getField("error").isNotNull(), "err").alias("has_error"),
+    )
+
+
+_BOOL_TOKENS = [
+    "true", "YES", " on ", "Enabled", "1", "active", "y", "ENABLE",
+    "false", "No", " off ", "Disabled", "0", "inactive", "n", "DISABLE",
+    "maybe", "2", "", "truthy",
+]
+_BOOL_SQL_ARRAY = "[" + ", ".join(f"'{t}'" for t in _BOOL_TOKENS) + "]"
+
+
+@q(
+    "convert_boolean_cases",
+    f"""
+    WITH fx AS (
+      SELECT event_id, ({_BOOL_SQL_ARRAY})[CAST(event_id % 20 AS INT) + 1] AS raw
+      FROM events
+    )
+    SELECT event_id, raw,
+      CASE WHEN raw IS NULL OR trim(raw) = '' THEN NULL
+           WHEN lower(trim(raw)) IN ('true','1','yes','y','on','enable','enabled','active') THEN 'true'
+           WHEN lower(trim(raw)) IN ('false','0','no','n','off','disable','disabled','inactive') THEN 'false'
+           ELSE raw END AS converted,
+      CASE WHEN raw IS NOT NULL AND trim(raw) <> ''
+            AND lower(trim(raw)) NOT IN
+              ('true','1','yes','y','on','enable','enabled','active',
+               'false','0','no','n','off','disable','disabled','inactive')
+           THEN 'err' END AS has_error
+    FROM fx
+    """,
+)
+def convert_boolean_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: the 8+8 boolean token sets (``data_conversion.py:235-258``);
+    failures keep the original value and carry an error."""
+    e = _t(spark, sf_dir, "events")
+    tokens = F.array(*[F.lit(t) for t in _BOOL_TOKENS])
+    fx = e.select(
+        "event_id",
+        F.element_at(tokens, (F.pmod("event_id", F.lit(20)) + 1).cast("int")).alias("raw"),
+    )
+    conv = C.convert_boolean("raw")
+    return fx.select(
+        "event_id",
+        "raw",
+        conv.getField("value").alias("converted"),
+        F.when(conv.getField("error").isNotNull(), "err").alias("has_error"),
+    )
+
+
+@q(
+    "convert_email_cases",
+    """
+    WITH fx AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN replace(c_name, '#', '-') || '.example.com'
+                  ELSE replace(c_name, '#', '.') || '@Example.COM' END AS raw
+      FROM customer
+    )
+    SELECT c_custkey, raw,
+           CASE WHEN contains(trim(raw), '@') AND contains(trim(raw), '.')
+                THEN lower(trim(raw)) ELSE raw END AS converted,
+           CASE WHEN NOT (contains(trim(raw), '@') AND contains(trim(raw), '.'))
+                THEN 'err' END AS has_error
+    FROM fx
+    """,
+)
+def convert_email_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: email shape check + lowercase (``data_conversion.py:76-80``);
+    every 7th synthesized address lacks '@' → error carried, original kept."""
+    c = _t(spark, sf_dir, "customer")
+    raw = F.when(
+        F.pmod("c_custkey", F.lit(7)) == 0,
+        F.concat(F.regexp_replace("c_name", "#", "-"), F.lit(".example.com")),
+    ).otherwise(F.concat(F.regexp_replace("c_name", "#", "."), F.lit("@Example.COM")))
+    fx = c.select("c_custkey", raw.alias("raw"))
+    conv = C.convert_email("raw")
+    return fx.select(
+        "c_custkey",
+        "raw",
+        conv.getField("value").alias("converted"),
+        F.when(conv.getField("error").isNotNull(), "err").alias("has_error"),
+    )
+
+
+# =========================================================================
+# Text analysis / curation (documents table: doc_id, text, lang, source,
+# n_chars)
+# =========================================================================
+
+_STOP_RE = {lang: TX.stopword_regex(words) for lang, words in TX.LANG_PROFILES}
+
+
+@q(
+    "doc_token_stats",
+    r"""
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           length(text) - length(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS n_punct
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation counting (JVM-side regex only)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.punct_count("text").alias("n_punct"),
+    )
+
+
+@q(
+    "doc_lang_id",
+    f"""
+    WITH scores AS (
+      SELECT doc_id,
+        {', '.join(f"len(regexp_extract_all(lower(text), '{_STOP_RE[lang]}')) AS s_{lang}" for lang, _ in TX.LANG_PROFILES)}
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_hi) = 0 THEN 'und'
+           {' '.join(f"WHEN s_{lang} = greatest(s_en, s_de, s_es, s_fr, s_hi) THEN '{lang}'" for lang, _ in TX.LANG_PROFILES)}
+      END AS pred_lang
+    FROM scores
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via stopword-profile argmax (ties → first profile)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id("text").alias("pred_lang"))
+
+
+@q(
+    "doc_quality",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+        CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS toks,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|that|with)\b')) AS DOUBLE) AS stops,
+        CAST(length(text) - length(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE) AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+      round(
+        least(toks / 100.0, 1.0) * 0.4
+        + least((CASE WHEN toks > 0 THEN stops / toks ELSE 0.0 END) * 5.0, 1.0) * 0.3
+        + (1.0 - least((CASE WHEN toks > 0 THEN punct / toks ELSE 1.0 END) * 2.0, 1.0)) * 0.3,
+        4) AS quality
+    FROM c
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + stopword density − punctuation noise."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@q(
+    "doc_exact_dups",
+    r"""
+    WITH fp AS (
+      SELECT doc_id AS id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT fp, MIN(id) AS keep_id, COUNT(*) AS n_dups
+    FROM fp GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on the normalized-text md5 fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d, "doc_id", "text")
+
+
+@q(
+    "doc_dedup_survivors",
+    r"""
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the min-id representative per fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup.drop_exact_duplicates(d, "doc_id", "text").select("doc_id").orderBy("doc_id")
+    )
+
+
+@q(
+    "jaccard_adjacent_docs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id, list_distinct(sh0) AS sh FROM (
+        SELECT doc_id,
+          list_transform(
+            generate_series(1, greatest(len(words) - 2, 1)),
+            i -> array_to_string(words[i:i+2], ' ')) AS sh0
+        FROM (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+          FROM documents
+        )
+      )
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.id = a.id + 1
+    """,
+)
+def jaccard_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on consecutive-id pairs — oracle-checkable slice
+    of the shingle+Jaccard machinery the MinHash pipeline verifies with."""
+    d = _t(spark, sf_dir, "documents")
+    sets_df = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(TX.word_shingles("text", 3)).alias("sh"),
+    )
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        a.join(b, F.col("b.id") == F.col("a.id") + 1)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+@q(
+    "corpus_rollup",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation rollup per (lang, source) — exact integer sums."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang", "source")
+    )
+
+
+# --- no-oracle text ops (engine-specific hashes) --------------------------
+
+
+@q("minhash_near_dups")
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (xxhash64 has no DuckDB equivalent →
+    rows-only driver check; value-level goldens live in tests/test_dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(d, "doc_id", "text", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@q("simhash_near_dups")
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (rows-only; goldens in tests)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(d, "doc_id", "text", max_hamming=10).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# =========================================================================
+# Similarity search (embeddings table: vec_id, embedding FLOAT[], label)
+# =========================================================================
+
+
+@q(
+    "ann_topk_quantized",
+    """
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+             list_sum(list_transform(list_zip(q.v, i.v), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(q.v, x -> x * x)) AS nq,
+             list_sum(list_transform(i.v, x -> x * x)) AS ni
+      FROM qz q, qz i
+      WHERE q.vec_id < 8 AND i.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT query_id, item_id,
+             CASE WHEN nq > 0 AND ni > 0
+                  THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ni AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM pairs
+    )
+    SELECT query_id, item_id, cosine, CAST(rk AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k on quantized (×1000, rounded) vectors —
+    integer dot products/norms are exact in both engines, so ranks and
+    scores agree bit-for-bit. The float (non-quantized) variant and the
+    LSH-bucketed scale path are exercised in tests/test_ann.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.quantized_topk(
+        emb, emb.where(F.col("vec_id") < 8), id_col="vec_id", vec_col="embedding", k=10
+    )
+
+
+@q("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (numpy kernel → no SQL oracle; recall
+    against brute force is asserted in tests/test_ann.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.lsh_topk(
+        emb, emb.where(F.col("vec_id") < 8), id_col="vec_id", vec_col="embedding", k=10
+    ).orderBy("query_id", "rank")
+
+
+@q("embedding_near_dups")
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets (rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+# =========================================================================
+# Fuzzy SELECT mapping (J6) — vocabulary from the supplier dimension
+# =========================================================================
+
+
+@q("fuzzy_supplier_mapping")
+def fuzzy_supplier_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The similarity join: customer-entered supplier strings (deterministic
+    typo synthesis from s_name) mapped onto the supplier vocabulary
+    (difflib scorer → no SQL oracle; corpus goldens in
+    tests/test_select_mapping.py)."""
+    s = _t(spark, sf_dir, "supplier")
+    vocab = [(r["s_name"], r["s_name"]) for r in s.select("s_name").collect()]
+    noisy = s.select(
+        "s_suppkey",
+        F.when(
+            F.pmod("s_suppkey", F.lit(3)) == 0, F.upper(F.col("s_name"))
+        )
+        .when(
+            F.pmod("s_suppkey", F.lit(3)) == 1,
+            F.concat(F.lit("  "), F.col("s_name"), F.lit(" inc. ")),
+        )
+        .otherwise(F.substring(F.col("s_name"), 1, 12))
+        .alias("raw_name"),
+    )
+    return map_select_single_vocab(noisy, "raw_name", vocab, "mapped_name").orderBy(
+        "s_suppkey"
+    )
+
+
+# =========================================================================
+# Extraction world (synthetic Common-Crawl-style corpus; independent of
+# sf_dir — the BASELINE.json input shape). Rows-only driver checks; the
+# byte-identity goldens live in tests/test_extraction.py.
+# =========================================================================
+
+
+def _synth_docs(spark: SparkSession, n: int = 400) -> DataFrame:
+    from ocr_platform_spark.operators.corpus_spark import documents_df
+
+    return documents_df(spark, n)
+
+
+@q("extract_corpus_stats")
+def extract_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship kernel rollup: synth corpus → mapInArrow extraction →
+    per-payload-kind stats (SURVEY §7.1)."""
+    from ocr_platform_spark.operators.extract import extract_documents, extraction_stats
+
+    return extraction_stats(extract_documents(_synth_docs(spark)))
+
+
+@q("extract_per_host")
+def extract_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware per-host rollup (hot-host salting, two-phase agg)."""
+    from ocr_platform_spark.operators.partitioning import detect_hot_hosts, per_host_stats
+
+    docs = _synth_docs(spark)
+    hot = detect_hot_hosts(docs, threshold_fraction=0.05)
+    return per_host_stats(docs, hot)
+
+
+@q("extract_eav_view")
+def extract_eav_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide nested extraction → EAV view (V1 unpivot) → field tally."""
+    from ocr_platform_spark.operators.eav import unpivot_extracted
+    from ocr_platform_spark.operators.extract import extract_documents
+
+    eav = unpivot_extracted(extract_documents(_synth_docs(spark)))
+    return (
+        eav.groupBy("field_name")
+        .agg(F.count("*").alias("n_values"))
+        .orderBy("field_name")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle}

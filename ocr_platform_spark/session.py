@@ -75,6 +75,7 @@ def get_spark(
         # UTC everywhere: required for DuckDB-oracle timestamp agreement.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         # ~100MB parquet split targets keep scan tasks uniform at scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_platform_spark.operators.extract import (
     extract_documents,
-    extracted_clean,
     lineage_from_extracted,
 )
 from ocr_platform_spark.operators.resume import SnapshotTable
@@ -41,15 +40,16 @@ def stream_extraction(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        run_id = f"stream-{epoch_id:08d}"
+        if table.is_committed(run_id):
+            return  # replayed epoch — already visible, nothing to do
         extracted = extract_documents(batch_df)
-        extracted.persist()
-        try:
-            if extracted.take(1):
-                run_id = f"stream-{epoch_id:08d}"
-                lineage = lineage_from_extracted(extracted, run_id)
-                table.append(extracted_clean(extracted), lineage, run_id)
-        finally:
-            extracted.unpersist()
+        table.stage_data(extracted, run_id)
+        written = table.read_staged(spark, run_id)
+        if written.take(1):
+            table.commit(lineage_from_extracted(written, run_id), run_id)
+        else:
+            table.discard_staged(run_id)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

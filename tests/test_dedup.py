@@ -91,3 +91,26 @@ def test_bucket_cap_bounds_quadratic_corner(spark):
     df = spark.createDataFrame(rows, "id long, text string")
     pairs = dedup.minhash_candidate_pairs(df, "id", "text", max_bucket=10)
     assert pairs.count() <= 10 * 9 / 2
+
+
+def test_simhash_udf_matches_expression(spark):
+    """The numpy SimHash kernel is bit-identical to the pure-expression
+    formulation (determinism discipline: one semantics, two executions)."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.dedup import _simhash_df, simhash64
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumped over the lazy dog",
+            "completely different content about spark engines",
+            "",
+            "single",
+        ])],
+        "id long, text string",
+    )
+    expr = {r["id"]: r["sh"] for r in
+            df.select("id", simhash64("text").alias("sh")).collect()}
+    udf = {r["id"]: r["sh"] for r in _simhash_df(df, "id", "text").collect()}
+    assert expr == udf
