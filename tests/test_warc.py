@@ -1,0 +1,69 @@
+"""WARC segment source: round-trip fidelity, gzip members, truncation
+tolerance, and end-to-end into the extraction kernel."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from ocr_platform_spark import corpus
+from ocr_platform_spark.operators.extract import extract_documents
+from ocr_platform_spark.sources.warc import (
+    build_warc_segment,
+    read_warc,
+    split_warc_records,
+    write_warc_segments,
+)
+
+
+def _docs(n):
+    return [corpus.gen_doc(i) for i in range(n)]
+
+
+def test_split_round_trip_plain_and_gzip():
+    docs = _docs(10)
+    rows = [(d["url"], d["warc_ts"], d["html"]) for d in docs]
+    for compress in (False, True):
+        seg = build_warc_segment(rows, compress=compress)
+        back = list(split_warc_records(seg))
+        assert [(u, p) for u, _t, p in back] == [(d["url"], d["html"]) for d in docs]
+        assert all(t == d["warc_ts"].replace(microsecond=0) for (_u, t, _p), d in zip(back, docs))
+
+
+def test_truncated_segment_yields_prefix():
+    docs = _docs(5)
+    seg = build_warc_segment(
+        [(d["url"], d["warc_ts"], d["html"]) for d in docs], compress=False
+    )
+    cut = seg[: len(seg) - len(docs[-1]["html"]) // 2 - 40]
+    back = list(split_warc_records(cut))
+    assert 0 < len(back) < 5
+
+
+def test_read_warc_spark_round_trip(spark, tmp_path):
+    docs = _docs(60)
+    write_warc_segments(docs, str(tmp_path / "warc"), docs_per_segment=25)
+    df = read_warc(spark, str(tmp_path / "warc"))
+    got = {r["url"]: bytes(r["html"]) for r in df.collect()}
+    assert got == {d["url"]: d["html"] for d in docs}
+    # timestamps survive (second precision)
+    ts = {r["url"]: r["warc_ts"] for r in df.collect()}
+    assert ts[docs[0]["url"]] == docs[0]["warc_ts"].replace(microsecond=0)
+
+
+def test_warc_to_extraction_end_to_end(spark, tmp_path):
+    docs = _docs(40)
+    write_warc_segments(docs, str(tmp_path / "warc2"), docs_per_segment=20)
+    loaded = read_warc(spark, str(tmp_path / "warc2"))
+    ext = extract_documents(loaded)
+    joined = ext.join(
+        spark.createDataFrame(
+            [(d["url"], d["expected_text"]) for d in docs], "url string, expected string"
+        ),
+        "url",
+    )
+    assert joined.count() == 40
+    assert joined.where(
+        F.coalesce("text", F.lit("")) != F.coalesce("expected", F.lit(""))
+    ).count() == 0
