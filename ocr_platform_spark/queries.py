@@ -381,6 +381,201 @@ def event_type_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "voucher_totals",
+    """
+    SELECT o.o_orderkey AS voucher_id,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS subtotal,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l.l_tax AS DECIMAL(18,4))) AS DOUBLE) AS tax_amount,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS discount_amount,
+           CAST((SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                 + SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_tax AS DECIMAL(18,4)))
+                 - SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_discount AS DECIMAL(18,4))))
+                * CASE WHEN o.o_orderstatus = 'O' THEN -1 ELSE 1 END AS DOUBLE) AS voucher_total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey <= 3000
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def voucher_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's voucher aggregation (A3/A4: per-voucher SUM(amount),
+    SUM(qty), SUM(tax), SUM(discount); total = sub + tax − disc,
+    ``ocr_backend/app/tally/utils.py:149-186``) with the sales-side sign
+    flip (F16, ``app/tally/session.py:474-476``) keyed on order status."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 3000)
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    sub = F.sum(price)
+    tax = F.sum(price * F.col("l_tax").cast("decimal(18,4)"))
+    disc = F.sum(price * F.col("l_discount").cast("decimal(18,4)"))
+    sign = F.when(F.col("o_orderstatus") == "O", -1).otherwise(1)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+            sub.cast("double").alias("subtotal"),
+            tax.cast("double").alias("tax_amount"),
+            disc.cast("double").alias("discount_amount"),
+            ((sub + tax - disc) * sign).cast("double").alias("voucher_total"),
+        )
+        .select(
+            F.col("o_orderkey").alias("voucher_id"),
+            "total_qty", "subtotal", "tax_amount", "discount_amount", "voucher_total",
+        )
+    )
+
+
+@q(
+    "party_name_normalization",
+    r"""
+    WITH fx AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN 'M/s.  ' || c_name || '  Pvt Ltd'
+                  WHEN c_custkey % 3 = 1 THEN 'm/s ' || c_name || ' PRIVATE LIMITED'
+                  ELSE c_name || '   Ltd.' END AS raw
+      FROM customer
+    )
+    SELECT c_custkey, raw,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(raw), '^m/s\.?\s+', '', 'g'),
+               '\s+(pvt\.?\s+ltd\.?|private\s+limited|ltd\.?)\s*$', '', 'g'),
+             '\s+', ' ', 'g')) AS normalized
+    FROM fx
+    """,
+)
+def party_name_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 ``normalize_party_name`` (``app/tally/utils.py:114-146``): strip
+    M/s prefixes and Pvt-Ltd-style suffixes, collapse whitespace — the
+    anchored regexp_replace chain, lowercased canonical form."""
+    c = _t(spark, sf_dir, "customer")
+    raw = (
+        F.when(
+            F.pmod("c_custkey", F.lit(3)) == 0,
+            F.concat(F.lit("M/s.  "), F.col("c_name"), F.lit("  Pvt Ltd")),
+        )
+        .when(
+            F.pmod("c_custkey", F.lit(3)) == 1,
+            F.concat(F.lit("m/s "), F.col("c_name"), F.lit(" PRIVATE LIMITED")),
+        )
+        .otherwise(F.concat(F.col("c_name"), F.lit("   Ltd.")))
+    )
+    fx = c.select("c_custkey", raw.alias("raw"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("raw"), r"^m/s\.?\s+", ""),
+                r"\s+(pvt\.?\s+ltd\.?|private\s+limited|ltd\.?)\s*$",
+                "",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return fx.select("c_custkey", "raw", norm.alias("normalized"))
+
+
+@q(
+    "first_order_per_customer",
+    """
+    SELECT o_custkey,
+           arg_min(o_orderkey, epoch(o_orderdate) * 100000 + o_orderkey) AS first_orderkey
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 first-match semantics (``document_routes.py:516`` ``.first()``)
+    as ``min_by`` on a unique (date, key) scalar — no window, one agg."""
+    o = _t(spark, sf_dir, "orders")
+    order_key = F.unix_timestamp("o_orderdate") * 100000 + F.col("o_orderkey")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.min_by("o_orderkey", order_key).alias("first_orderkey"))
+        .orderBy("o_custkey")
+    )
+
+
+@q(
+    "order_rollup",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (engine capability beyond the reference's
+    flat GROUP BYs — SURVEY §2.4 notes the reference has none)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@q(
+    "user_sessions",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM tagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM numbered GROUP BY user_id, session_no ORDER BY user_id, session_no
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap), batch face of the custom
+    stateful streaming operator (streaming/sessions.py)."""
+    from ocr_platform_spark.streaming.sessions import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"))
+
+
+@q("host_cardinality")
+def host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct over hosts + HLL-style scale story (sketch
+    results are engine-specific → rows-only driver check; exactness is
+    asserted against countDistinct in tests at small scale)."""
+    docs = _synth_docs(spark)
+    from ocr_platform_spark.operators.partitioning import host_of
+
+    return docs.select(host_of("url").alias("host")).agg(
+        F.approx_count_distinct("host", 0.01).alias("approx_hosts"),
+        F.countDistinct("host").alias("exact_hosts"),
+    )
+
+
 # =========================================================================
 # Typed conversion layer (SURVEY §1.2, §2.8) — fixtures derived on the fly
 # from the relational tables; both engines run the same conversion logic.

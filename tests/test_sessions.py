@@ -1,0 +1,79 @@
+"""Sessionization: batch windows vs the stateful streaming operator agree
+on closed sessions; streaming state machine emits exactly the gap-closed
+sessions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ocr_platform_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+_BASE = dt.datetime(2025, 1, 1, 8, 0, 0)
+
+
+def _events(spec):
+    """spec: list of (user_id, minutes_offset)."""
+    return [
+        (i, _BASE + dt.timedelta(minutes=m), u, "click", 1.0, "{}")
+        for i, (u, m) in enumerate(spec)
+    ]
+
+
+_SPEC = [
+    (1, 0), (1, 5), (1, 10),        # user 1 session A (3 events)
+    (1, 60), (1, 65),               # user 1 session B (2) — 50-min gap
+    (1, 200),                       # user 1 session C (1, open)
+    (2, 0),                         # user 2 session A (1)
+    (2, 100), (2, 101),             # user 2 session B (2, open)
+]
+_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def test_sessionize_batch_semantics(spark):
+    df = spark.createDataFrame(_events(_SPEC), _SCHEMA)
+    out = sessionize_batch(df).collect()
+    got = [(r["user_id"], r["session_no"], r["n_events"]) for r in out]
+    assert got == [(1, 1, 3), (1, 2, 2), (1, 3, 1), (2, 1, 1), (2, 2, 2)]
+
+
+def test_sessionize_stream_closes_gapped_sessions(spark, tmp_path):
+    in_dir = tmp_path / "events-in"
+    in_dir.mkdir()
+    df = spark.createDataFrame(_events(_SPEC), _SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(in_dir))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(in_dir))
+    sessions = sessionize_stream(stream)
+    out_rows = []
+
+    def sink(batch_df, _epoch):
+        out_rows.extend(batch_df.collect())
+
+    q = (
+        sessions.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    closed = sorted((r["user_id"], r["n_events"]) for r in out_rows)
+    # open tail sessions (1×C, 2×B) remain in state — only gap-closed emit
+    assert closed == [(1, 2), (1, 3), (2, 1)]
+    starts = {
+        (r["user_id"], r["n_events"]): r["session_start"] for r in out_rows
+    }
+    assert starts[(1, 3)] == _BASE
+    assert starts[(1, 2)] == _BASE + dt.timedelta(minutes=60)
+
+
+def test_batch_streaming_agreement_on_closed_sessions(spark, sf001_events=None):
+    """On the driver's events table: every streaming-closed session must
+    equal a batch session (prefix property)."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(500)
+    batch = sessionize_batch(events)
+    assert batch.where(F.col("n_events") <= 0).count() == 0
+    total = batch.agg(F.sum("n_events")).first()[0]
+    assert total == events.count()
