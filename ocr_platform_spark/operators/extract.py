@@ -43,39 +43,58 @@ _EXTRACTED_DDL = (
 def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
+    span_type = EXTRACTED_ARROW.field("spans").type
+    struct_fields = list(span_type.value_type)
     elapsed_ns = 0
     for batch in batches:
         t0 = time.monotonic_ns()
-        urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
-        n = len(urls)
+        n = len(payloads)
         kinds: list[str] = []
         texts: list[str] = []
-        spans_col: list[list[dict]] = []
         errors: list[str | None] = []
         nbytes: list[int] = []
+        # flat span columns + list offsets: no per-span dict objects
+        sp_field: list[str] = []
+        sp_start: list[int] = []
+        sp_end: list[int] = []
+        sp_value: list[str] = []
+        offsets: list[int] = [0]
         for data in payloads:
             kind, text, spans, err = extract_payload(data)
             kinds.append(kind)
             texts.append(text)
-            spans_col.append(
-                [{"field": f, "start": s, "end": e, "value": v} for f, s, e, v in spans]
-            )
             errors.append(err)
             nbytes.append(len(data) if data else 0)
+            for f, s, e, v in spans:
+                sp_field.append(f)
+                sp_start.append(s)
+                sp_end.append(e)
+                sp_value.append(v)
+            offsets.append(len(sp_field))
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(sp_field, pa.string()),
+                pa.array(sp_start, pa.int32()),
+                pa.array(sp_end, pa.int32()),
+                pa.array(sp_value, pa.string()),
+            ],
+            fields=struct_fields,
+        )
+        spans_arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
         elapsed_ns += time.monotonic_ns() - t0
         cum_ms = elapsed_ns // 1_000_000
-        yield pa.RecordBatch.from_pydict(
-            {
-                "url": urls,
-                "payload_kind": kinds,
-                "text": texts,
-                "spans": spans_col,
-                "error": errors,
-                "partition_id": [pid] * n,
-                "input_bytes": nbytes,
-                "cum_elapsed_ms": [cum_ms] * n,
-            },
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("url"),
+                pa.array(kinds, pa.string()),
+                pa.array(texts, pa.string()),
+                spans_arr,
+                pa.array(errors, pa.string()),
+                pa.array([pid] * n, pa.int32()),
+                pa.array(nbytes, pa.int64()),
+                pa.array([cum_ms] * n, pa.int64()),
+            ],
             schema=EXTRACTED_ARROW,
         )
 

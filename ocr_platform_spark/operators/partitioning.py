@@ -40,16 +40,40 @@ def host_of(url_col: str | F.Column = "url") -> F.Column:
 def repartition_for_extraction(
     docs: DataFrame,
     num_partitions: int | None = None,
+) -> DataFrame:
+    """Bucketed url-hash repartition before the Arrow kernel (north rule).
+
+    One shuffle; bucket id = ``pmod(xxhash64(url), n)``;
+    ``repartitionByRange`` on the integer bucket maps buckets ≈ 1:1 onto
+    partitions (its sampler sees one distinct value per range). The range
+    sampler's pre-pass reads ONLY the ``url`` column (Catalyst prunes the
+    sampling plan to the partition expression), so its cost is ~zero even
+    on payload-heavy tables — use ``repartition_size_tiered`` instead when
+    the payload-size distribution is long-tailed (its sampler must read
+    payload lengths)."""
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 4
+    bucket = F.pmod(F.abs(F.xxhash64("url")), F.lit(num_partitions))
+    return (
+        docs.withColumn("_bucket", bucket)
+        .repartitionByRange(num_partitions, "_bucket")
+        .drop("_bucket")
+    )
+
+
+def repartition_size_tiered(
+    docs: DataFrame,
+    num_partitions: int | None = None,
     big_payload_bytes: int = DEFAULT_BIG_PAYLOAD_BYTES,
     big_tier_fraction: float = 0.25,
 ) -> DataFrame:
-    """Size-tiered bucketed url-hash repartition before the Arrow kernel.
-
-    One shuffle. Bucket id = ``pmod(xxhash64(url), n_small)`` for normal
-    payloads, ``n_small + pmod(xxhash64(url), n_big)`` for oversized ones;
-    ``repartitionByRange`` on the integer bucket maps buckets ≈ 1:1 onto
-    partitions (its sampler sees one distinct value per range).
-    """
+    """Size-tiered variant: oversized payloads (>``big_payload_bytes``) go
+    to their own smaller buckets so a partition never mixes thousands of
+    small pages with a handful of multi-MB ones (uniform task byte budgets
+    under long-tailed size distributions — e.g. 16 MB PDF uploads next to
+    3 KB pages, cf. reference MAX_CONTENT_LENGTH ocr_backend/app/config.py:23).
+    Costs one extra pass over payload lengths in the range sampler."""
     spark = docs.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 4

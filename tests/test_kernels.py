@@ -126,3 +126,37 @@ def test_dispatch_never_raises():
     for payload in [None, b"", b"%PDF-", b"<p>x</p>", b"\xff" * 64]:
         kind, text, spans, err = extract_payload(payload)
         assert isinstance(text, str)
+
+
+def test_fast_tokenizer_matches_stdlib():
+    """Differential: the regex tokenizer and the stdlib HTMLParser tokenizer
+    produce byte-identical (text, spans, error) over the whole synthetic
+    corpus (incl. malformed tags, non-UTF8 bytes, huge elements) plus
+    hand-picked tricky markup."""
+    from ocr_platform_spark import corpus
+    from ocr_platform_spark.kernels.html_extract import extract_html
+
+    payloads = [corpus.gen_doc(i)["html"] for i in range(1500)]
+    payloads += [
+        b"<html><body><p>a &amp; b &lt;tag&gt; &#65; end of entity test block</p></body></html>",
+        b"<p>unclosed paragraph with enough characters to be kept here",
+        b"<div><p>nested <b>bold</b> and <a href='/x'>link</a> words making length</p></div>",
+        b"<script>var a = '<p>not content</p>';</script><p>real content after script block</p>",
+        b"<style>p{color:red}</style><p>styled content paragraph long enough to keep</p>",
+        b"<!-- comment --><p>after comment content that is long enough to keep around</p>",
+        b"<p>self-closing<br/>break here with plenty of additional text to retain</p>",
+        b"<P>UPPERCASE TAGS WITH ENOUGH TEXT TO SURVIVE THE LENGTH FILTER HERE</P>",
+        b"<p>a < b and c > d, bare angle brackets inside a long enough paragraph</p>",
+        b"",
+    ]
+    for data in payloads:
+        fast = extract_html(data, fast=True)
+        slow = extract_html(data, fast=False)
+        assert fast == slow, (data[:120], fast, slow)
+
+    # Documented divergence: an unterminated comment swallows to EOF in the
+    # fast tokenizer (HTML5 eof-in-comment), while stdlib HTMLParser flushes
+    # the incomplete markup as text at close(). The HTML5 behavior is the
+    # engine's contract.
+    text, spans, err = extract_html(b"<!-- unterminated comment <p>swallowed</p>")
+    assert text == "" and err is None
