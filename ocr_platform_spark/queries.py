@@ -1167,6 +1167,37 @@ def extract_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_host_stats(docs, hot)
 
 
+@q("process_template_fields")
+def process_template_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship flow end-to-end: extract → template join →
+    convert_by_type → SELECT mapping → per-field result tallies (rows-only;
+    full metadata contract pinned in tests/test_process_documents.py)."""
+    from ocr_platform_spark.operators.extract import extract_documents
+    from ocr_platform_spark.plans.process_documents import (
+        TEMPLATE_FIELDS_DDL,
+        process_extracted,
+    )
+
+    template = spark.createDataFrame(
+        [
+            ("PAGE_TITLE", "h1", 0, "text", 1),
+            ("FIRST_PARAGRAPH", "p", 0, "text", 2),
+            ("TITLE_AS_NUMBER", "h1", 0, "number", 3),
+            ("BULLET_POINTS", "li", 0, "table", 4),
+        ],
+        TEMPLATE_FIELDS_DDL,
+    )
+    rows = process_extracted(extract_documents(_synth_docs(spark)), template)
+    return (
+        rows.groupBy("field_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("conversion_error").alias("n_errors"),
+        )
+        .orderBy("field_name")
+    )
+
+
 @q("extract_eav_view")
 def extract_eav_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide nested extraction → EAV view (V1 unpivot) → field tally."""
