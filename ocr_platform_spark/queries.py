@@ -984,7 +984,9 @@ def jaccard_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard on consecutive-id pairs — oracle-checkable slice
     of the shingle+Jaccard machinery the MinHash pipeline verifies with."""
     d = _t(spark, sf_dir, "documents")
-    sets_df = d.select(
+    from ocr_platform_spark.operators.dedup import _spread
+
+    sets_df = _spread(d, "doc_id").select(
         F.col("doc_id").alias("id"),
         F.array_distinct(TX.word_shingles("text", 3)).alias("sh"),
     )

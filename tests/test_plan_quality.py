@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the optimizations the engine depends on
+at 100 TB must be visible in the plans at any scale — predicate pushdown to
+the parquet scan, column pruning, broadcast joins for dimensions,
+MapInArrow (not per-row Python) for the kernels.
+
+If one of these breaks, small-scale results stay correct while large-scale
+cost explodes — exactly the regression class normal result-tests miss.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_platform_spark.queries import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _formatted(CATALOG["pricing_summary"].fn(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_on_scan(spark):
+    plan = _formatted(CATALOG["pricing_summary"].fn(spark, SF))
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # 6 of 11 lineitem columns read; key heavy columns absent
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_shipdate" in read
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _formatted(CATALOG["regional_balance"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_and_semi_joins(spark):
+    assert "LeftAnti" in _formatted(CATALOG["customers_without_orders"].fn(spark, SF))
+    assert "LeftSemi" in _formatted(CATALOG["customers_with_open_orders"].fn(spark, SF))
+
+
+def test_extraction_uses_map_in_arrow_and_prunes_input(spark):
+    from ocr_platform_spark.operators.extract import extract_documents
+
+    docs = spark.read.parquet(f"{SF}/lineitem.parquet").selectExpr(
+        "cast(l_orderkey as string) as url",
+        "cast(null as timestamp) as warc_ts",
+        "cast(l_returnflag as binary) as html",
+        "cast(null as string) as text",
+        "cast(null as string) as lang",
+    )
+    plan = _formatted(extract_documents(docs))
+    assert "MapInArrow" in plan
+    # no row-at-a-time python eval anywhere in the kernel path
+    assert "BatchEvalPython" not in plan
+
+
+def test_no_cartesian_in_catalog_relational_queries(spark):
+    for name in (
+        "top_customers", "voucher_totals", "orders_topk_per_customer",
+        "customers_without_orders", "order_status_pivot",
+    ):
+        plan = _formatted(CATALOG[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_select_mapping_is_arrow_batched(spark):
+    from ocr_platform_spark.operators.select_mapping import map_select_single_vocab
+
+    df = spark.createDataFrame([("x",)], "v string")
+    plan = _formatted(map_select_single_vocab(df, "v", [("A", "A")]))
+    assert "ArrowEvalPython" in plan  # vectorized pandas UDF, not BatchEvalPython
+    assert "BatchEvalPython" not in plan
+
+
+def test_whole_stage_codegen_covers_conversions(spark):
+    plan = _formatted(CATALOG["convert_currency_cases"].fn(spark, SF))
+    # '*'-prefixed nodes are inside WholeStageCodegen spans (formatted mode)
+    assert "* Project" in plan and "* Filter" in plan
+    assert "EvalPython" not in plan  # conversions are pure column expressions
