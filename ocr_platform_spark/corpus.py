@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import datetime as dt
 import random
+import zlib
 from collections.abc import Iterator
 
 DEFAULT_SEED = 42
@@ -168,13 +169,21 @@ def _build_pdf(rng: random.Random, lang: str) -> tuple[bytes, str]:
         ops.append(f"({ln}) Tj")
     ops.append("ET")
     stream = " ".join(ops).encode("ascii")
+    # ~half the PDFs use FlateDecode (zlib) streams — the dominant real-world
+    # filter, honestly decoded by the kernel; the rest stay uncompressed.
+    if rng.random() < 0.5:
+        body = zlib.compress(stream)
+        filt = b" /Filter /FlateDecode"
+    else:
+        body = stream
+        filt = b""
     pdf = (
         b"%PDF-1.4\n"
         b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
         b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
         b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
-        b"4 0 obj << /Length " + str(len(stream)).encode("ascii") + b" >> stream\n"
-        + stream
+        b"4 0 obj << /Length " + str(len(body)).encode("ascii") + filt + b" >> stream\n"
+        + body
         + b"\nendstream endobj\n"
         b"trailer << /Root 1 0 R >>\n%%EOF\n"
     )
@@ -185,7 +194,7 @@ def _build_edge(
     rng: random.Random, lang: str
 ) -> tuple[bytes, str, str, str | None]:
     """Edge-case payloads; returns (bytes, expected_kind, expected_text, expected_error)."""
-    which = rng.randrange(5)
+    which = rng.randrange(6)
     if which == 0:  # empty body
         return (
             b"<html><head><title>t</title></head><body></body></html>",
@@ -211,9 +220,15 @@ def _build_edge(
         big = _words(rng, 4000, lang)
         html = f"<html><body><article><p>{big}</p></article></body></html>"
         return html.encode("utf-8"), "html", big, None
-    # which == 4: PDF with a /Filter → unsupported, error-as-data
+    if which == 4:  # PDF with corrupt FlateDecode data → error-as-data
+        pdf = (
+            b"%PDF-1.4\n1 0 obj << /Length 8 /Filter /FlateDecode >> stream\n"
+            b"xxxxxxxx\nendstream endobj\ntrailer << >>\n%%EOF\n"
+        )
+        return pdf, "pdf", "", "pdf-flate-error"
+    # which == 5: PDF with a filter the kernel honestly can't decode
     pdf = (
-        b"%PDF-1.4\n1 0 obj << /Length 8 /Filter /FlateDecode >> stream\n"
+        b"%PDF-1.4\n1 0 obj << /Length 8 /Filter /LZWDecode >> stream\n"
         b"xxxxxxxx\nendstream endobj\ntrailer << >>\n%%EOF\n"
     )
     return pdf, "pdf", "", "pdf-unsupported-filter"

@@ -1,12 +1,13 @@
-"""Deterministic text extraction for simple (uncompressed) PDF payloads.
+"""Deterministic text extraction for simple PDF payloads.
 
 pdfminer-style layout analysis is out of reach in this environment (pdfminer
 is not installed), so this is a minimal, honest content-stream text parser:
-it handles uncompressed content streams and the text-showing operators
+it handles uncompressed and **FlateDecode** (zlib — the dominant filter in
+real PDFs, stdlib-decodable) content streams and the text-showing operators
 ``Tj`` / ``'`` / ``TJ``, emitting one output line per text-positioning move.
-Compressed (``/Filter``-ed) streams are reported as an error-as-data row,
-never an exception — matching the reference's carry-the-error semantics
-(``ocr_backend/app/utils/data_conversion.py:261-302``).
+Other filters (DCT, LZW, ASCII85, …) and corrupt deflate data are reported
+as an error-as-data row, never an exception — matching the reference's
+carry-the-error semantics (``ocr_backend/app/utils/data_conversion.py:261-302``).
 
 Maps the reference's per-payload-category branching
 (``ocr_backend/app/utils/gemini_ocr.py:50-91``: MIME sniff →
@@ -19,8 +20,12 @@ byte-identical output at any parallelism.
 from __future__ import annotations
 
 import re
+import zlib
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_STREAM_KW = re.compile(rb"stream\r?\n")
+_DICT_TOKEN = re.compile(rb"<<|>>")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+_FILTER_RE = re.compile(rb"/Filter\s*(?:/(\w+)|\[\s*((?:/\w+\s*)*)\])")
 # PDF literal string: parenthesized with backslash escapes (no nesting support
 # needed for the operator subset we target).
 _TEXT_OP_RE = re.compile(
@@ -63,18 +68,66 @@ def _unescape(literal: bytes) -> bytes:
     return bytes(out)
 
 
+def _object_dict(data: bytes, stream_kw_start: int) -> bytes:
+    """The ``<< ... >>`` dictionary immediately preceding a stream keyword
+    (balanced against nested dicts); empty bytes when absent."""
+    end = data.rfind(b">>", 0, stream_kw_start)
+    if end < 0:
+        return b""
+    depth = 1
+    # walk token-wise backwards until the matching '<<'
+    tokens = [(m.start(), m.group()) for m in _DICT_TOKEN.finditer(data, 0, end)]
+    for pos, tok in reversed(tokens):
+        if tok == b">>":
+            depth += 1
+        else:
+            depth -= 1
+            if depth == 0:
+                return data[pos : end + 2]
+    return b""
+
+
+def _decoded_streams(data: bytes):
+    """Yield (stream_bytes | None, error | None) per content stream."""
+    for m in _STREAM_KW.finditer(data):
+        start = m.end()
+        end = data.find(b"endstream", start)
+        if end < 0:
+            continue
+        obj = _object_dict(data, m.start())
+        lm = _LENGTH_RE.search(obj)
+        if lm is not None and start + int(lm.group(1)) <= end:
+            # /Length is authoritative (PDF spec) — EOL bytes beyond it are
+            # the separator, EOL bytes inside it are real (deflate) data
+            raw = data[start : start + int(lm.group(1))]
+        else:
+            raw = data[start:end]
+            # heuristic: strip exactly ONE end-of-line before 'endstream'
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith((b"\n", b"\r")):
+                raw = raw[:-1]
+        fm = _FILTER_RE.search(obj)
+        if fm is None:
+            yield raw, None
+            continue
+        names = [fm.group(1)] if fm.group(1) else re.findall(rb"/(\w+)", fm.group(2) or b"")
+        if names == [b"FlateDecode"]:
+            try:
+                yield zlib.decompress(raw), None
+            except zlib.error:
+                yield None, "pdf-flate-error"
+        else:
+            yield None, "pdf-unsupported-filter"
+
+
 def extract_pdf(data: bytes) -> tuple[str, list[tuple[str, int, int, str]], str | None]:
     """Extract text + line spans from PDF bytes; returns (text, spans, error)."""
     try:
-        streams = _STREAM_RE.findall(data)
-        if not streams:
-            return "", [], "pdf-no-content-stream"
-        # Detect compressed streams: a /Filter entry anywhere in the object
-        # dictionaries means we can't honestly decode — error as data.
-        if b"/Filter" in data:
-            return "", [], "pdf-unsupported-filter"
         lines: list[str] = []
         current: list[str] = []
+        first_error: str | None = None
+        saw_stream = False
 
         def flush() -> None:
             if current:
@@ -83,7 +136,12 @@ def extract_pdf(data: bytes) -> tuple[str, list[tuple[str, int, int, str]], str 
                     lines.append(text)
                 current.clear()
 
-        for stream in streams:
+        for stream, err in _decoded_streams(data):
+            saw_stream = True
+            if err is not None:
+                if first_error is None:
+                    first_error = err
+                continue
             for m in _TEXT_OP_RE.finditer(stream):
                 tj, tj_array, move = m.group(1), m.group(2), m.group(3)
                 if move is not None:
@@ -95,6 +153,10 @@ def extract_pdf(data: bytes) -> tuple[str, list[tuple[str, int, int, str]], str 
                     for s in _STRING_RE.findall(tj_array):
                         current.append(_unescape(s[1:-1]).decode("utf-8", errors="replace"))
             flush()
+        if not saw_stream:
+            return "", [], "pdf-no-content-stream"
+        if not lines and first_error is not None:
+            return "", [], first_error
         text = "\n".join(lines)
         spans: list[tuple[str, int, int, str]] = []
         pos = 0
@@ -103,6 +165,6 @@ def extract_pdf(data: bytes) -> tuple[str, list[tuple[str, int, int, str]], str 
                 pos += 1  # "\n"
             spans.append(("line", pos, pos + len(ln), ln))
             pos += len(ln)
-        return text, spans, None
+        return text, spans, first_error
     except Exception as exc:
         return "", [], f"pdf-parse-error: {type(exc).__name__}: {exc}"

@@ -93,11 +93,14 @@ def test_sniff():
     assert sniff_payload_kind(None) == "empty"
 
 
+_PDF_STREAM = (
+    b"BT /F1 12 Tf 72 720 Td (first line) Tj 0 -14 Td (second \\(escaped\\) line) Tj "
+    b"0 -14 Td [(arr) -250 (ay line)] TJ ET"
+)
 PDF = (
     b"%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n"
-    b"4 0 obj << /Length 99 >> stream\n"
-    b"BT /F1 12 Tf 72 720 Td (first line) Tj 0 -14 Td (second \\(escaped\\) line) Tj "
-    b"0 -14 Td [(arr) -250 (ay line)] TJ ET\nendstream endobj\n%%EOF"
+    b"4 0 obj << /Length " + str(len(_PDF_STREAM)).encode() + b" >> stream\n"
+    + _PDF_STREAM + b"\nendstream endobj\n%%EOF"
 )
 
 
@@ -117,9 +120,44 @@ def test_pdf_octal_escape():
 
 
 def test_pdf_filtered_is_error_as_data():
-    pdf = b"%PDF-1.4\n1 0 obj << /Filter /FlateDecode >> stream\nxx\nendstream"
+    pdf = b"%PDF-1.4\n1 0 obj << /Filter /LZWDecode >> stream\nxx\nendstream"
     text, spans, err = extract_pdf(pdf)
     assert text == "" and err == "pdf-unsupported-filter"
+
+
+def test_pdf_flate_decode():
+    import zlib
+
+    stream = b"BT /F1 12 Tf 72 720 Td (hello flate) Tj 0 -14 Td (second line) Tj ET"
+    body = zlib.compress(stream)
+    pdf = (
+        b"%PDF-1.4\n4 0 obj << /Length " + str(len(body)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + body + b"\nendstream endobj\n"
+    )
+    text, spans, err = extract_pdf(pdf)
+    assert err is None
+    assert text == "hello flate\nsecond line"
+    assert [s[0] for s in spans] == ["line", "line"]
+
+
+def test_pdf_corrupt_flate_is_error_as_data():
+    pdf = b"%PDF-1.4\n1 0 obj << /Filter /FlateDecode >> stream\nxx\nendstream"
+    text, spans, err = extract_pdf(pdf)
+    assert text == "" and spans == [] and err == "pdf-flate-error"
+
+
+def test_pdf_nested_dict_filter_detection():
+    import zlib
+
+    stream = b"BT (nested dict case works) Tj ET"
+    body = zlib.compress(stream)
+    pdf = (
+        b"%PDF-1.4\n4 0 obj << /DecodeParms << /Columns 4 >> /Length "
+        + str(len(body)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + body + b"\nendstream\n"
+    )
+    text, _, err = extract_pdf(pdf)
+    assert err is None and text == "nested dict case works"
 
 
 def test_dispatch_never_raises():
@@ -136,7 +174,11 @@ def test_fast_tokenizer_matches_stdlib():
     from ocr_platform_spark import corpus
     from ocr_platform_spark.kernels.html_extract import extract_html
 
-    payloads = [corpus.gen_doc(i)["html"] for i in range(1500)]
+    payloads = [
+        d["html"]
+        for d in (corpus.gen_doc(i) for i in range(1500))
+        if not d["html"].startswith(b"%PDF-")  # dispatch routes PDFs elsewhere
+    ]
     payloads += [
         b"<html><body><p>a &amp; b &lt;tag&gt; &#65; end of entity test block</p></body></html>",
         b"<p>unclosed paragraph with enough characters to be kept here",
