@@ -1112,6 +1112,31 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 
+@q(
+    "fuzzy_exact_roundtrip",
+    """
+    SELECT s_suppkey, s_name AS raw_name, s_name AS mapped_name
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def fuzzy_exact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable invariant of the similarity join: a value exactly
+    equal to an option label maps to that option's value (score 100 beats
+    every non-identical candidate; vocabulary labels here are unique).
+    The fuzzy band (75-89) is pinned by the pytest corpus instead."""
+    s = _t(spark, sf_dir, "supplier")
+    vocab = [(r["s_name"], r["s_name"]) for r in s.select("s_name").collect()]
+    return (
+        map_select_single_vocab(
+            s.select("s_suppkey", F.col("s_name").alias("raw_name")),
+            "raw_name",
+            vocab,
+            "mapped_name",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 @q("fuzzy_supplier_mapping")
 def fuzzy_supplier_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The similarity join: customer-entered supplier strings (deterministic

@@ -42,3 +42,75 @@ def test_windowed_event_counts_matches_batch_oracle(spark):
     )
     assert got.exceptAll(oracle).count() == 0
     assert oracle.exceptAll(got).count() == 0
+
+
+def test_watermark_progression_and_in_watermark_aggregation(spark, tmp_path):
+    """True streaming run over two micro-batches: the event-time watermark
+    advances from batch 0's max event time, and every in-watermark event is
+    aggregated exactly. (Spark's watermark is a best-effort bound: events
+    *beyond* it are not guaranteed to be dropped — only no-drop within the
+    watermark is guaranteed — so this test pins the guaranteed half.)"""
+    import datetime as dt
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    base = dt.datetime(2025, 3, 1, 10, 0, 0)
+    in_dir = tmp_path / "win-in"
+    in_dir.mkdir()
+
+    # batch 1: events at 10:00-12:30 → watermark advances to 12:30-2h = 10:30
+    b1 = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=30), 1, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(hours=2, minutes=30), 1, "click", 1.0, "{}"),
+    ]
+    # batch 2: one too-late event (9:15, before watermark) + one ok (11:15)
+    b2 = [
+        (4, base - dt.timedelta(minutes=45), 1, "click", 1.0, "{}"),
+        (5, base + dt.timedelta(hours=1, minutes=15), 1, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(in_dir / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(in_dir / "f2"))
+    # file-source batch order follows modification time — pin it explicitly
+    import os, time as _time
+
+    now = _time.time()
+    for root, _d, files in os.walk(in_dir / "f1"):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (now - 60, now - 60))
+    for root, _d, files in os.walk(in_dir / "f2"):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (now, now))
+
+    from ocr_platform_spark.streaming.incremental import windowed_event_counts
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(b1, schema).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir) + "/*")
+    )
+    agg = windowed_event_counts(stream, "1 hour", "2 hours")
+    rows = []
+
+    def sink(batch_df, _):
+        rows.extend(batch_df.collect())
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "win-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # watermark advanced to max(batch-0 event time) - 2h = 10:30
+    marks = [p["eventTime"].get("watermark") for p in q.recentProgress]
+    assert any(m and m.startswith("2025-03-01T10:30") for m in marks)
+
+    by_window = {}
+    for r in rows:  # update mode: later emissions override
+        by_window[r["window_start"]] = r["n_events"]
+    # in-watermark events aggregate exactly
+    assert by_window.get(base) == 2                              # 10:00, 10:30
+    assert by_window.get(base + dt.timedelta(hours=1)) == 1      # 11:15
+    assert by_window.get(base + dt.timedelta(hours=2)) == 1      # 12:30
