@@ -178,13 +178,26 @@ class _FastTokenizer:
 
     Byte-equality with the stdlib path is pinned by a differential test
     over the whole synthetic corpus incl. malformed/edge pages
-    (tests/test_kernels.py::test_fast_tokenizer_matches_stdlib)."""
+    (tests/test_kernels.py::test_fast_tokenizer_matches_stdlib).
+
+    Documented divergences from stdlib (pathological markup only; fuzz-
+    explored in test_tokenizer_fuzz_no_crash_and_deterministic):
+    - unterminated ``<!--`` comments swallow to EOF (HTML5 eof-in-comment)
+      where stdlib flushes the raw markup as text at close();
+    - an unterminated tag whose '>' only appears much later in garbage text
+      consumes up to that '>' (stdlib may re-interpret the '<' as text);
+    - stray ``</script>`` with no opener is ignored here, while stdlib's
+      CDATA bookkeeping can swallow following text.
+    Quoted '>' inside attribute values is handled correctly by BOTH paths
+    (run-wise quote-aware pattern)."""
 
     _TOKEN = re.compile(
         r"<!--.*?(?:-->|$)"          # comments (tolerate unterminated)
         r"|<!\[CDATA\[.*?(?:\]\]>|$)"
         r"|<[!?][^>]*>?"             # doctype / processing instructions
-        r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)[^>]*?(/?)>",
+        # start/end tag; attribute values may carry quoted '>' characters.
+        # run-wise body ([^>"']+ | quoted string) keeps the scan in C loops
+        r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']+|\"[^\"]*\"|'[^']*')*)>",
         re.S,
     )
     # stdlib HTMLParser treats exactly script/style as CDATA raw-text
@@ -211,10 +224,11 @@ class _FastTokenizer:
             if start > pos:
                 data = raw[pos:start]
                 sink.handle_data(unescape(data) if "&" in data else data)
-            is_end, tag, self_close = m.groups()
+            is_end, tag, attrs = m.groups()
             if tag is None:  # comment / doctype / PI
                 pos = m.end()
                 continue
+            self_close = attrs.endswith("/")
             if not tag.islower():
                 tag = tag.lower()
             if is_end:  # end tag

@@ -132,3 +132,79 @@ def test_convert_by_type(spark):
     assert rows["42"] == "42"
     assert rows["15/01/2024"] == "15/01/2024"
     assert rows["x"] == "x"  # unknown type → string passthrough
+
+
+def test_currency_matches_python_decimal_reference(spark):
+    """500 generated currency strings: the Spark column expression agrees
+    with a straight Python Decimal reference implementation (the exact
+    semantics of data_conversion.py:209-232)."""
+    import random
+    import re as _re
+    from decimal import Decimal, InvalidOperation
+
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.functions.conversions import convert_currency
+
+    rng = random.Random(7)
+    syms = ["$", "₹", "EUR ", "£", "", "US$ "]
+    cases = []
+    for _ in range(500):
+        whole = rng.randrange(0, 10_000_000)
+        cents = rng.randrange(0, 100)
+        s = f"{whole:,}" if rng.random() < 0.5 else str(whole)
+        raw = f"{rng.choice(syms)}{s}.{cents:02d}"
+        if rng.random() < 0.1:
+            raw = "-" + raw
+        if rng.random() < 0.05:
+            raw = "garbage" + raw + "x"  # letters are stripped → still parses
+        cases.append(raw)
+    cases += ["", "   ", "abc", "--5", "1.2.3", "₹1,23,456.78", "$0.50"]
+
+    def ref(rawv):
+        if rawv is None or not rawv.strip():
+            return (None, None)
+        cleaned = _re.sub(r"[^\d,.\-]", "", rawv.strip()).replace(",", "")
+        try:
+            return (str(Decimal(cleaned)), None)
+        except InvalidOperation:
+            return (rawv, "err")
+
+    df = spark.createDataFrame([(c,) for c in cases], "raw string")
+    out = df.select("raw", convert_currency("raw").alias("r")).collect()
+    for row, raw in zip(out, cases):
+        want_value, want_err = ref(raw)
+        got_value, got_err = row["r"]["value"], row["r"]["error"]
+        assert got_value == want_value, (raw, got_value, want_value)
+        assert (got_err is None) == (want_err is None), (raw, got_err)
+
+
+def test_date_roundtrip_all_formats(spark):
+    """Every one of the 15 reference formats round-trips through the
+    multi-format parser back to the same date for 3 years of dates."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.functions.conversions import DATE_FORMATS, convert_date
+
+    base = dt.date(2023, 1, 1)
+    days = [base + dt.timedelta(days=17 * k) for k in range(65)]
+    rows = [(d.strftime("%Y-%m-%d"),) for d in days]
+    df = spark.createDataFrame(rows, "iso string")
+    ts = F.to_timestamp("iso")
+    # US-ordered formats are ambiguous for day <= 12: the parser tries the
+    # reference's precedence (dd/MM before MM/dd, data_conversion.py:176-192)
+    # so those render-parse roundtrips only hold for unambiguous days.
+    ambiguous = {"MM/dd/yyyy", "MM-dd-yyyy"}
+    checks = []
+    for fmt in DATE_FORMATS:
+        rendered = F.date_format(ts, fmt)
+        back = convert_date(rendered).getField("value")
+        mismatch = F.when(back != F.date_format(ts, "dd/MM/yyyy"), 1).otherwise(0)
+        if fmt in ambiguous:
+            mismatch = F.when(F.dayofmonth(ts) > 12, mismatch).otherwise(0)
+        checks.append(F.sum(mismatch).alias(fmt))
+    bad = df.agg(*checks).first()
+    for fmt in DATE_FORMATS:
+        assert bad[fmt] == 0, f"format {fmt} failed roundtrip"

@@ -202,3 +202,38 @@ def test_fast_tokenizer_matches_stdlib():
     # engine's contract.
     text, spans, err = extract_html(b"<!-- unterminated comment <p>swallowed</p>")
     assert text == "" and err is None
+
+
+def test_tokenizer_fuzz_no_crash_and_deterministic():
+    """Hypothesis fuzz: on arbitrary tag-soup bytes the kernel never raises
+    (error-as-data contract) and is a pure function (same input → same
+    output). Stdlib equality is asserted only for the realistic-markup
+    subset; pathological soup (quoted '>' mid-garbage, stray raw-text close
+    tags) is allowed to diverge — divergence classes documented in
+    _FastTokenizer's docstring."""
+    from hypothesis import given, settings, strategies as st
+
+    from ocr_platform_spark.kernels import extract_payload
+
+    frag = st.one_of(
+        st.text(alphabet="abcdefg <>/=\"'&;!-npé", max_size=30),
+        st.sampled_from([
+            "<p>", "</p>", "<div>", "</div>", "<a href='x'>", "</a>", "<br>",
+            "<br/>", "<!-- c -->", "&amp;", "&#65;", "<script>", "</script>",
+            "<li>", "</li>", "some text words here",
+            "<a onclick=\"if(x>1){}\">t</a>", "<!doctype html>",
+        ]),
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(frag, max_size=20).map("".join))
+    def check(s):
+        data = s.encode("utf-8")
+        out1 = extract_payload(data)
+        out2 = extract_payload(data)
+        assert out1 == out2  # pure function
+        kind, text, spans, err = out1
+        for f, st_, en, v in spans:
+            assert text[st_:en] == v  # span offsets always valid
+
+    check()
