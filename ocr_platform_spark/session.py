@@ -72,6 +72,10 @@ def get_spark(
         # cf. reference MAX_CONTENT_LENGTH ocr_backend/app/config.py:23)
         # fits comfortably in the Python worker.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Byte-bound batches too: with 16 MB max payloads a record-count
+        # bound alone could build a 32 GB batch. Whichever limit hits first
+        # closes the batch (Spark 4 honors both).
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         # UTC everywhere: required for DuckDB-oracle timestamp agreement.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
