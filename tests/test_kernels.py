@@ -225,7 +225,7 @@ def test_tokenizer_fuzz_no_crash_and_deterministic():
         ]),
     )
 
-    @settings(max_examples=400, deadline=None)
+    @settings(max_examples=150, deadline=None, derandomize=True, database=None)
     @given(st.lists(frag, max_size=20).map("".join))
     def check(s):
         data = s.encode("utf-8")

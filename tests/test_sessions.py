@@ -57,7 +57,15 @@ def test_sessionize_stream_closes_gapped_sessions(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # ProcessingTimeTimeout keeps scheduling no-data batches after the two
+    # file batches drain, so the query outlives availableNow — wait for the
+    # data batches, then stop explicitly.
+    import time as _time
+
+    deadline = _time.time() + 90
+    while _time.time() < deadline and len(out_rows) < 3:
+        _time.sleep(1)
+    q.stop()
 
     closed = sorted((r["user_id"], r["n_events"]) for r in out_rows)
     # open tail sessions (1×C, 2×B) remain in state — only gap-closed emit

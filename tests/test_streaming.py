@@ -17,7 +17,10 @@ def test_stream_extraction_available_now(spark, tmp_path):
 
     documents_df(spark, 60).write.parquet(input_dir)
     q = stream_extraction(spark, input_dir, table_path, ckpt, available_now=True)
-    q.awaitTermination(120)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
 
     table = SnapshotTable(table_path)
     data = table.read_data(spark)
@@ -28,7 +31,10 @@ def test_stream_extraction_available_now(spark, tmp_path):
     # late arrivals: second batch drains incrementally (new files only)
     documents_df(spark, 80).where(F.xxhash64("url") % 4 == 1).write.mode("append").parquet(input_dir)
     q2 = stream_extraction(spark, input_dir, table_path, ckpt, available_now=True)
-    q2.awaitTermination(120)
+    try:
+        q2.awaitTermination(120)
+    finally:
+        q2.stop()
     # every url present at least once; the checkpoint prevents re-reading old files
     assert SnapshotTable(table_path).read_data(spark).select("url").distinct().count() >= 60
 
@@ -101,7 +107,10 @@ def test_watermark_progression_and_in_watermark_aggregation(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
 
     # watermark advanced to max(batch-0 event time) - 2h = 10:30
     marks = [p["eventTime"].get("watermark") for p in q.recentProgress]
