@@ -314,3 +314,107 @@ def extract_html(
         pos += len(text)
         spans.append((tag, start, pos, text))
     return "\n\n".join(out_parts), spans, None
+
+
+class _TableSink:
+    """Tokenizer sink capturing <table> structure: rows of normalized cell
+    texts plus the header row (first tr containing th cells). Nested tables
+    attach to their own entry (parent rows continue after the inner table
+    closes). Drives the same _FastTokenizer as the content parser."""
+
+    def __init__(self) -> None:
+        self.tables: list[dict] = []
+        self._stack: list[dict] = []  # open tables
+        self._row: list[str] | None = None
+        self._row_is_header = False
+        self._cell: list[str] | None = None
+        self._skip = 0
+
+    # -- tag events ------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if tag == "table":
+            self._flush_cell()
+            self._flush_row()
+            t = {"headers": [], "rows": []}
+            self._stack.append(t)
+        elif tag == "tr" and self._stack:
+            self._flush_cell()
+            self._flush_row()
+            self._row = []
+            self._row_is_header = False
+        elif tag in ("td", "th") and self._stack:
+            self._flush_cell()
+            if self._row is None:
+                self._row = []
+            self._cell = []
+            if tag == "th":
+                self._row_is_header = True
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if tag in ("td", "th"):
+            self._flush_cell()
+        elif tag == "tr":
+            self._flush_cell()
+            self._flush_row()
+        elif tag == "table" and self._stack:
+            self._flush_cell()
+            self._flush_row()
+            done = self._stack.pop()
+            if done["rows"] or done["headers"]:
+                self.tables.append(done)
+
+    def handle_data(self, data: str) -> None:
+        if self._skip == 0 and self._cell is not None:
+            self._cell.append(data)
+
+    def close(self) -> None:
+        self._flush_cell()
+        self._flush_row()
+        while self._stack:
+            done = self._stack.pop()
+            if done["rows"] or done["headers"]:
+                self.tables.append(done)
+
+    # -- helpers ----------------------------------------------------------
+    def _flush_cell(self) -> None:
+        if self._cell is not None and self._row is not None:
+            self._row.append(_normalize(self._cell))
+            self._cell = None
+
+    def _flush_row(self) -> None:
+        if self._row is not None and self._stack:
+            if self._row:
+                t = self._stack[-1]
+                if self._row_is_header and not t["headers"]:
+                    t["headers"] = self._row
+                else:
+                    t["rows"].append(self._row)
+            self._row = None
+            self._row_is_header = False
+
+
+def extract_html_tables(data: bytes) -> tuple[list[dict], str | None]:
+    """Extract <table> grids from HTML bytes.
+
+    Returns ``(tables, error)``; each table is ``{"headers": [str, ...],
+    "rows": [[str, ...], ...]}`` in document order. Pure function of the
+    bytes (error-as-data; never raises). The reference's TABLE fields
+    (sub-template columns per row, ``ocr_backend/app/models/
+    sub_template_field.py:5-15``) map onto headers→columns, tr→row_index."""
+    try:
+        raw = data.decode("utf-8", errors="replace")
+    except Exception as exc:  # pragma: no cover
+        return [], f"decode-error: {exc}"
+    try:
+        sink = _TableSink()
+        _FastTokenizer(sink).feed(raw)
+        sink.close()
+        return sink.tables, None
+    except Exception as exc:
+        return [], f"html-table-parse-error: {type(exc).__name__}: {exc}"

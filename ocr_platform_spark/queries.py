@@ -358,6 +358,38 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "events_props_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 JSON parsing (``gemini_ocr.py:209-258``'s from_json face):
+    extract a typed value from the JSON ``props`` column and aggregate —
+    exact integer sums, cross-engine."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.where(k.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
     "event_type_spans",
     """
     SELECT event_type,
@@ -1222,6 +1254,41 @@ def process_template_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("conversion_error").alias("n_errors"),
         )
         .orderBy("field_name")
+    )
+
+
+@q("extract_html_tables")
+def extract_html_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column <table> extraction (reference TABLE/sub-field shape):
+    per-column cell tallies over synthetic invoice-style pages (rows-only;
+    typed-conversion goldens in tests/test_tables.py)."""
+    from ocr_platform_spark.operators.tables import extract_tables, table_cells_eav
+
+    pages = [
+        (
+            f"https://tbl.example.org/{k}",
+            None,
+            (
+                "<html><body><table><tr><th>ITEM</th><th>QTY</th><th>PRICE</th></tr>"
+                + "".join(
+                    f"<tr><td>item {k}-{i}</td><td>{i}</td><td>${i}.50</td></tr>"
+                    for i in range(2 + k % 4)
+                )
+                + "</table></body></html>"
+            ).encode(),
+            None,
+            "en",
+        )
+        for k in range(50)
+    ]
+    docs = spark.createDataFrame(
+        pages, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    cells = table_cells_eav(extract_tables(docs))
+    return (
+        cells.groupBy("column_name")
+        .agg(F.count("*").alias("n_cells"))
+        .orderBy("column_name")
     )
 
 
