@@ -51,6 +51,11 @@ _BLOCK_TAGS = frozenset(
 
 _HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
+# Precomputed per-tag flag mask: one dict lookup replaces five frozenset
+# membership tests in the per-tag hot path (pure derivation of the sets
+# above — the sets remain the source of truth).
+_F_SKIP, _F_BOILER, _F_LINK, _F_BLOCK, _F_VOID = 1, 2, 4, 8, 16
+
 # Void elements never pushed on the open-tag stack.
 _VOID_TAGS = frozenset(
     {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
@@ -100,19 +105,21 @@ class _ContentParser(HTMLParser):
 
     # -- tag events ------------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in _VOID_TAGS:
+        flags = _TAG_FLAGS.get(tag, 0)
+        if flags & _F_VOID:
             if tag == "br" and self._block_stack:
                 self._block_stack[-1].parts.append(" ")
             return
         self._tag_stack.append(tag)
-        if tag in _SKIP_TAGS:
-            self._skip += 1
-        if tag in _BOILER_TAGS:
-            self._boiler += 1
-        if tag == "a":
-            self._link += 1
-        if tag in _BLOCK_TAGS:
-            self._block_stack.append(self._new_block(tag))
+        if flags:
+            if flags & _F_SKIP:
+                self._skip += 1
+            if flags & _F_BOILER:
+                self._boiler += 1
+            if flags & _F_LINK:
+                self._link += 1
+            if flags & _F_BLOCK:
+                self._block_stack.append(self._new_block(tag))
 
     def handle_endtag(self, tag: str) -> None:
         stack = self._tag_stack
@@ -132,13 +139,16 @@ class _ContentParser(HTMLParser):
                 break
 
     def _leave(self, tag: str) -> None:
-        if tag in _SKIP_TAGS:
+        flags = _TAG_FLAGS.get(tag, 0)
+        if not flags:
+            return
+        if flags & _F_SKIP:
             self._skip -= 1
-        if tag in _BOILER_TAGS:
+        if flags & _F_BOILER:
             self._boiler -= 1
-        if tag == "a":
+        if flags & _F_LINK:
             self._link = max(0, self._link - 1)
-        if tag in _BLOCK_TAGS and self._block_stack:
+        if flags & _F_BLOCK and self._block_stack:
             self.blocks.append(self._block_stack.pop())
 
     # -- text ------------------------------------------------------------
@@ -161,6 +171,18 @@ class _ContentParser(HTMLParser):
         super().close()
         while self._block_stack:
             self.blocks.append(self._block_stack.pop())
+
+
+_TAG_FLAGS: dict[str, int] = {}
+for _t in _VOID_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_VOID
+for _t in _SKIP_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_SKIP
+for _t in _BOILER_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BOILER
+_TAG_FLAGS["a"] = _TAG_FLAGS.get("a", 0) | _F_LINK
+for _t in _BLOCK_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BLOCK
 
 
 def _normalize(parts: list[str]) -> str:

@@ -126,30 +126,42 @@ def with_lsh_bucket(
     seed: int = 42,
     dim: int | None = None,
     out_col: str = "buckets",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Append an ``array<bigint>`` of per-table sign-projection bucket ids.
 
     One numpy matmul per Arrow batch (vectorized pandas UDF) — the only
-    Python hop, amortized over whole batches."""
+    Python hop, amortized over whole batches.
+
+    ``multiprobe > 0`` adds, per table, the buckets reached by flipping the
+    ``multiprobe`` sign bits whose projections are closest to zero (the
+    classic multi-probe LSH trick): recall rises steeply at the cost of
+    ``multiprobe`` extra candidate buckets per row, with no extra tables."""
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"]) if first else 0
 
     planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    powers = 1 << np.arange(n_planes, dtype=np.int64)
 
     @F.pandas_udf("array<bigint>")
     def _bucket(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())  # (batch, dim)
-        out = []
-        per_table = []
+        per_row: list[list[int]] = [[] for _ in range(len(mat))]
         for t, pl in enumerate(planes):
-            bits = (mat @ pl) > 0  # (batch, n_planes)
-            ids = bits.astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64))
-            per_table.append(ids + (t << 32))  # disjoint id space per table
-        stacked = np.stack(per_table, axis=1)  # (batch, n_tables)
-        for row in stacked:
-            out.append(row.tolist())
-        return pd.Series(out)
+            proj = mat @ pl  # (batch, n_planes)
+            bits = proj > 0
+            ids = bits.astype(np.int64) @ powers + (t << 32)  # disjoint per table
+            for r, v in enumerate(ids):
+                per_row[r].append(int(v))
+            if multiprobe > 0:
+                # flip the sign bits with the smallest |projection|
+                order = np.argsort(np.abs(proj), axis=1)[:, :multiprobe]
+                for r in range(len(mat)):
+                    base = ids[r]
+                    for b in order[r]:
+                        per_row[r].append(int(base ^ int(powers[b])))
+        return pd.Series(per_row)
 
     return df.withColumn(out_col, _bucket(F.col(vec_col)))
 
@@ -163,15 +175,18 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 2,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine only for bucket-colliding pairs."""
+    """Approximate top-k: exact cosine only for bucket-colliding pairs.
+    ``multiprobe`` probes extra near-boundary buckets on the QUERY side
+    only (items stay single-bucket → index size unchanged)."""
     it = with_lsh_bucket(
         items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec")),
         "i_vec", n_planes, n_tables, seed,
     ).select("item_id", "i_vec", F.explode("buckets").alias("bucket"))
     q = with_lsh_bucket(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        "q_vec", n_planes, n_tables, seed,
+        "q_vec", n_planes, n_tables, seed, multiprobe=multiprobe,
     ).select("query_id", "q_vec", F.explode("buckets").alias("bucket"))
     scored = (
         it.join(F.broadcast(q), "bucket")

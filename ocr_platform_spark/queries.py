@@ -1257,6 +1257,30 @@ def process_template_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("media_metadata_rollup")
+def media_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary columns: magic-byte sniff + header-metadata kernel
+    over the synthetic media corpus, rolled up per (mime, category) with
+    parsed-dimension tallies (rows-only; parser goldens in
+    tests/test_multimodal.py)."""
+    from ocr_platform_spark.operators.multimodal import (
+        extract_media_metadata,
+        media_corpus,
+    )
+
+    meta = extract_media_metadata(media_corpus(spark, 120))
+    return (
+        meta.groupBy("mime", "category")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.count("width").alias("n_with_dims"),
+            F.count("sample_rate").alias("n_with_audio_meta"),
+        )
+        .orderBy("mime")
+    )
+
+
 @q("extract_html_tables")
 def extract_html_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column <table> extraction (reference TABLE/sub-field shape):

@@ -44,3 +44,32 @@ def test_lsh_buckets_deterministic(spark):
     a = ann.with_lsh_bucket(df).select("vec_id", "buckets").collect()
     b = ann.with_lsh_bucket(df).select("vec_id", "buckets").collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_multiprobe_improves_recall(spark):
+    """Query-side multi-probe raises recall vs single-probe LSH at the same
+    table count, and stays deterministic."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.ann import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.where(F.col("vec_id") < 12)
+    truth = brute_force_topk(emb, queries, k=5)
+    t = {(r["query_id"], r["item_id"]) for r in truth.collect()}
+
+    def recall(multiprobe):
+        got = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=2, multiprobe=multiprobe)
+        g = {(r["query_id"], r["item_id"]) for r in got.collect()}
+        return len(g & t) / len(t)
+
+    r0, r3 = recall(0), recall(3)
+    assert r3 >= r0
+    assert r3 > 0.3
+    # determinism
+    again = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=2, multiprobe=3)
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r)
+        for r in lsh_topk(emb, queries, k=5, n_planes=4, n_tables=2, multiprobe=3).collect()
+    }
+    emb.unpersist()
