@@ -30,6 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
     curation rollup of the driver's sf0.001 documents table."""
     from ocr_platform_spark.operators.corpus_spark import documents_df
     from ocr_platform_spark.operators.extract import extract_documents, extraction_stats
+    from ocr_platform_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
 
     stats = extraction_stats(extract_documents(documents_df(spark, 500))).select(
         F.lit("extraction").alias("side"),

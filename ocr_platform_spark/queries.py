@@ -54,7 +54,17 @@ CATALOG: dict[str, QuerySpec] = {}
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):
-        CATALOG[name] = QuerySpec(fn, oracle)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver may pass a session built without our factory —
+            # executors then lack the package unless we ship it here
+            from ocr_platform_spark.session import ensure_shipped
+
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        CATALOG[name] = QuerySpec(wrapped, oracle)
         return fn
 
     return deco

@@ -15,6 +15,23 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship ``ocr_platform_spark`` to the session's executors if not done.
+
+    Safe to call on ANY session — including one the test driver created
+    without this factory: without it, mapInArrow kernels and pandas UDFs
+    fail executor-side import whenever the worker's PYTHONPATH lacks the
+    repo root. Idempotent per application."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    _ship_package(spark)
+    _SHIPPED_APPS.add(app_id)
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship ``ocr_platform_spark`` to executors (the ``spark-submit
     --py-files`` story, self-served): zip the package and ``addPyFile`` it,
