@@ -242,3 +242,110 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# --- IVF (inverted-file) ANN: coarse quantizer + probed partitions ----------
+
+
+def _kmeans_centroids(
+    sample: np.ndarray, n_lists: int, seed: int = 42, iters: int = 8
+) -> np.ndarray:
+    """Deterministic Lloyd iterations on a driver-side sample (the coarse
+    quantizer is a tiny model — IVF trains on a sample by design)."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].astype(np.float64).copy()
+    for _ in range(iters):
+        d = sample @ cents.T  # cosine-ish assignment on normalized vectors
+        assign = np.argmax(d, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cents[c] = m / norm
+    return cents
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    out_col: str = "ivf_list",
+) -> DataFrame:
+    """Append the ids of the ``n_probe`` nearest coarse centroids (one
+    numpy matmul per Arrow batch)."""
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        mat = _normalize_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+        sims = mat @ centroids.T  # (batch, n_lists)
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.tolist() for row in top])
+
+    udf = F.pandas_udf(kernel, "array<int>")
+    return df.withColumn(out_col, udf(F.col(vec_col)))
+
+
+def train_ivf(
+    items: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train the coarse quantizer on a (sampled) collect of item vectors.
+    At 10^9+ vectors pass sample_fraction ≪ 1 — k-means quality needs only
+    ~100× n_lists samples."""
+    rows = (
+        items.select(vec_col).sample(False, sample_fraction, seed).collect()
+        if sample_fraction < 1.0
+        else items.select(vec_col).collect()
+    )
+    sample = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
+    return _kmeans_centroids(sample, n_lists, seed)
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF search: items live in their single nearest list; queries probe
+    their ``n_probe`` nearest lists; exact cosine only within probed lists.
+    The item side shuffles once on list id — the inverted-file layout."""
+    it = ivf_assign(
+        items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec")),
+        centroids, "i_vec", n_probe=1,
+    ).select("item_id", "i_vec", F.explode("ivf_list").alias("list_id"))
+    q = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        centroids, "q_vec", n_probe=n_probe,
+    ).select("query_id", "q_vec", F.explode("ivf_list").alias("list_id"))
+    scored = (
+        it.join(F.broadcast(q), "list_id")
+        .where(F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "item_id",
+            F.round(cosine_sim(F.col("q_vec"), F.col("i_vec")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "item_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

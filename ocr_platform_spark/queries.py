@@ -1140,6 +1140,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@q("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: deterministic coarse k-means quantizer,
+    items sharded by nearest list, queries probe 4 lists (rows-only;
+    recall + full-probe==bruteforce equivalence in tests/test_ann.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ann.train_ivf(emb, n_lists=8)
+    return ann.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 8), cents, k=10, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
 @q("embedding_near_dups")
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (rows-only)."""

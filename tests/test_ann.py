@@ -73,3 +73,29 @@ def test_multiprobe_improves_recall(spark):
         for r in lsh_topk(emb, queries, k=5, n_planes=4, n_tables=2, multiprobe=3).collect()
     }
     emb.unpersist()
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.ann import brute_force_topk, ivf_topk, train_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.where(F.col("vec_id") < 10)
+    cents = train_ivf(emb, n_lists=8)
+    assert cents.shape[1] == 64
+
+    truth = {(r["query_id"], r["item_id"]) for r in brute_force_topk(emb, queries, k=5).collect()}
+    got = ivf_topk(emb, queries, cents, k=5, n_probe=4)
+    g = {(r["query_id"], r["item_id"]) for r in got.collect()}
+    recall = len(g & truth) / len(truth)
+    assert recall > 0.5  # half the lists probed → decent recall
+
+    # full probe == brute force exactly
+    full = ivf_topk(emb, queries, cents, k=5, n_probe=8)
+    assert {(r["query_id"], r["item_id"]) for r in full.collect()} == truth
+
+    # deterministic
+    again = ivf_topk(emb, queries, cents, k=5, n_probe=4)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in got.collect()}
+    emb.unpersist()
