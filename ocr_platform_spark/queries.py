@@ -963,6 +963,30 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_case_stats",
+    r"""
+    SELECT doc_id,
+           round(CASE WHEN length(text) > 0
+                 THEN CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                      / length(text)
+                 ELSE 0.0 END, 4) AS upper_ratio,
+           length(text) - length(replace(text, ' ', '')) AS n_spaces
+    FROM documents
+    """,
+)
+def doc_case_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uppercase-ratio + space-count text features (quality signals)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(TX.uppercase_ratio("text"), 4).alias("upper_ratio"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).cast("long").alias(
+            "n_spaces"
+        ),
+    )
+
+
+@q(
     "doc_exact_dups",
     r"""
     WITH fp AS (
