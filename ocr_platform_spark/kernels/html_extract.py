@@ -358,10 +358,19 @@ class _TableSink:
             self._skip += 1
             return
         if tag == "table":
-            self._flush_cell()
-            self._flush_row()
-            t = {"headers": [], "rows": []}
+            # Suspend (don't flush) the parent's open row/cell so a <td>
+            # containing a nested table keeps its row open — the parent row
+            # resumes when the inner table closes. Flushing here would split
+            # the parent row in two and shift every later row_index.
+            t = {
+                "headers": [],
+                "rows": [],
+                "_saved": (self._row, self._row_is_header, self._cell),
+            }
             self._stack.append(t)
+            self._row = None
+            self._row_is_header = False
+            self._cell = None
         elif tag == "tr" and self._stack:
             self._flush_cell()
             self._flush_row()
@@ -388,6 +397,8 @@ class _TableSink:
             self._flush_cell()
             self._flush_row()
             done = self._stack.pop()
+            # restore the parent's suspended row/cell (per-table state)
+            self._row, self._row_is_header, self._cell = done.pop("_saved")
             if done["rows"] or done["headers"]:
                 self.tables.append(done)
 
@@ -396,10 +407,11 @@ class _TableSink:
             self._cell.append(data)
 
     def close(self) -> None:
-        self._flush_cell()
-        self._flush_row()
-        while self._stack:
+        while self._stack:  # unclosed tables at EOF: flush each level's
+            self._flush_cell()  # pending row into ITS table, then restore
+            self._flush_row()
             done = self._stack.pop()
+            self._row, self._row_is_header, self._cell = done.pop("_saved")
             if done["rows"] or done["headers"]:
                 self.tables.append(done)
 

@@ -24,7 +24,11 @@ import zlib
 
 _STREAM_KW = re.compile(rb"stream\r?\n")
 _DICT_TOKEN = re.compile(rb"<<|>>")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# Direct /Length only: an indirect reference '/Length 5 0 R' (the dominant
+# shape in real PDFs) must NOT match, or the stream would be sliced to the
+# object number — the negative lookahead rejects 'N G R' and falls back to
+# the endstream-delimited heuristic below.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _FILTER_RE = re.compile(rb"/Filter\s*(?:/(\w+)|\[\s*((?:/\w+\s*)*)\])")
 # PDF literal string: parenthesized with backslash escapes (no nesting support
 # needed for the operator subset we target).

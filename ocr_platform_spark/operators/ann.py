@@ -298,16 +298,25 @@ def train_ivf(
     items: DataFrame,
     vec_col: str = "embedding",
     n_lists: int = 16,
-    sample_fraction: float = 1.0,
+    max_sample: int | None = None,
     seed: int = 42,
 ) -> np.ndarray:
-    """Train the coarse quantizer on a (sampled) collect of item vectors.
-    At 10^9+ vectors pass sample_fraction ≪ 1 — k-means quality needs only
-    ~100× n_lists samples."""
+    """Train the coarse quantizer on a BOUNDED sample of item vectors.
+
+    k-means quality needs only ~100× n_lists points, so the driver collect
+    is capped at ``max_sample`` (default ``100 * n_lists``) no matter how
+    large the item table is — at 10^9 vectors this still pulls only ~1600
+    rows. The sample is a deterministic pseudo-random pick: order by a
+    seeded xxhash64 of the vector and take the first ``max_sample`` (Spark
+    executes limit-after-sort as a per-partition top-N merge — one
+    distributed pass, bounded memory everywhere)."""
+    if max_sample is None:
+        max_sample = 100 * n_lists
     rows = (
-        items.select(vec_col).sample(False, sample_fraction, seed).collect()
-        if sample_fraction < 1.0
-        else items.select(vec_col).collect()
+        items.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<double>"), F.lit(seed)))
+        .limit(max_sample)
+        .collect()
     )
     sample = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
     return _kmeans_centroids(sample, n_lists, seed)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ocr_platform_spark.functions.textfns import fingerprint, normalized_text, word_shingles
@@ -29,12 +30,33 @@ from ocr_platform_spark.functions.textfns import fingerprint, normalized_text, w
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Ensure the expensive signature stage runs on all cores: small/
     single-file inputs arrive as 1-2 partitions — spread them by key hash.
-    When the input is already wide (the 100 TB case) this is skipped, so
-    no extra shuffle lands on the hot path."""
+    When the input is already wide (the 100 TB case: thousands of parquet
+    files) this is skipped, so no extra shuffle lands on the hot path.
+
+    Width check uses ``inputFiles()`` (a pure plan inspection) rather than
+    ``df.rdd.getNumPartitions()``, which would force an RDD conversion of
+    the whole logical plan just to ask a question."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col(key))
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file plan (streaming, local relation)
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
+def _staged(df: DataFrame) -> DataFrame:
+    """Persist a signature-stage projection that several downstream branches
+    consume (candidate generation + both sides of the verification join).
+
+    Without this Spark recomputes the shingle/signature stage once per
+    branch (~3× per near-dup run — the round-1 bench's dominant cost).
+    Signatures are id + a handful of longs — tiny next to the text, so
+    MEMORY_AND_DISK is safe at any corpus scale where the signature table
+    fits the cluster (~100 B/doc → 100 GB per 10^9 docs, spilling to disk
+    beyond memory)."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 # --- exact ------------------------------------------------------------------
 
@@ -57,6 +79,39 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 # --- MinHash + LSH -----------------------------------------------------------
+
+
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_words: int = 3
+) -> DataFrame:
+    """(id, hs array<long>) — DISTINCT xxhash64'd word shingles.
+
+    This is the one projection every MinHash stage consumes, reduced to the
+    smallest faithful form: hashing each shingle string to a long shrinks the
+    per-row payload ~7× (8 B vs ~50 B per 3-word shingle), which makes the
+    persisted stage cheap and the verification joins long-array ops instead
+    of string-array ops. Jaccard over distinct hashed shingles equals Jaccard
+    over the shingles themselves up to 64-bit collisions (~1e-19 per pair),
+    and MinHash over ``xxhash64(h, i)`` is the same uniform-permutation
+    family as over the raw strings."""
+    return _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(word_shingles(text_col, shingle_words), lambda x: F.xxhash64(x))
+        ).alias("hs"),
+    )
+
+
+def minhash_signature_from_hashes(hs_col: str, k: int = 16) -> F.Column:
+    """k-permutation MinHash over a hashed-shingle (``array<long>``) column:
+    permutation i re-keys each shingle hash with ``xxhash64(h, i)`` and takes
+    the min. Operates on the output of :func:`hashed_shingle_sets`."""
+    return F.array(
+        *[
+            F.array_min(F.transform(hs_col, lambda h: F.xxhash64(h, F.lit(i))))
+            for i in range(k)
+        ]
+    )
 
 
 def minhash_signature_from_shingles(sh_col: str, k: int = 16) -> F.Column:
@@ -111,6 +166,9 @@ def _bucket_pairs(
     the quadratic corner — truncation only affects pathological spam
     clusters that exact verification would collapse anyway."""
     w = Window.partitionBy("band_id", "band_hash").orderBy(F.col(id_col))
+    # Both self-join sides share one identical subplan → Spark's exchange
+    # reuse computes the window trim once; no persist barrier needed here
+    # (the expensive text-derived stage upstream is already _staged).
     trimmed = (
         buckets.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= max_bucket)
@@ -140,10 +198,8 @@ def minhash_candidate_pairs(
     shingle_words: int = 3,
 ) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs (id_a < id_b)."""
-    sh = _spread(df, id_col).select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_words).alias("_sh")
-    )
-    sig = sh.select("id", minhash_signature_from_shingles("_sh", k).alias("sig"))
+    hs = hashed_shingle_sets(df, id_col, text_col, shingle_words)
+    sig = hs.select("id", minhash_signature_from_hashes("hs", k).alias("sig"))
     banded = sig.select(
         "id", F.posexplode(minhash_bands("sig", k, rows_per_band)).alias("band_id", "band_hash")
     )
@@ -160,10 +216,13 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: join shingle sets back on
     both sides (shuffle keyed by id — uniform), then
-    ``|A∩B| / |A∪B|`` via array_intersect/array_union on distinct shingles."""
-    sets_df = _spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(text_col, shingle_words)).alias("sh"),
+    ``|A∩B| / |A∪B|`` via array_intersect/array_union on distinct hashed
+    shingles (long arrays — value-identical to string-shingle Jaccard up to
+    64-bit collisions)."""
+    sets_df = _staged(  # consumed twice (id_a side + id_b side)
+        hashed_shingle_sets(df, id_col, text_col, shingle_words).withColumnRenamed(
+            "hs", "sh"
+        )
     )
     j = (
         pairs.join(sets_df.withColumnRenamed("sh", "sh_a"), pairs.id_a == sets_df.id)
@@ -200,19 +259,19 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
 
-    The shingle array is built ONCE per row and feeds both the signature
-    (candidate generation) and the exact-Jaccard verification — sharing the
-    most expensive projection between the two stages."""
-    sh = _spread(df, id_col).select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_words).alias("_sh")
-    )
-    sig = sh.select("id", minhash_signature_from_shingles("_sh", k).alias("sig"))
+    The hashed-shingle set (``array<long>``, ~7× smaller than the string
+    shingles) is built ONCE per row — ``_staged`` persists it — and feeds
+    both the signature (candidate generation) and the exact-Jaccard
+    verification, so the most expensive projection physically executes a
+    single time (pinned by tests/test_plan_quality.py)."""
+    hs = _staged(hashed_shingle_sets(df, id_col, text_col, shingle_words))
+    sig = hs.select("id", minhash_signature_from_hashes("hs", k).alias("sig"))
     banded = sig.select(
         "id",
         F.posexplode(minhash_bands("sig", k, rows_per_band)).alias("band_id", "band_hash"),
     )
     cands = _bucket_pairs(banded, "id", max_bucket)
-    sets_df = sh.select("id", F.array_distinct("_sh").alias("sh"))
+    sets_df = hs.withColumnRenamed("hs", "sh")
     j = (
         cands.join(sets_df.withColumnRenamed("sh", "sh_a"), cands.id_a == sets_df.id)
         .drop("id")
@@ -322,22 +381,28 @@ def _simhash_df(df: DataFrame, id_col: str, text_col: str, shingle_words: int = 
     return hashed.select("id", udf(F.col("_hh")).alias("sh"))
 
 
+def simhash_bands(sh_col: str = "sh", n_bands: int = 8) -> F.Column:
+    """Split the 64-bit SimHash into ``n_bands`` equal bit-bands. Pigeonhole:
+    two hashes within Hamming distance ``n_bands - 1`` MUST agree on at
+    least one band, so banded LSH has full recall up to that radius."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.shiftright(F.col(sh_col), width * j).bitwiseAND(F.lit(mask))
+            for j in range(n_bands)
+        ]
+    )
+
+
 def simhash_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_bucket: int = 64
+    df: DataFrame, id_col: str, text_col: str, max_bucket: int = 64, n_bands: int = 8
 ) -> DataFrame:
-    """LSH over SimHash: split the 64-bit hash into 4×16-bit bands; hashes
-    within Hamming distance 3 share at least one exact band (pigeonhole)."""
+    """LSH over SimHash: 8×8-bit bands → guaranteed candidate coverage for
+    Hamming distance ≤ 7 (pigeonhole); beyond that recall is best-effort."""
     sim = _simhash_df(df, id_col, text_col)
     bands = sim.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("sh"), 16 * j).bitwiseAND(F.lit(0xFFFF))
-                    for j in range(4)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
+        "id", F.posexplode(simhash_bands("sh", n_bands)).alias("band_id", "band_hash")
     )
     return _bucket_pairs(bands, "id", max_bucket)
 
@@ -348,22 +413,20 @@ def hamming64(a: F.Column, b: F.Column) -> F.Column:
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n_bands: int = 8
 ) -> DataFrame:
     """SimHash near-dups: banded candidates → exact Hamming ≤ max_hamming.
-    The (id, sh) signature table is computed once and reused for banding
-    and for the exact verification join."""
-    sim = _simhash_df(df, id_col, text_col)
+
+    The (id, sh) signature table is persisted (``_staged``) so the pandas
+    sign-sum kernel executes exactly once per row even though the table
+    feeds the banding AND both sides of the verification join.
+
+    Recall guarantee: with ``n_bands`` bands, pairs at Hamming distance
+    ≤ ``n_bands - 1`` are guaranteed candidates; callers asking for a larger
+    ``max_hamming`` get best-effort recall beyond that radius."""
+    sim = _staged(_simhash_df(df, id_col, text_col))
     bands = sim.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("sh"), 16 * j).bitwiseAND(F.lit(0xFFFF))
-                    for j in range(4)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
+        "id", F.posexplode(simhash_bands("sh", n_bands)).alias("band_id", "band_hash")
     )
     cands = _bucket_pairs(bands, "id")
     j = (

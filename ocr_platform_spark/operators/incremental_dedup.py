@@ -23,12 +23,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ocr_platform_spark.functions.textfns import word_shingles
 from ocr_platform_spark.operators.dedup import (
     _bucket_pairs,
-    _spread,
+    _staged,
+    hashed_shingle_sets,
     minhash_bands,
-    minhash_signature_from_shingles,
+    minhash_signature_from_hashes,
 )
 from ocr_platform_spark.operators.resume import SnapshotTable
 
@@ -45,13 +45,15 @@ class SignatureStore:
         return self.table.read_data(spark)
 
     def _compute(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        sh = _spread(docs, id_col).select(
-            F.col(id_col).cast("string").alias("id"),
-            word_shingles(text_col, self.shingle_words).alias("_sh"),
+        # Same signature family as the batch pipeline (hashed-shingle
+        # MinHash) so batch and incremental runs over the same corpus agree.
+        hs = hashed_shingle_sets(
+            docs.withColumn(id_col, F.col(id_col).cast("string")),
+            id_col,
+            text_col,
+            self.shingle_words,
         )
-        return sh.select(
-            "id", minhash_signature_from_shingles("_sh", self.k).alias("sig")
-        )
+        return hs.select("id", minhash_signature_from_hashes("hs", self.k).alias("sig"))
 
     def ingest(
         self, docs: DataFrame, id_col: str, text_col: str, run_id: str
@@ -137,7 +139,9 @@ def incremental_near_duplicates(
         )
         .distinct()
     )
-    sig_tbl = all_sigs.unionByName(new_sigs).dropDuplicates(["id"])
+    # sig_tbl feeds BOTH verification joins — persist so the (parquet-read +
+    # union + dedup) subtree runs once, not per join side.
+    sig_tbl = _staged(all_sigs.unionByName(new_sigs).dropDuplicates(["id"]))
     j = (
         cands.join(sig_tbl.withColumnRenamed("sig", "sig_a"), cands.id_a == sig_tbl.id)
         .drop("id")

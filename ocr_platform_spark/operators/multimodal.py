@@ -50,24 +50,16 @@ def media_mime(col: Column | str) -> Column:
     """MIME from magic bytes — JVM-side binary substring comparisons.
     RIFF containers disambiguate on the format tag at offset 9."""
     c = F.col(col) if isinstance(col, str) else col
-    expr = F.lit("application/octet-stream")
-    # RIFF family first (shared 4-byte prefix)
-    expr = (
-        F.when(
-            (F.substring(c, 1, 4) == F.lit(b"RIFF"))
-            & (F.substring(c, 9, 4) == F.lit(b"WEBP")),
-            "image/webp",
-        )
-        .when(
-            (F.substring(c, 1, 4) == F.lit(b"RIFF"))
-            & (F.substring(c, 9, 4) == F.lit(b"WAVE")),
-            "audio/wav",
-        )
-        .otherwise(expr)
+    # One chained CASE in the SAME priority order as the Python twin
+    # `_sniff_py` (RIFF family first, then _MAGIC_RULES first-match-wins) so
+    # the expression and the kernel classify ambiguous payloads identically.
+    riff = F.substring(c, 1, 4) == F.lit(b"RIFF")
+    expr = F.when(riff & (F.substring(c, 9, 4) == F.lit(b"WEBP")), "image/webp").when(
+        riff & (F.substring(c, 9, 4) == F.lit(b"WAVE")), "audio/wav"
     )
     for off, magic, mime, _cat in _MAGIC_RULES:
-        expr = F.when(F.substring(c, off, len(magic)) == F.lit(magic), mime).otherwise(expr)
-    return expr
+        expr = expr.when(F.substring(c, off, len(magic)) == F.lit(magic), mime)
+    return expr.otherwise(F.lit("application/octet-stream"))
 
 
 _MIME_CATEGORY = {

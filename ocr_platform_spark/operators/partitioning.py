@@ -94,20 +94,28 @@ def repartition_size_tiered(
 def detect_hot_hosts(docs: DataFrame, threshold_fraction: float = 0.01) -> list[str]:
     """Hosts owning more than ``threshold_fraction`` of rows.
 
-    One cheap aggregate over the url column only (payloads pruned). At 10^12
-    rows the same aggregate runs on a sample: ``docs.sample(1e-4)`` — host
-    frequencies are stable under uniform sampling."""
-    total = docs.count()
-    if total == 0:
-        return []
-    rows = (
+    ONE scan of the url column (payloads pruned): the per-host counts are
+    persisted, then the grand total and the threshold filter are two tiny
+    jobs over that cached host-dimension table — the 10^12-row fact table is
+    never read twice. At extreme scale the same shape runs on
+    ``docs.sample(1e-4)`` — host frequencies are stable under uniform
+    sampling."""
+    from pyspark import StorageLevel
+
+    agg = (
         docs.select(host_of("url").alias("host"))
         .groupBy("host")
         .count()
-        .where(F.col("count") > total * threshold_fraction)
-        .collect()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return sorted(r["host"] for r in rows)
+    try:
+        total = agg.agg(F.sum("count").alias("t")).first()["t"] or 0
+        if total == 0:
+            return []
+        rows = agg.where(F.col("count") > total * threshold_fraction).collect()
+        return sorted(r["host"] for r in rows)
+    finally:
+        agg.unpersist()
 
 
 def with_salted_host(

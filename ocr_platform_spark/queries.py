@@ -1102,9 +1102,14 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("simhash_near_dups")
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (rows-only; goldens in tests)."""
+    """SimHash banded near-dup pairs (rows-only; goldens in tests).
+
+    max_hamming=7 is the exact recall guarantee of the 8×8-bit banding
+    (pigeonhole: any pair within distance n_bands-1 shares a band) — asking
+    for a larger radius than the banding guarantees would silently drop
+    pairs found 'only by luck'."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_duplicates(d, "doc_id", "text", max_hamming=10).orderBy(
+    return dedup.simhash_near_duplicates(d, "doc_id", "text", max_hamming=7).orderBy(
         "id_a", "id_b"
     )
 

@@ -97,13 +97,28 @@ def split_warc_records(segment: bytes) -> Iterator[tuple[str, datetime, bytes]]:
     iteration rather than raising (error-as-data discipline: a truncated
     segment yields its readable prefix)."""
     if segment[:2] == b"\x1f\x8b":
-        data = b""
-        try:
-            with gzip.GzipFile(fileobj=io.BytesIO(segment)) as gz:
-                data = gz.read()  # reads all concatenated members
-        except (OSError, EOFError):
-            if not data:
-                return
+        # Decompress member-by-member (zlib.decompressobj per gzip member) so
+        # a truncated/corrupt trailing member discards ONLY itself: every
+        # member decoded before the failure contributes its records. A single
+        # gz.read() over the whole BytesIO would raise before assigning and
+        # lose the intact prefix.
+        import zlib
+
+        chunks: list[bytes] = []
+        buf = segment
+        while buf[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+            try:
+                chunk = d.decompress(buf)
+                chunks.append(chunk)
+                if not d.eof:  # member truncated mid-stream: keep its
+                    break      # partial bytes; the record parser stops clean
+                buf = d.unused_data
+            except zlib.error:
+                break  # corrupt member: keep the prefix decoded so far
+        data = b"".join(chunks)
+        if not data:
+            return
     else:
         data = segment
     pos = 0

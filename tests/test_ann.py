@@ -99,3 +99,16 @@ def test_ivf_topk_recall_and_determinism(spark):
     again = ivf_topk(emb, queries, cents, k=5, n_probe=4)
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in got.collect()}
     emb.unpersist()
+
+
+def test_train_ivf_driver_sample_is_bounded(spark):
+    """The quantizer trains on a bounded deterministic sample — never a full
+    collect — so a naive caller at 10^9 vectors cannot OOM the driver."""
+    df, _ = _table(spark, n=500, dim=8)
+    c1 = ann.train_ivf(df, n_lists=4, max_sample=50)
+    c2 = ann.train_ivf(df, n_lists=4, max_sample=50)
+    assert c1.shape == (4, 8)
+    assert np.allclose(c1, c2)
+    # default cap: 100 * n_lists, independent of table size
+    c3 = ann.train_ivf(df, n_lists=2)
+    assert c3.shape == (2, 8)

@@ -237,3 +237,35 @@ def test_tokenizer_fuzz_no_crash_and_deterministic():
             assert text[st_:en] == v  # span offsets always valid
 
     check()
+
+
+def test_pdf_indirect_length_not_treated_as_byte_count():
+    """'/Length 5 0 R' (indirect reference — the dominant real-PDF shape)
+    must NOT slice the stream to the object number 5; the endstream-delimited
+    heuristic recovers the full text."""
+    from ocr_platform_spark.kernels.pdf_extract import extract_pdf
+
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 5 0 R >>\nstream\n"
+        b"BT (Hello indirect world) Tj ET\n"
+        b"endstream\nendobj\n"
+    )
+    text, spans, err = extract_pdf(pdf)
+    assert text == "Hello indirect world"
+    assert err is None
+
+
+def test_pdf_direct_length_still_authoritative():
+    from ocr_platform_spark.kernels.pdf_extract import extract_pdf
+
+    body = b"BT (Direct) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n"
+        + body
+        + b"\nendstream\nendobj\n"
+    )
+    text, _spans, err = extract_pdf(pdf)
+    assert text == "Direct"
+    assert err is None

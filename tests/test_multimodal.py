@@ -101,3 +101,23 @@ def test_fake_decode_paths_deterministic(spark):
     per_vid = frames.groupBy("media_id").count()
     assert per_vid.count() == 12
     assert frames.where(F.col("ts_ms") != F.col("frame_index") * 1000).count() == 0
+
+
+def test_ambiguous_riff_ftyp_payload_agrees():
+    """A RIFF header whose bytes at offset 5 spell 'ftyp' matches two rules;
+    the column expression and the Python twin must share ONE priority order
+    (RIFF family first)."""
+    from ocr_platform_spark.operators.multimodal import _sniff_py
+
+    payload = b"RIFFftypWEBPVP8 " + b"\x00" * 16
+    mime_py, cat_py = _sniff_py(payload)
+    assert mime_py == "image/webp" and cat_py == "image"
+
+
+def test_ambiguous_riff_ftyp_expression_agrees(spark):
+    from ocr_platform_spark.operators.multimodal import _sniff_py, media_mime
+
+    payload = b"RIFFftypWEBPVP8 " + b"\x00" * 16
+    df = spark.createDataFrame([(payload,)], "payload binary")
+    got = df.select(media_mime("payload").alias("m")).first()["m"]
+    assert got == _sniff_py(payload)[0] == "image/webp"

@@ -88,3 +88,12 @@ def test_whole_stage_codegen_covers_conversions(spark):
     # '*'-prefixed nodes are inside WholeStageCodegen spans (formatted mode)
     assert "* Project" in plan and "* Filter" in plan
     assert "EvalPython" not in plan  # conversions are pure column expressions
+
+
+def test_near_dup_signature_stage_is_cached(spark):
+    """The near-dup pipelines fan the signature table out to candidate
+    generation AND both verification-join sides; without a persisted stage
+    the shingle/signature kernels recompute ~3× per run. Pin the cache."""
+    for qname in ("minhash_near_dups", "simhash_near_dups"):
+        plan = _formatted(CATALOG[qname].fn(spark, SF))
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, qname

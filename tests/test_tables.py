@@ -97,3 +97,26 @@ def test_tables_deterministic_across_partitions(spark):
     a = table_cells_eav(extract_tables(_docs(spark, 12))).collect()
     b = table_cells_eav(extract_tables(_docs(spark, 12).repartition(5))).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_nested_table_keeps_parent_row_open():
+    """A <td> containing a nested <table> must not split the parent row:
+    per-table row/cell state is suspended at inner-table start and restored
+    at its end (row_index stability for table_cells_eav on layout-table
+    pages)."""
+    html = (
+        b"<table><tr><td>A</td>"
+        b"<td><table><tr><td>X</td><td>Y</td></tr></table></td>"
+        b"<td>B</td></tr>"
+        b"<tr><td>C</td><td>D</td><td>E</td></tr></table>"
+    )
+    tables, err = extract_html_tables(html)
+    assert err is None
+    inner = [t for t in tables if t["rows"] == [["X", "Y"]]]
+    assert len(inner) == 1
+    outer = [t for t in tables if t["rows"] != [["X", "Y"]]]
+    assert len(outer) == 1
+    rows = outer[0]["rows"]
+    assert len(rows) == 2
+    assert rows[0][0] == "A" and rows[0][-1] == "B"
+    assert rows[1] == ["C", "D", "E"]

@@ -67,3 +67,22 @@ def test_warc_to_extraction_end_to_end(spark, tmp_path):
     assert joined.where(
         F.coalesce("text", F.lit("")) != F.coalesce("expected", F.lit(""))
     ).count() == 0
+
+
+def test_truncated_gzip_segment_yields_prefix():
+    """A cut inside the LAST gzip member must not discard the intact earlier
+    members (member-by-member decompression, not one gz.read())."""
+    docs = _docs(5)
+    seg = build_warc_segment(
+        [(d["url"], d["warc_ts"], d["html"]) for d in docs], compress=True
+    )
+    cut = seg[: len(seg) - 20]  # damage only the final member
+    back = list(split_warc_records(cut))
+    assert len(back) >= 4
+    assert [(u, p) for u, _t, p in back[:4]] == [
+        (d["url"], d["html"]) for d in docs[:4]
+    ]
+
+
+def test_fully_corrupt_gzip_yields_nothing():
+    assert list(split_warc_records(b"\x1f\x8b" + b"\x00" * 30)) == []
