@@ -107,6 +107,60 @@ class SnapshotTable:
         os.replace(tmp, os.path.join(snap_dir, _MANIFEST))  # the commit point
         return manifest
 
+    # -- invalidate / reprocess (tombstones) ---------------------------------
+    #
+    # The reference reprocesses a document by DELETEing its OCR rows and
+    # resetting status to PENDING inside one transaction
+    # (``document_routes.py:448-484``), then re-running extraction. Immutable
+    # snapshots can't delete in place; instead ``invalidate`` appends a
+    # *tombstone*: a small parquet of keys plus the list of run_ids it
+    # covers (every run committed before the tombstone — runs committed
+    # AFTER it are new data and must stay visible). Readers anti-join
+    # tombstoned (key, run) pairs out; ``pending_documents`` then sees the
+    # keys as unprocessed and the next run rewrites them in a new snapshot.
+    # This is Iceberg's delete-file/MERGE-on-read shape: no committed file
+    # is ever rewritten, and a crashed invalidate is invisible (manifest is
+    # the commit point).
+
+    def _tomb_root(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
+    def invalidate(self, keys: DataFrame, key: str = "url", tag: str | None = None) -> dict:
+        """Mark ``keys`` for reprocessing: hide their rows in every snapshot
+        committed so far. Idempotent on ``tag``. Returns the tombstone
+        manifest."""
+        tag = tag or f"ts-{int(time.time() * 1000)}"
+        tomb_dir = os.path.join(self._tomb_root(), tag)
+        marker = os.path.join(tomb_dir, _MANIFEST)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return json.load(f)
+        covered = self.committed_runs()
+        keys.select(F.col(key).alias("key")).distinct().write.mode("overwrite").parquet(
+            os.path.join(tomb_dir, "keys")
+        )
+        manifest = {"tag": tag, "key": key, "runs": covered}
+        tmp = os.path.join(tomb_dir, f".{_MANIFEST}.tmp")
+        os.makedirs(tomb_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, marker)
+        return manifest
+
+    def _tombstones(self) -> list[dict]:
+        root = self._tomb_root()
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for d in sorted(os.listdir(root)):
+            marker = os.path.join(root, d, _MANIFEST)
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    m = json.load(f)
+                m["keys_dir"] = os.path.join(root, d, "keys")
+                out.append(m)
+        return out
+
     # -- read side -----------------------------------------------------------
     def committed_runs(self) -> list[str]:
         if not os.path.isdir(self.snap_root):
@@ -128,7 +182,38 @@ class SnapshotTable:
         return spark.read.parquet(*dirs)
 
     def read_data(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_union(spark, "data")
+        """Committed rows minus tombstoned (key, run) pairs.
+
+        Fast path (no tombstones): one multi-dir parquet scan, unchanged.
+        With tombstones: per-run scans, each anti-joined against the
+        broadcast union of the tombstone keys covering that run — tombstone
+        keys are reprocess requests, i.e. tiny next to the data."""
+        tombs = self._tombstones()
+        if not tombs:
+            return self._read_union(spark, "data")
+        runs = self.committed_runs()
+        parts: list[DataFrame] = []
+        for r in runs:
+            d = os.path.join(self.snap_root, r, "data")
+            if not os.path.isdir(d):
+                continue
+            df = spark.read.parquet(d)
+            covering = [t for t in tombs if r in t["runs"]]
+            if covering:
+                key = covering[0]["key"]
+                keys_df = spark.read.parquet(*[t["keys_dir"] for t in covering])
+                df = df.join(
+                    F.broadcast(keys_df.select(F.col("key").alias(key)).distinct()),
+                    key,
+                    "left_anti",
+                )
+            parts.append(df)
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_lineage(self, spark: SparkSession) -> DataFrame | None:
         return self._read_union(spark, "lineage")

@@ -1381,6 +1381,349 @@ def extract_eav_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Correction overlay (J5 MERGE-on-read), OR-key lookup (J7), keyword
+# dispatch (P10), blocklist (P11) — the reference's write/lookup lifecycle
+# =========================================================================
+
+
+@q(
+    "corrected_field_values",
+    """
+    WITH eav AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url, 'LANG' AS field_name,
+             lang AS predicted_value FROM documents
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 'SOURCE', source FROM documents
+    ),
+    corr AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url, 'LANG' AS field_name,
+             UPPER(lang) AS corrected_value,
+             TIMESTAMP '2024-01-01' AS corrected_at
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 'LANG', 'xx',
+             TIMESTAMP '2024-02-01'
+      FROM documents WHERE doc_id % 40 = 0
+    ),
+    latest AS (
+      SELECT url, field_name, corrected_value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY url, field_name
+          ORDER BY corrected_at DESC, corrected_value DESC) AS rn
+        FROM corr) t WHERE rn = 1
+    )
+    SELECT e.url, e.field_name,
+           COALESCE(l.corrected_value, e.predicted_value) AS value
+    FROM eav e LEFT JOIN latest l USING (url, field_name)
+    ORDER BY url, field_name
+    """,
+)
+def corrected_field_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 correction lifecycle, oracle-checked end-to-end: EAV rows +
+    an append-only correction log → latest-wins overlay → canonical value
+    (``apply_corrections`` + ``canonical_value``; reference
+    document_routes.py:487-533 write, :416-446 read)."""
+    from ocr_platform_spark.operators.corrections import apply_corrections
+    from ocr_platform_spark.operators.eav import canonical_value
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.col("doc_id").cast("string").alias("url")
+    eav = (
+        d.select(url, F.lit("LANG").alias("field_name"), F.col("lang").alias("predicted_value"))
+        .unionByName(
+            d.select(url, F.lit("SOURCE").alias("field_name"), F.col("source").alias("predicted_value"))
+        )
+        .withColumn("row_index", F.lit(None).cast("int"))
+        .withColumn("column_name", F.lit(None).cast("string"))
+        .withColumn("actual_value", F.lit(None).cast("string"))
+    )
+    corr = (
+        d.where(F.col("doc_id") % 20 == 0)
+        .select(
+            url,
+            F.lit("LANG").alias("field_name"),
+            F.lit(None).cast("int").alias("row_index"),
+            F.lit(None).cast("string").alias("column_name"),
+            F.upper("lang").alias("corrected_value"),
+            F.lit("2024-01-01").cast("timestamp").alias("corrected_at"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 40 == 0).select(
+                url,
+                F.lit("LANG").alias("field_name"),
+                F.lit(None).cast("int").alias("row_index"),
+                F.lit(None).cast("string").alias("column_name"),
+                F.lit("xx").alias("corrected_value"),
+                F.lit("2024-02-01").cast("timestamp").alias("corrected_at"),
+            )
+        )
+    )
+    return (
+        apply_corrections(eav, corr)
+        .select("url", "field_name", canonical_value().alias("value"))
+        .orderBy("url", "field_name")
+    )
+
+
+@q(
+    "ledger_or_alias_lookup",
+    """
+    WITH dim AS (
+      SELECT c_custkey AS ledger_key, c_name AS name,
+             'AL-' || CAST(c_custkey AS VARCHAR) AS alias
+      FROM customer
+    ),
+    probes AS (
+      SELECT c_custkey AS probe_id,
+             CASE CAST(c_custkey % 3 AS INT)
+               WHEN 0 THEN UPPER(c_name)
+               WHEN 1 THEN '  al-' || CAST(c_custkey AS VARCHAR) || ' '
+               ELSE 'no-such-ledger-' || CAST(c_custkey AS VARCHAR)
+             END AS probe
+      FROM customer
+    )
+    SELECT p.probe_id, p.probe, d.ledger_key, d.name
+    FROM probes p LEFT JOIN dim d
+      ON LOWER(TRIM(p.probe)) = LOWER(TRIM(d.name))
+      OR LOWER(TRIM(p.probe)) = LOWER(TRIM(d.alias))
+    ORDER BY p.probe_id
+    """,
+)
+def ledger_or_alias_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: case-insensitive name-OR-alias dimension lookup (the reference's
+    ledger search, ``app/tally/data_retrieval.py:184-217``). The OR-of-two-
+    equalities predicate has no hash-join form — with a broadcast dimension
+    it executes as BroadcastNestedLoopJoin, the correct plan for a tiny dim
+    at any fact scale."""
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        F.col("c_custkey").alias("ledger_key"),
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("AL-"), F.col("c_custkey").cast("string")).alias("alias"),
+    )
+    probes = c.select(
+        F.col("c_custkey").alias("probe_id"),
+        F.when(F.pmod("c_custkey", F.lit(3)) == 0, F.upper("c_name"))
+        .when(
+            F.pmod("c_custkey", F.lit(3)) == 1,
+            F.concat(F.lit("  al-"), F.col("c_custkey").cast("string"), F.lit(" ")),
+        )
+        .otherwise(F.concat(F.lit("no-such-ledger-"), F.col("c_custkey").cast("string")))
+        .alias("probe"),
+    )
+    norm = lambda col: F.lower(F.trim(col))  # noqa: E731
+    return (
+        probes.join(
+            F.broadcast(dim),
+            (norm(F.col("probe")) == norm(F.col("name")))
+            | (norm(F.col("probe")) == norm(F.col("alias"))),
+            "left",
+        )
+        .select("probe_id", "probe", "ledger_key", "name")
+        .orderBy("probe_id")
+    )
+
+
+#: P11 — the reference's document-specific fields that must never auto-load
+#: dimension options (``app/tally/tally_field_options.py:371-407``).
+NON_TALLY_FIELDS = [
+    "invoice_number", "po_number", "challan_number", "eway_bill_number",
+    "voucher_reference", "lr_number", "vehicle_number", "invoice_date",
+    "due_date", "challan_date", "eway_bill_date", "quantity", "unit_price",
+    "line_total", "total_amount", "subtotal", "gst_rate", "cgst_rate",
+    "sgst_rate", "igst_rate", "taxable_value", "cgst_amount", "sgst_amount",
+    "igst_amount", "hsn_code", "sac_code", "vendor_gstin", "customer_gstin",
+    "vendor_pan", "customer_pan", "ifsc_code", "upi_id",
+]
+
+_FIELD_NAME_CYCLE = [
+    "vendor_name", "customer_name", "item_description", "unit_of_measure",
+    "company_name", "invoice_number", "total_amount", "supplier_name",
+    "stock_item_name", "uom", "place_of_supply", "quantity",
+]
+
+
+def _synth_field_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic field-name probe set derived from the part table."""
+    p = _t(spark, sf_dir, "part")
+    cyc = F.element_at(
+        F.array(*[F.lit(s) for s in _FIELD_NAME_CYCLE]),
+        (F.pmod("p_partkey", F.lit(len(_FIELD_NAME_CYCLE))) + 1).cast("int"),
+    )
+    return p.select(F.col("p_partkey").alias("field_id"), cyc.alias("field_name_str"))
+
+
+def _field_cycle_sql() -> str:
+    whens = "\n".join(
+        f"        WHEN {i} THEN '{s}'" for i, s in enumerate(_FIELD_NAME_CYCLE)
+    )
+    return (
+        "SELECT p_partkey AS field_id,\n"
+        "       CASE CAST(p_partkey % 12 AS INT)\n"
+        f"{whens}\n"
+        "       END AS field_name_str\n"
+        "FROM part"
+    )
+
+
+@q(
+    "field_option_dispatch",
+    f"""
+    WITH fields AS ({_field_cycle_sql()})
+    SELECT
+      CASE
+        WHEN (field_name_str LIKE '%vendor%' OR field_name_str LIKE '%supplier%'
+              OR field_name_str LIKE '%creditor%')
+             AND field_name_str LIKE '%name%' THEN 'ledgers:Sundry Creditors'
+        WHEN (field_name_str LIKE '%customer%' OR field_name_str LIKE '%client%'
+              OR field_name_str LIKE '%debtor%')
+             AND field_name_str LIKE '%name%' THEN 'ledgers:Sundry Debtors'
+        WHEN (field_name_str LIKE '%item%' OR field_name_str LIKE '%product%'
+              OR field_name_str LIKE '%stock%')
+             AND (field_name_str LIKE '%description%' OR field_name_str LIKE '%name%')
+          THEN 'stock_items'
+        WHEN field_name_str LIKE '%unit%' OR field_name_str LIKE '%uom%'
+             OR field_name_str LIKE '%measure%' THEN 'units'
+        WHEN field_name_str LIKE '%company%' AND field_name_str LIKE '%name%'
+          THEN 'companies'
+        ELSE 'skip:no_mapping_defined'
+      END AS route,
+      COUNT(*) AS n_fields
+    FROM fields
+    GROUP BY route
+    ORDER BY route
+    """,
+)
+def field_option_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: the keyword-dispatch CASE routing field names to option loaders
+    (``app/tally/tally_field_options.py:473-496``) — ordered keyword checks,
+    first match wins, default = skip."""
+    fields = _synth_field_names(spark, sf_dir)
+    s = F.col("field_name_str")
+    has = lambda *kws: F.greatest(*[s.contains(k) for k in kws]) if len(kws) > 1 else s.contains(kws[0])  # noqa: E731
+    route = (
+        F.when(has("vendor", "supplier", "creditor") & s.contains("name"), "ledgers:Sundry Creditors")
+        .when(has("customer", "client", "debtor") & s.contains("name"), "ledgers:Sundry Debtors")
+        .when(has("item", "product", "stock") & (s.contains("description") | s.contains("name")), "stock_items")
+        .when(has("unit", "uom", "measure"), "units")
+        .when(s.contains("company") & s.contains("name"), "companies")
+        .otherwise("skip:no_mapping_defined")
+    )
+    return (
+        fields.select(route.alias("route"))
+        .groupBy("route")
+        .agg(F.count("*").alias("n_fields"))
+        .orderBy("route")
+    )
+
+
+@q(
+    "blocklist_filter",
+    f"""
+    WITH fields AS ({_field_cycle_sql()})
+    SELECT field_id, field_name_str
+    FROM fields
+    WHERE field_name_str NOT IN ({", ".join(f"'{s}'" for s in NON_TALLY_FIELDS)})
+    ORDER BY field_id
+    """,
+)
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: the non-Tally-field blocklist (~isin over the 32 document-
+    specific names, ``tally_field_options.py:371-407``) — fields allowed to
+    auto-load dimension options."""
+    fields = _synth_field_names(spark, sf_dir)
+    return (
+        fields.where(~F.col("field_name_str").isin(NON_TALLY_FIELDS))
+        .orderBy("field_id")
+    )
+
+
+@q("process_table_subfields")
+def process_table_subfields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column TABLE fields end-to-end (ocr_routes.py:620-698): HTML
+    table kernel → cells EAV → sub-field binding join → per-column typed
+    conversion → per-sub-field SELECT mapping → per-column tallies
+    (rows-only; value-level goldens in tests/test_process_documents.py)."""
+    from ocr_platform_spark.operators.tables import extract_tables, table_cells_eav
+    from ocr_platform_spark.plans.process_documents import (
+        SUB_FIELDS_DDL,
+        process_table_fields,
+    )
+
+    pages = [
+        (
+            f"https://inv.example.org/{k}",
+            None,
+            (
+                "<html><body><table>"
+                "<tr><th>ITEM</th><th>QTY</th><th>PRICE</th><th>STATUS</th></tr>"
+                + "".join(
+                    f"<tr><td>part {k}-{i}</td><td>{i if (k + i) % 5 else 'bad'}</td>"
+                    f"<td>${i}.25</td><td>{'shiped' if i % 2 else 'Delivered'}</td></tr>"
+                    for i in range(2 + k % 3)
+                )
+                + "</table></body></html>"
+            ).encode(),
+            None,
+            "en",
+        )
+        for k in range(40)
+    ]
+    docs = spark.createDataFrame(
+        pages, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    sub_fields = spark.createDataFrame(
+        [
+            ("LINE_ITEMS", "ITEM", "text", 1),
+            ("LINE_ITEMS", "QTY", "integer", 2),
+            ("LINE_ITEMS", "PRICE", "currency", 3),
+            ("LINE_ITEMS", "STATUS", "select", 4),
+        ],
+        SUB_FIELDS_DDL,
+    )
+    options = spark.createDataFrame(
+        [
+            ("STATUS", "SHIPPED", "shipped"),
+            ("STATUS", "DELIVERED", "delivered"),
+        ],
+        "column_name string, option_value string, option_label string",
+    )
+    rows = process_table_fields(table_cells_eav(extract_tables(docs)), sub_fields, options)
+    return (
+        rows.groupBy("column_name", "data_type")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.count("conversion_error").alias("n_errors"),
+            F.count("mapped_value").alias("n_mapped"),
+        )
+        .orderBy("column_name")
+    )
+
+
+@q("incremental_minhash_pairs")
+def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup over a growing corpus (SignatureStore): batch 1
+    commits signatures, batch 2 ingests only new ids and pairs new×all —
+    estimator-verified with no text re-read (rows-only; invariants in
+    tests/test_incremental_dedup.py)."""
+    import tempfile
+
+    from ocr_platform_spark.operators.incremental_dedup import (
+        SignatureStore,
+        incremental_near_duplicates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    store = SignatureStore(tempfile.mkdtemp(prefix="incdedup-"), k=16)
+    half = d.agg(F.max("doc_id")).first()[0] // 2
+    store.ingest(d.where(F.col("doc_id") <= half), "doc_id", "text", run_id="b1")
+    new_sigs = store.ingest(d.where(F.col("doc_id") > half), "doc_id", "text", run_id="b2")
+    return incremental_near_duplicates(store, new_sigs, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -97,3 +97,11 @@ def test_near_dup_signature_stage_is_cached(spark):
     for qname in ("minhash_near_dups", "simhash_near_dups"):
         plan = _formatted(CATALOG[qname].fn(spark, SF))
         assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, qname
+
+
+def test_or_key_lookup_is_broadcast_nested_loop(spark):
+    """J7's OR-of-equalities predicate can't hash-join; with a broadcast
+    dimension it must plan as BroadcastNestedLoopJoin — never a cartesian."""
+    plan = _formatted(CATALOG["ledger_or_alias_lookup"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
