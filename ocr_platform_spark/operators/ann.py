@@ -113,6 +113,83 @@ def quantized_topk(
     )
 
 
+def _quantize(c: F.Column, scale: int) -> F.Column:
+    return F.transform(c, lambda x: F.round(x.cast("double") * scale, 0).cast("long"))
+
+
+def _quantized_cosine(a: str, b: str) -> F.Column:
+    """Exact-integer quantized cosine between two ``array<long>`` columns —
+    the cross-engine-deterministic scoring step shared by every verified
+    ANN tail."""
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, v: acc + v)
+    na = F.aggregate(a, zero, lambda acc, v: acc + v * v)
+    nb = F.aggregate(b, zero, lambda acc, v: acc + v * v)
+    return F.when(
+        (na > 0) & (nb > 0),
+        F.round(dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def quantized_rank_candidates(
+    cands: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Score a precomputed (query_id, item_id) candidate set with the exact
+    quantized cosine and keep the per-query top-k — the verification tail of
+    the LSH/IVF paths, reproducible in any SQL engine over the same
+    candidate table (the approximate part of ANN is *candidate generation*;
+    the scoring/top-k tail is exact and therefore oracle-checkable)."""
+    qz = vectors.select(
+        F.col(id_col).alias("_vid"), _quantize(F.col(vec_col), scale).alias("_v")
+    )
+    j = (
+        cands.join(
+            qz.withColumnRenamed("_vid", "query_id").withColumnRenamed("_v", "q_v"),
+            "query_id",
+        )
+        .join(
+            qz.withColumnRenamed("_vid", "item_id").withColumnRenamed("_v", "i_v"),
+            "item_id",
+        )
+        .select("query_id", "item_id", _quantized_cosine("q_v", "i_v").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("item_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def quantized_verify_pairs(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact quantized-cosine verification of (id_a, id_b) candidate pairs:
+    keep pairs at ``cosine >= threshold`` (the near-dup tail, cross-engine
+    exact)."""
+    qz = vectors.select(
+        F.col(id_col).alias("_vid"), _quantize(F.col(vec_col), scale).alias("_v")
+    )
+    j = (
+        pairs.join(
+            qz.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "v_a"), "id_a"
+        )
+        .join(qz.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "v_b"), "id_b")
+        .select("id_a", "id_b", _quantized_cosine("v_a", "v_b").alias("cosine"))
+    )
+    return j.where(F.col("cosine") >= threshold)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Deterministic Gaussian hyperplanes (seeded; same on every worker)."""
     return np.random.RandomState(seed).standard_normal((dim, n_planes)).astype(np.float64)
@@ -166,6 +243,35 @@ def with_lsh_bucket(
     return df.withColumn(out_col, _bucket(F.col(vec_col)))
 
 
+def lsh_candidates(
+    items: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Distinct (query_id, item_id) bucket-colliding candidate pairs — the
+    approximate half of :func:`lsh_topk`, exposed so the exact scoring tail
+    can run over a staged copy (oracle-verifiable)."""
+    it = with_lsh_bucket(
+        items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec")),
+        "i_vec", n_planes, n_tables, seed,
+    ).select("item_id", F.explode("buckets").alias("bucket"))
+    q = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", n_planes, n_tables, seed, multiprobe=multiprobe,
+    ).select("query_id", F.explode("buckets").alias("bucket"))
+    return (
+        it.join(F.broadcast(q), "bucket")
+        .where(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id")
+        .distinct()
+    )
+
+
 def lsh_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -203,6 +309,32 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 3,
+    seed: int = 42,
+    max_bucket: int = 128,
+) -> DataFrame:
+    """Distinct self-join candidate pairs (id_a < id_b) from the near-dup
+    LSH buckets — generation half of :func:`embedding_near_duplicates`."""
+    b = with_lsh_bucket(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "vec", n_planes, n_tables, seed,
+    ).select("id", F.explode("buckets").alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("id")
+    b = b.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= max_bucket).drop("_rn")
+    a = b.alias("a")
+    c = b.alias("b")
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
 
 
@@ -320,6 +452,32 @@ def train_ivf(
     )
     sample = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
     return _kmeans_centroids(sample, n_lists, seed)
+
+
+def ivf_candidates(
+    items: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Distinct (query_id, item_id) pairs from probed IVF lists — generation
+    half of :func:`ivf_topk`, exposed for the staged-oracle scoring tail."""
+    it = ivf_assign(
+        items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec")),
+        centroids, "i_vec", n_probe=1,
+    ).select("item_id", F.explode("ivf_list").alias("list_id"))
+    q = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        centroids, "q_vec", n_probe=n_probe,
+    ).select("query_id", F.explode("ivf_list").alias("list_id"))
+    return (
+        it.join(F.broadcast(q), "list_id")
+        .where(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id")
+        .distinct()
+    )
 
 
 def ivf_topk(

@@ -132,13 +132,21 @@ def with_salted_host(
     return docs.withColumn("host", host).withColumn("host_salted", salted)
 
 
-def per_host_stats(docs: DataFrame, hot_hosts: list[str], salt: int = 16) -> DataFrame:
+def per_host_stats(
+    docs: DataFrame, hot_hosts: list[str], salt: int = 16, size: F.Column | None = None
+) -> DataFrame:
     """Skew-safe per-host rollup: partial agg on the salted key, then final
-    agg on the true host — the hot key's work spreads over ``salt`` tasks."""
+    agg on the true host — the hot key's work spreads over ``salt`` tasks.
+
+    ``size`` overrides the per-row byte measure (default: html payload
+    length) — callers working from a pre-projected (url, n_bytes) table pass
+    ``F.col("n_bytes")`` so the payload column never has to travel."""
+    if size is None:
+        size = F.coalesce(F.length("html"), F.lit(0))
     salted = with_salted_host(docs, hot_hosts, salt)
     partial = salted.groupBy("host", "host_salted").agg(
         F.count("*").alias("n"),
-        F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("bytes"),
+        F.sum(size).alias("bytes"),
     )
     return (
         partial.groupBy("host")

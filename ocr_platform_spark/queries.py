@@ -37,6 +37,7 @@ from ocr_platform_spark.functions import conversions as C
 from ocr_platform_spark.functions import textfns as TX
 from ocr_platform_spark.operators import ann, dedup
 from ocr_platform_spark.operators.select_mapping import map_select_single_vocab
+from ocr_platform_spark.staging import stage, staged_glob
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1090,27 +1091,114 @@ def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- no-oracle text ops (engine-specific hashes) --------------------------
 
 
-@q("minhash_near_dups")
+@q(
+    "minhash_near_dups",
+    f"""
+    WITH hs AS (SELECT * FROM read_parquet('{staged_glob("minhash_hs")}')),
+    c AS (SELECT * FROM read_parquet('{staged_glob("minhash_cands")}')),
+    j AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(a.hs, b.hs)) AS n_common,
+             len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS n_union
+      FROM c JOIN hs a ON c.id_a = a.id JOIN hs b ON c.id_b = b.id
+    )
+    SELECT id_a, id_b, CAST(n_common AS INT) AS n_common,
+           CAST(n_union AS INT) AS n_union,
+           CAST(n_common AS DOUBLE) / n_union AS jaccard
+    FROM j
+    WHERE n_union > 0 AND CAST(n_common AS DOUBLE) / n_union >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (xxhash64 has no DuckDB equivalent →
-    rows-only driver check; value-level goldens live in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup pairs, verification stage oracle-checked.
+
+    The xxhash64 shingle/signature kernel has no DuckDB equivalent, so the
+    query is split at the staged-parquet boundary (staging.py): the hashed
+    shingle sets and the LSH candidate pairs are materialized, and BOTH
+    engines compute the exact-Jaccard verification + threshold from those
+    same files (DuckDB via list_intersect). Candidate *generation* stays
+    pinned by tests/test_dedup.py recall goldens. Jaccard is an unrounded
+    division of the exact integer intersection/union sizes — bit-identical
+    in any engine."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_near_duplicates(d, "doc_id", "text", threshold=0.5).orderBy(
-        "id_a", "id_b"
+    hs = stage(
+        dedup.hashed_shingle_sets(d, "doc_id", "text"), "minhash_hs", partitions=8
+    )
+    sig = hs.select("id", dedup.minhash_signature_from_hashes("hs", 16).alias("sig"))
+    banded = sig.select(
+        "id", F.posexplode(dedup.minhash_bands("sig", 16, 2)).alias("band_id", "band_hash")
+    )
+    cands = stage(dedup._bucket_pairs(banded, "id", 64), "minhash_cands")
+    sets_df = hs.withColumnRenamed("hs", "sh")
+    j = (
+        cands.join(sets_df.withColumnRenamed("sh", "sh_a"), cands.id_a == sets_df.id)
+        .drop("id")
+        .join(
+            sets_df.withColumnRenamed("sh", "sh_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            inter.alias("n_common"),
+            union.alias("n_union"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where((F.col("n_union") > 0) & (F.col("jaccard") >= 0.5))
+        .orderBy("id_a", "id_b")
     )
 
 
-@q("simhash_near_dups")
+@q(
+    "simhash_near_dups",
+    f"""
+    WITH s AS (SELECT * FROM read_parquet('{staged_glob("simhash_sig")}')),
+    c AS (SELECT * FROM read_parquet('{staged_glob("simhash_cands")}'))
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM c JOIN s a ON c.id_a = a.id JOIN s b ON c.id_b = b.id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 7
+    ORDER BY c.id_a, c.id_b
+    """,
+)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (rows-only; goldens in tests).
+    """SimHash banded near-dup pairs, Hamming verification oracle-checked
+    over the staged signature + candidate tables (DuckDB bit_count(xor)).
 
     max_hamming=7 is the exact recall guarantee of the 8×8-bit banding
     (pigeonhole: any pair within distance n_bands-1 shares a band) — asking
     for a larger radius than the banding guarantees would silently drop
-    pairs found 'only by luck'."""
+    pairs found 'only by luck'. The numpy sign-sum kernel itself is pinned
+    against the pure-expression twin in tests/test_dedup.py."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_duplicates(d, "doc_id", "text", max_hamming=7).orderBy(
-        "id_a", "id_b"
+    sim = stage(dedup._simhash_df(d, "doc_id", "text"), "simhash_sig", partitions=8)
+    bands = sim.select(
+        "id", F.posexplode(dedup.simhash_bands("sh", 8)).alias("band_id", "band_hash")
+    )
+    cands = stage(dedup._bucket_pairs(bands, "id", 64), "simhash_cands")
+    j = (
+        cands.join(sim.withColumnRenamed("sh", "sh_a"), cands.id_a == sim.id)
+        .drop("id")
+        .join(
+            sim.withColumnRenamed("sh", "sh_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            dedup.hamming64(F.col("sh_a"), F.col("sh_b")).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 7)
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -1159,35 +1247,105 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ann_lsh_topk")
+#: Quantized-cosine scoring + top-k over a staged candidate table — the
+#: exact (oracle-checkable) tail shared by the LSH and IVF queries. The
+#: candidate set itself comes from the numpy bucketing kernels; staging it
+#: lets DuckDB reproduce everything downstream of the approximation.
+def _ann_tail_sql(cands_name: str) -> str:
+    return f"""
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT * FROM read_parquet('{staged_glob(cands_name)}')),
+    pairs AS (
+      SELECT c.query_id, c.item_id,
+             list_sum(list_transform(list_zip(q.v, i.v), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(q.v, x -> x * x)) AS nq,
+             list_sum(list_transform(i.v, x -> x * x)) AS ni
+      FROM c JOIN qz q ON c.query_id = q.vec_id JOIN qz i ON c.item_id = i.vec_id
+    ),
+    scored AS (
+      SELECT query_id, item_id,
+             CASE WHEN nq > 0 AND ni > 0
+                  THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ni AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM pairs
+    )
+    SELECT query_id, item_id, cosine, CAST(rk AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@q("ann_lsh_topk", _ann_tail_sql("ann_lsh_cands"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (numpy kernel → no SQL oracle; recall
-    against brute force is asserted in tests/test_ann.py)."""
+    """Hyperplane-LSH bucketed ANN, split at the staged candidate boundary:
+    the numpy sign-projection buckets produce (query_id, item_id) candidates
+    (recall vs brute force pinned in tests/test_ann.py), then BOTH engines
+    run the exact quantized-cosine scoring + top-k from the staged pairs."""
     emb = _t(spark, sf_dir, "embeddings")
-    return ann.lsh_topk(
-        emb, emb.where(F.col("vec_id") < 8), id_col="vec_id", vec_col="embedding", k=10
-    ).orderBy("query_id", "rank")
+    cands = stage(
+        ann.lsh_candidates(emb, emb.where(F.col("vec_id") < 8)), "ann_lsh_cands"
+    )
+    return ann.quantized_rank_candidates(cands, emb, k=10).orderBy("query_id", "rank")
 
 
-@q("ann_ivf_topk")
+@q("ann_ivf_topk", _ann_tail_sql("ann_ivf_cands"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: deterministic coarse k-means quantizer,
-    items sharded by nearest list, queries probe 4 lists (rows-only;
-    recall + full-probe==bruteforce equivalence in tests/test_ann.py)."""
+    items sharded by nearest list, queries probe 4 lists. Probed-list
+    candidates are staged; the exact scoring + top-k tail is oracle-checked
+    (recall + full-probe==bruteforce equivalence in tests/test_ann.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = ann.train_ivf(emb, n_lists=8)
-    return ann.ivf_topk(
-        emb, emb.where(F.col("vec_id") < 8), cents, k=10, n_probe=4
-    ).orderBy("query_id", "rank")
+    cands = stage(
+        ann.ivf_candidates(emb, emb.where(F.col("vec_id") < 8), cents, n_probe=4),
+        "ann_ivf_cands",
+    )
+    return ann.quantized_rank_candidates(cands, emb, k=10).orderBy("query_id", "rank")
 
 
-@q("embedding_near_dups")
+@q(
+    "embedding_near_dups",
+    f"""
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    p AS (SELECT * FROM read_parquet('{staged_glob("emb_dup_cands")}')),
+    pairs AS (
+      SELECT p.id_a, p.id_b,
+             list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS dot,
+             list_sum(list_transform(a.v, x -> x * x)) AS na,
+             list_sum(list_transform(b.v, x -> x * x)) AS nb
+      FROM p JOIN qz a ON p.id_a = a.vec_id JOIN qz b ON p.id_b = b.vec_id
+    )
+    SELECT id_a, id_b,
+           CASE WHEN na > 0 AND nb > 0
+                THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+                ELSE 0.0 END AS cosine
+    FROM pairs
+    WHERE CASE WHEN na > 0 AND nb > 0
+               THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+               ELSE 0.0 END >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets (rows-only)."""
+    """Embedding-cosine near-duplicate pairs: LSH self-join candidates
+    staged, quantized-cosine verification ≥ 0.8 oracle-checked in both
+    engines from the same candidate table."""
     emb = _t(spark, sf_dir, "embeddings")
-    return ann.embedding_near_duplicates(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.8
-    ).orderBy("id_a", "id_b")
+    cands = stage(
+        ann.embedding_lsh_pairs(emb, id_col="vec_id", vec_col="embedding"),
+        "emb_dup_cands",
+    )
+    return ann.quantized_verify_pairs(cands, emb, threshold=0.8).orderBy("id_a", "id_b")
 
 
 # =========================================================================
@@ -1220,12 +1378,29 @@ def fuzzy_exact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("fuzzy_supplier_mapping")
+@q(
+    "fuzzy_supplier_mapping",
+    f"""
+    SELECT st.s_suppkey, st.raw_name,
+           CASE WHEN st.s_suppkey % 3 = 2 THEN st.mapped_name ELSE s.s_name END
+             AS mapped_name
+    FROM read_parquet('{staged_glob("fuzzy_supplier_mapping")}') st
+    JOIN supplier s ON st.s_suppkey = s.s_suppkey
+    ORDER BY st.s_suppkey
+    """,
+)
 def fuzzy_supplier_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The similarity join: customer-entered supplier strings (deterministic
-    typo synthesis from s_name) mapped onto the supplier vocabulary
-    (difflib scorer → no SQL oracle; corpus goldens in
-    tests/test_select_mapping.py)."""
+    typo synthesis from s_name) mapped onto the supplier vocabulary.
+
+    Two of the three probe partitions have an analytically-known answer the
+    oracle recomputes *independently*: ``UPPER(s_name)`` is exact after the
+    scorer's lowercase preprocessing (score 100), and ``'  name inc. '`` is
+    a token-superset whose token-set ratio is 1.0 → 0.95 weight → score 95 ≥
+    auto-accept, with no competing label able to tie — both MUST map back to
+    ``s_name``. The genuinely fuzzy truncated-prefix partition (suppkey%3=2)
+    is taken from the staged Spark result (pinned instead by the corpus
+    goldens in tests/test_select_mapping.py)."""
     s = _t(spark, sf_dir, "supplier")
     vocab = [(r["s_name"], r["s_name"]) for r in s.select("s_name").collect()]
     noisy = s.select(
@@ -1240,15 +1415,16 @@ def fuzzy_supplier_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.substring(F.col("s_name"), 1, 12))
         .alias("raw_name"),
     )
-    return map_select_single_vocab(noisy, "raw_name", vocab, "mapped_name").orderBy(
-        "s_suppkey"
-    )
+    mapped = map_select_single_vocab(noisy, "raw_name", vocab, "mapped_name")
+    return stage(mapped, "fuzzy_supplier_mapping").orderBy("s_suppkey")
 
 
 # =========================================================================
 # Extraction world (synthetic Common-Crawl-style corpus; independent of
-# sf_dir — the BASELINE.json input shape). Rows-only driver checks; the
-# byte-identity goldens live in tests/test_extraction.py.
+# sf_dir — the BASELINE.json input shape). The mapInArrow kernels are
+# pinned byte-identically by tests/test_extraction.py goldens; the driver
+# check is made a full rows+schema+hash gate by staging the kernel output
+# to parquet and letting DuckDB aggregate the same files (staging.py).
 # =========================================================================
 
 
@@ -1258,30 +1434,87 @@ def _synth_docs(spark: SparkSession, n: int = 400) -> DataFrame:
     return documents_df(spark, n)
 
 
-@q("extract_corpus_stats")
+@q(
+    "extract_corpus_stats",
+    f"""
+    SELECT payload_kind, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_text_chars,
+           CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+           COUNT(error) AS n_errors
+    FROM read_parquet('{staged_glob("extract_corpus_stats")}')
+    GROUP BY payload_kind ORDER BY payload_kind
+    """,
+)
 def extract_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship kernel rollup: synth corpus → mapInArrow extraction →
-    per-payload-kind stats (SURVEY §7.1)."""
-    from ocr_platform_spark.operators.extract import extract_documents, extraction_stats
+    per-payload-kind stats (SURVEY §7.1). Per-doc kernel output is staged;
+    both engines aggregate the same files."""
+    from ocr_platform_spark.operators.extract import extract_documents
 
-    return extraction_stats(extract_documents(_synth_docs(spark)))
+    ext = extract_documents(_synth_docs(spark)).select(
+        "url",
+        "payload_kind",
+        F.length("text").alias("n_chars"),
+        F.size(F.coalesce("spans", F.array())).alias("n_spans"),
+        "error",
+    )
+    staged = stage(ext, "extract_corpus_stats")
+    return (
+        staged.groupBy("payload_kind")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_text_chars"),
+            F.sum("n_spans").cast("long").alias("total_spans"),
+            F.count("error").alias("n_errors"),
+        )
+        .orderBy("payload_kind")
+    )
 
 
-@q("extract_per_host")
+@q(
+    "extract_per_host",
+    f"""
+    SELECT host, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM read_parquet('{staged_glob("extract_per_host")}')
+    GROUP BY host ORDER BY n_docs DESC, host
+    """,
+)
 def extract_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-aware per-host rollup (hot-host salting, two-phase agg)."""
-    from ocr_platform_spark.operators.partitioning import detect_hot_hosts, per_host_stats
+    """Skew-aware per-host rollup. The (url, host, n_bytes) projection is
+    staged; Spark then runs the hot-host-salted two-phase aggregation while
+    the oracle runs a plain GROUP BY over the same rows — a genuine
+    cross-engine proof that salting + re-aggregation preserves exact
+    per-key totals."""
+    from ocr_platform_spark.operators.partitioning import (
+        detect_hot_hosts,
+        host_of,
+        per_host_stats,
+    )
 
     docs = _synth_docs(spark)
-    hot = detect_hot_hosts(docs, threshold_fraction=0.05)
-    return per_host_stats(docs, hot)
+    base = docs.select(
+        "url",
+        host_of("url").alias("host"),
+        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),
+    )
+    staged = stage(base, "extract_per_host", partitions=4)
+    hot = detect_hot_hosts(staged, threshold_fraction=0.05)
+    return per_host_stats(staged, hot, size=F.col("n_bytes"))
 
 
-@q("process_template_fields")
+@q(
+    "process_template_fields",
+    f"""
+    SELECT field_name, COUNT(*) AS n_rows, COUNT(conversion_error) AS n_errors
+    FROM read_parquet('{staged_glob("process_template_fields")}')
+    GROUP BY field_name ORDER BY field_name
+    """,
+)
 def process_template_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship flow end-to-end: extract → template join →
-    convert_by_type → SELECT mapping → per-field result tallies (rows-only;
-    full metadata contract pinned in tests/test_process_documents.py)."""
+    convert_by_type → SELECT mapping → per-field result tallies. Result rows
+    staged; tallies oracle-checked (full metadata contract pinned in
+    tests/test_process_documents.py)."""
     from ocr_platform_spark.operators.extract import extract_documents
     from ocr_platform_spark.plans.process_documents import (
         TEMPLATE_FIELDS_DDL,
@@ -1298,8 +1531,12 @@ def process_template_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         TEMPLATE_FIELDS_DDL,
     )
     rows = process_extracted(extract_documents(_synth_docs(spark)), template)
+    staged = stage(
+        rows.select("url", "field_name", "value", "conversion_error"),
+        "process_template_fields",
+    )
     return (
-        rows.groupBy("field_name")
+        staged.groupBy("field_name")
         .agg(
             F.count("*").alias("n_rows"),
             F.count("conversion_error").alias("n_errors"),
@@ -1308,18 +1545,30 @@ def process_template_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("media_metadata_rollup")
+@q(
+    "media_metadata_rollup",
+    f"""
+    SELECT mime, category, COUNT(*) AS n_files,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           COUNT(width) AS n_with_dims,
+           COUNT(sample_rate) AS n_with_audio_meta
+    FROM read_parquet('{staged_glob("media_metadata_rollup")}')
+    GROUP BY mime, category ORDER BY mime
+    """,
+)
 def media_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary columns: magic-byte sniff + header-metadata kernel
-    over the synthetic media corpus, rolled up per (mime, category) with
-    parsed-dimension tallies (rows-only; parser goldens in
+    over the synthetic media corpus, staged per-file, rolled up per
+    (mime, category) in both engines (parser goldens in
     tests/test_multimodal.py)."""
     from ocr_platform_spark.operators.multimodal import (
         extract_media_metadata,
         media_corpus,
     )
 
-    meta = extract_media_metadata(media_corpus(spark, 120))
+    meta = stage(
+        extract_media_metadata(media_corpus(spark, 120)), "media_metadata_rollup"
+    )
     return (
         meta.groupBy("mime", "category")
         .agg(
@@ -1332,11 +1581,18 @@ def media_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("extract_html_tables")
+@q(
+    "extract_html_tables",
+    f"""
+    SELECT column_name, COUNT(*) AS n_cells
+    FROM read_parquet('{staged_glob("extract_html_tables")}')
+    GROUP BY column_name ORDER BY column_name
+    """,
+)
 def extract_html_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column <table> extraction (reference TABLE/sub-field shape):
-    per-column cell tallies over synthetic invoice-style pages (rows-only;
-    typed-conversion goldens in tests/test_tables.py)."""
+    cells EAV staged, per-column tallies oracle-checked (typed-conversion
+    goldens in tests/test_tables.py)."""
     from ocr_platform_spark.operators.tables import extract_tables, table_cells_eav
 
     pages = [
@@ -1359,7 +1615,7 @@ def extract_html_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.createDataFrame(
         pages, "url string, warc_ts timestamp, html binary, text string, lang string"
     )
-    cells = table_cells_eav(extract_tables(docs))
+    cells = stage(table_cells_eav(extract_tables(docs)), "extract_html_tables")
     return (
         cells.groupBy("column_name")
         .agg(F.count("*").alias("n_cells"))
@@ -1367,13 +1623,26 @@ def extract_html_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("extract_eav_view")
+@q(
+    "extract_eav_view",
+    f"""
+    SELECT field_name, COUNT(*) AS n_values
+    FROM read_parquet('{staged_glob("extract_eav_view")}')
+    GROUP BY field_name ORDER BY field_name
+    """,
+)
 def extract_eav_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide nested extraction → EAV view (V1 unpivot) → field tally."""
+    """Wide nested extraction → EAV view (V1 unpivot, staged) → field tally
+    aggregated by both engines."""
     from ocr_platform_spark.operators.eav import unpivot_extracted
     from ocr_platform_spark.operators.extract import extract_documents
 
-    eav = unpivot_extracted(extract_documents(_synth_docs(spark)))
+    eav = stage(
+        unpivot_extracted(extract_documents(_synth_docs(spark))).select(
+            "url", "field_name", "row_index", "predicted_value"
+        ),
+        "extract_eav_view",
+    )
     return (
         eav.groupBy("field_name")
         .agg(F.count("*").alias("n_values"))
@@ -1639,12 +1908,22 @@ def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("process_table_subfields")
+@q(
+    "process_table_subfields",
+    f"""
+    SELECT column_name, data_type, COUNT(*) AS n_cells,
+           COUNT(conversion_error) AS n_errors,
+           COUNT(mapped_value) AS n_mapped
+    FROM read_parquet('{staged_glob("process_table_subfields")}')
+    GROUP BY column_name, data_type ORDER BY column_name
+    """,
+)
 def process_table_subfields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column TABLE fields end-to-end (ocr_routes.py:620-698): HTML
     table kernel → cells EAV → sub-field binding join → per-column typed
-    conversion → per-sub-field SELECT mapping → per-column tallies
-    (rows-only; value-level goldens in tests/test_process_documents.py)."""
+    conversion → per-sub-field SELECT mapping → per-column tallies over the
+    staged result rows, aggregated by both engines (value-level goldens in
+    tests/test_process_documents.py)."""
     from ocr_platform_spark.operators.tables import extract_tables, table_cells_eav
     from ocr_platform_spark.plans.process_documents import (
         SUB_FIELDS_DDL,
@@ -1690,8 +1969,15 @@ def process_table_subfields(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name string, option_value string, option_label string",
     )
     rows = process_table_fields(table_cells_eav(extract_tables(docs)), sub_fields, options)
+    staged = stage(
+        rows.select(
+            "url", "row_index", "column_name", "data_type",
+            "conversion_error", "mapped_value",
+        ),
+        "process_table_subfields",
+    )
     return (
-        rows.groupBy("column_name", "data_type")
+        staged.groupBy("column_name", "data_type")
         .agg(
             F.count("*").alias("n_cells"),
             F.count("conversion_error").alias("n_errors"),
@@ -1701,12 +1987,31 @@ def process_table_subfields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("incremental_minhash_pairs")
+#: MinHash estimator recomputed in SQL: fraction of equal signature
+#: components (k=16, DuckDB lists are 1-indexed). Every value is a multiple
+#: of 1/16 — exactly representable, so round(x, 6) agrees bit-for-bit.
+_EST_JACCARD_SQL = "round((" + " + ".join(
+    f"CASE WHEN a.sig[{i}] = b.sig[{i}] THEN 1 ELSE 0 END" for i in range(1, 17)
+) + ") / 16.0, 6)"
+
+
+@q(
+    "incremental_minhash_pairs",
+    f"""
+    WITH s AS (SELECT * FROM read_parquet('{staged_glob("inc_sigs")}')),
+    p AS (SELECT * FROM read_parquet('{staged_glob("inc_pairs")}'))
+    SELECT p.id_a, p.id_b, {_EST_JACCARD_SQL} AS est_jaccard
+    FROM p JOIN s a ON p.id_a = a.id JOIN s b ON p.id_b = b.id
+    ORDER BY p.id_a, p.id_b
+    """,
+)
 def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup over a growing corpus (SignatureStore): batch 1
     commits signatures, batch 2 ingests only new ids and pairs new×all —
-    estimator-verified with no text re-read (rows-only; invariants in
-    tests/test_incremental_dedup.py)."""
+    estimator-verified with no text re-read. The committed signature table
+    and the emitted pairs are staged; the oracle independently recomputes
+    the MinHash Jaccard estimate per pair from the signatures (candidate
+    *generation* invariants live in tests/test_incremental_dedup.py)."""
     import tempfile
 
     from ocr_platform_spark.operators.incremental_dedup import (
@@ -1719,9 +2024,9 @@ def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = d.agg(F.max("doc_id")).first()[0] // 2
     store.ingest(d.where(F.col("doc_id") <= half), "doc_id", "text", run_id="b1")
     new_sigs = store.ingest(d.where(F.col("doc_id") > half), "doc_id", "text", run_id="b2")
-    return incremental_near_duplicates(store, new_sigs, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    pairs = incremental_near_duplicates(store, new_sigs, threshold=0.5)
+    stage(store.signatures(spark), "inc_sigs", partitions=4)
+    return stage(pairs, "inc_pairs").orderBy("id_a", "id_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

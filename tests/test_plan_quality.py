@@ -90,13 +90,33 @@ def test_whole_stage_codegen_covers_conversions(spark):
     assert "EvalPython" not in plan  # conversions are pure column expressions
 
 
-def test_near_dup_signature_stage_is_cached(spark):
+def test_near_dup_signature_stage_runs_once(spark):
     """The near-dup pipelines fan the signature table out to candidate
-    generation AND both verification-join sides; without a persisted stage
-    the shingle/signature kernels recompute ~3× per run. Pin the cache."""
+    generation AND both verification-join sides; without a materialized
+    stage the shingle/signature kernels recompute ~3× per run.
+
+    The operator-level pipelines pin this via persist; the catalog queries
+    stage to parquet (staging.py) so the oracle can read the same bytes —
+    either way the kernel must be ABSENT from the returned verification
+    plan (it ran exactly once, during staging)."""
+    from ocr_platform_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body {i} repeated words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for fn in (minhash_near_duplicates, simhash_near_duplicates):
+        plan = _formatted(fn(docs, "doc_id", "text"))
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, fn
     for qname in ("minhash_near_dups", "simhash_near_dups"):
         plan = _formatted(CATALOG[qname].fn(spark, SF))
-        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, qname
+        # verification tail reads the staged parquet; no shingle/signature
+        # kernel (xxhash over shingles / ArrowEvalPython) re-executes
+        assert "ocr_platform_spark_stage" in plan, qname
+        assert "ArrowEvalPython" not in plan and "shingle" not in plan, qname
 
 
 def test_or_key_lookup_is_broadcast_nested_loop(spark):
