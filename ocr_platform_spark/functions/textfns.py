@@ -116,3 +116,37 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))
     )
+
+
+def char_kgram_hashes(col: Column | str, k: int = 8) -> Column:
+    """``array<long>`` of xxhash64'd character k-grams over the normalized
+    text, in position order (NOT distinct — winnowing needs the positional
+    sequence). Texts shorter than ``k`` chars yield one gram of what's
+    there. Built-ins only: sequence + transform + substr."""
+    norm = normalized_text(_c(col))
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.xxhash64(norm.substr(i, F.lit(k)))
+    )
+
+
+def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): slide a window of ``w`` consecutive k-gram hashes and keep
+    each window's minimum; the DISTINCT sorted selection is the document's
+    fingerprint set. Guarantee: any shared substring of length ≥ w + k - 1
+    between two documents yields at least one shared fingerprint, while only
+    ~2/(w+1) of all gram hashes are retained — a tunable-density rolling-
+    hash fingerprint (the prompt's 'document fingerprinting' op).
+
+    Pure column expressions; the selection is position-independent (set of
+    window minima), so no tie-break rule is needed. Equivalence to the
+    exploded window-frame formulation is pinned in tests/test_textfns
+    parity; the catalog query stages the gram table so DuckDB reproduces
+    the same selection with a window frame (queries.py)."""
+    grams = char_kgram_hashes(_c(col), k)
+    n_win = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(grams, j, w))
+    )
+    return F.array_sort(F.array_distinct(mins))

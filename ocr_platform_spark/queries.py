@@ -2029,6 +2029,118 @@ def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage(pairs, "inc_pairs").orderBy("id_a", "id_b")
 
 
+@q(
+    "dimension_as_of_lookup",
+    """
+    WITH v1 AS (SELECT n_nationkey AS dim_key, n_name AS name FROM nation),
+    v2 AS (SELECT n_nationkey AS dim_key,
+                  CASE WHEN n_nationkey % 2 = 0 THEN n_name || ' LTD' ELSE n_name END AS name
+           FROM nation)
+    SELECT c.c_custkey, a.name AS name_asof, l.name AS name_latest
+    FROM customer c
+    JOIN v1 a ON c.c_nationkey = a.dim_key
+    JOIN v2 l ON c.c_nationkey = l.dim_key
+    ORDER BY c.c_custkey
+    """,
+)
+def dimension_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 ERP dimension source end-to-end: two full dimension pulls synced
+    into a DimensionStore (v1 effective Jan, v2 — with renamed even-keyed
+    rows — effective Jun), then a fact join against BOTH ``as_of(March)``
+    (must resolve to v1) and ``latest()`` (must resolve to v2). The oracle
+    recomputes both versions analytically, so a wrong version pick (union,
+    off-by-one on the effective-ts cut, stale latest) hash-mismatches."""
+    import tempfile
+    from datetime import datetime, timezone
+
+    from ocr_platform_spark.sources.dimensions import DimensionStore
+
+    n = _t(spark, sf_dir, "nation")
+    v1 = n.select(F.col("n_nationkey").alias("dim_key"), F.col("n_name").alias("name"))
+    v2 = n.select(
+        F.col("n_nationkey").alias("dim_key"),
+        F.when(
+            F.pmod("n_nationkey", F.lit(2)) == 0, F.concat("n_name", F.lit(" LTD"))
+        )
+        .otherwise(F.col("n_name"))
+        .alias("name"),
+    )
+    store = DimensionStore(tempfile.mkdtemp(prefix="dimstore-"))
+    store.sync(v1, "v1", effective_ts=datetime(2024, 1, 1, tzinfo=timezone.utc))
+    store.sync(v2, "v2", effective_ts=datetime(2024, 6, 1, tzinfo=timezone.utc))
+    asof = store.as_of(spark, datetime(2024, 3, 1, tzinfo=timezone.utc))
+    latest = store.latest(spark)
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(
+            F.broadcast(asof.select("dim_key", F.col("name").alias("name_asof"))),
+            c.c_nationkey == F.col("dim_key"),
+        )
+        .drop("dim_key")
+        .join(
+            F.broadcast(latest.select("dim_key", F.col("name").alias("name_latest"))),
+            c.c_nationkey == F.col("dim_key"),
+        )
+        .select("c_custkey", "name_asof", "name_latest")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "doc_winnow_fingerprints",
+    f"""
+    WITH g AS (SELECT * FROM read_parquet('{staged_glob("winnow_grams")}')),
+    win AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+             MAX(pos) OVER (PARTITION BY doc_id) AS n_grams
+      FROM g
+    )
+    SELECT doc_id, COUNT(DISTINCT win_min) AS n_fingerprints,
+           MIN(win_min) AS min_fp, MAX(win_min) AS max_fp
+    FROM win
+    WHERE pos <= GREATEST(n_grams - 3, 1)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints over the documents
+    table. The positional k-gram hash table is staged; BOTH engines then run
+    the winnowing selection itself — window-of-4 minima over valid window
+    starts, distinct per document — so the fingerprint-selection logic is
+    oracle-checked end-to-end (the single-pass array formulation
+    ``winnow_fingerprints`` is pinned equivalent in tests/test_textfns.py)."""
+    from ocr_platform_spark.functions.textfns import char_kgram_hashes
+
+    d = _t(spark, sf_dir, "documents")
+    grams = stage(
+        d.select(
+            "doc_id", F.posexplode(char_kgram_hashes("text", 8)).alias("pos0", "h")
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h"),
+        "winnow_grams",
+        partitions=4,
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wdoc = Window.partitionBy("doc_id")
+    win = grams.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(wmin).alias("win_min"),
+        F.max("pos").over(wdoc).alias("n_grams"),
+    )
+    return (
+        win.where(F.col("pos") <= F.greatest(F.col("n_grams") - 3, F.lit(1)))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("win_min").alias("n_fingerprints"),
+            F.min("win_min").alias("min_fp"),
+            F.max("win_min").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -1,0 +1,76 @@
+"""Winnowing (rolling-hash) document fingerprints: MOSS guarantee and
+equivalence of the single-pass array formulation to the exploded
+window-frame formulation (the shape the oracle reproduces in SQL)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ocr_platform_spark.functions.textfns import char_kgram_hashes, winnow_fingerprints
+
+K, W = 8, 4
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog while the cat sleeps"
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate → identical fingerprint set
+        (3, "completely different content about spark window aggregation"),
+        # shares a long substring (>= w + k - 1 = 11 chars) with doc 1
+        (4, "prefix text then the quick brown fox jumps over suffix"),
+        (5, "ab"),  # shorter than k
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_winnow_properties(spark):
+    out = {
+        r["doc_id"]: r["fps"]
+        for r in _docs(spark)
+        .select("doc_id", winnow_fingerprints("text", K, W).alias("fps"))
+        .collect()
+    }
+    assert out[1] == out[2]  # deterministic, content-defined
+    assert set(out[1]).isdisjoint(set(out[3]) - set(out[1])) or out[1] != out[3]
+    # MOSS guarantee: shared substring of length >= w+k-1 → shared fingerprint
+    assert set(out[1]) & set(out[4])
+    # density: winnowing keeps far fewer than all grams
+    n_grams = (
+        _docs(spark)
+        .where("doc_id = 1")
+        .select(F.size(char_kgram_hashes("text", K)).alias("n"))
+        .first()["n"]
+    )
+    assert 0 < len(out[1]) < n_grams
+    # degenerate inputs still fingerprint (single gram)
+    assert len(out[5]) == 1 and len(out[6]) == 1
+
+
+def test_array_formulation_matches_window_frame(spark):
+    """The production single-pass array operator must select exactly the
+    same fingerprint set as the exploded window-frame computation that the
+    catalog query / DuckDB oracle run."""
+    docs = _docs(spark).where("doc_id <= 4")
+    grams = docs.select(
+        "doc_id", F.posexplode(char_kgram_hashes("text", K)).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
+    wdoc = Window.partitionBy("doc_id")
+    exploded = (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(wmin).alias("win_min"),
+            F.max("pos").over(wdoc).alias("n_grams"),
+        )
+        .where(F.col("pos") <= F.greatest(F.col("n_grams") - (W - 1), F.lit(1)))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("win_min")).alias("fps"))
+    )
+    array_form = docs.select("doc_id", winnow_fingerprints("text", K, W).alias("fps"))
+    got_e = {r["doc_id"]: r["fps"] for r in exploded.collect()}
+    got_a = {r["doc_id"]: r["fps"] for r in array_form.collect()}
+    assert got_e == got_a
