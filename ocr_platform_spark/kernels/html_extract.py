@@ -193,14 +193,27 @@ def _normalize(parts: list[str]) -> str:
     return " ".join("".join(parts).split())
 
 
-class _FastTokenizer:
-    """Regex tag tokenizer driving the same block state machine as
-    ``_ContentParser`` — ~4× faster than stdlib ``HTMLParser`` because the
-    extractor needs only tag names and text (attributes are never used).
+_TOKEN = re.compile(
+    r"<!--.*?(?:-->|$)"          # comments (tolerate unterminated)
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<[!?][^>]*>?"             # doctype / processing instructions
+    # start/end tag; attribute values may carry quoted '>' characters.
+    # run-wise body ([^>"']+ | quoted string) keeps the scan in C loops
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']+|\"[^\"]*\"|'[^']*')*)>",
+    re.S,
+)
+# stdlib HTMLParser treats exactly script/style as CDATA raw-text
+_RAWTEXT_CLOSE = {t: re.compile(rf"</{t}\s*>", re.I) for t in ("script", "style")}
 
-    Byte-equality with the stdlib path is pinned by a differential test
-    over the whole synthetic corpus incl. malformed/edge pages
-    (tests/test_kernels.py::test_fast_tokenizer_matches_stdlib).
+
+def _parse_fast(raw: str) -> list[_Block]:
+    """Fused regex tokenizer + block state machine — one loop, no per-token
+    handler dispatch (the previous tokenizer made four Python calls per tag;
+    at ~170 tokens/page those calls, not the regex, were the hot path).
+    Semantically identical to driving ``_ContentParser`` (the stdlib-
+    tokenized twin): byte-equality over the whole synthetic corpus incl.
+    malformed/edge pages is pinned by
+    tests/test_kernels.py::test_fast_tokenizer_matches_stdlib.
 
     Documented divergences from stdlib (pathological markup only; fuzz-
     explored in test_tokenizer_fuzz_no_crash_and_deterministic):
@@ -212,81 +225,143 @@ class _FastTokenizer:
       CDATA bookkeeping can swallow following text.
     Quoted '>' inside attribute values is handled correctly by BOTH paths
     (run-wise quote-aware pattern)."""
-
-    _TOKEN = re.compile(
-        r"<!--.*?(?:-->|$)"          # comments (tolerate unterminated)
-        r"|<!\[CDATA\[.*?(?:\]\]>|$)"
-        r"|<[!?][^>]*>?"             # doctype / processing instructions
-        # start/end tag; attribute values may carry quoted '>' characters.
-        # run-wise body ([^>"']+ | quoted string) keeps the scan in C loops
-        r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']+|\"[^\"]*\"|'[^']*')*)>",
-        re.S,
-    )
-    # stdlib HTMLParser treats exactly script/style as CDATA raw-text
-    _RAWTEXT_CLOSE = {
-        t: re.compile(rf"</{t}\s*>", re.I) for t in ("script", "style")
-    }
-
-    def __init__(self, sink: "_ContentParser") -> None:
-        self.sink = sink
-
-    def feed(self, raw: str) -> None:
-        sink = self.sink
-        pos = 0
-        n = len(raw)
-        search = self._TOKEN.search
-        while pos < n:
-            m = search(raw, pos)
-            if m is None:
-                data = raw[pos:]
-                if data:
-                    sink.handle_data(unescape(data) if "&" in data else data)
+    blocks: list[_Block] = []
+    tag_stack: list[str] = []
+    block_stack: list[_Block] = []
+    skip = boiler = link = 0
+    seq = 0
+    pos = 0
+    n = len(raw)
+    search = _TOKEN.search
+    flags_get = _TAG_FLAGS.get
+    while pos < n:
+        m = search(raw, pos)
+        if m is None:
+            start = end = n
+        else:
+            start, end = m.span()
+        if start > pos and not skip:
+            data = raw[pos:start]
+            if "&" in data:
+                data = unescape(data)
+            stripped_len = len(data.strip())
+            if block_stack:
+                blk = block_stack[-1]
+            elif stripped_len:
+                # text outside any block element (e.g. no <body>): implicit root
+                blk = _Block("body", boiler > 0, seq)
+                seq += 1
+                block_stack.append(blk)
+            else:
+                blk = None
+            if blk is not None:
+                blk.parts.append(data)
+                blk.total_chars += stripped_len
+                if link:
+                    blk.link_chars += stripped_len
+        if m is None:
+            break
+        is_end, tag, attrs = m.group(1, 2, 3)
+        pos = end
+        if tag is None:  # comment / doctype / PI
+            continue
+        if not tag.islower():
+            tag = tag.lower()
+        if is_end:
+            if tag_stack and tag_stack[-1] == tag:  # fast path: well-nested
+                tag_stack.pop()
+            elif tag in _VOID_TAGS or tag not in tag_stack:
+                continue
+            else:
+                # unwind to the matching open tag (interleaved/unclosed tags)
+                while tag_stack:
+                    open_tag = tag_stack.pop()
+                    fl = flags_get(open_tag, 0)
+                    if fl:
+                        if fl & _F_SKIP:
+                            skip -= 1
+                        if fl & _F_BOILER:
+                            boiler -= 1
+                        if fl & _F_LINK and link:
+                            link -= 1
+                        if fl & _F_BLOCK and block_stack:
+                            blocks.append(block_stack.pop())
+                    if open_tag == tag:
+                        break
+                continue
+            fl = flags_get(tag, 0)
+            if fl:
+                if fl & _F_SKIP:
+                    skip -= 1
+                if fl & _F_BOILER:
+                    boiler -= 1
+                if fl & _F_LINK and link:
+                    link -= 1
+                if fl & _F_BLOCK and block_stack:
+                    blocks.append(block_stack.pop())
+            continue
+        # start tag
+        fl = flags_get(tag, 0)
+        if fl & _F_VOID:
+            if tag == "br" and block_stack:
+                block_stack[-1].parts.append(" ")
+            continue
+        tag_stack.append(tag)
+        if fl:
+            if fl & _F_SKIP:
+                skip += 1
+            if fl & _F_BOILER:
+                boiler += 1
+            if fl & _F_LINK:
+                link += 1
+            if fl & _F_BLOCK:
+                blk = _Block(tag, boiler > 0, seq)
+                seq += 1
+                block_stack.append(blk)
+        if attrs.endswith("/"):  # self-closing <x/> — immediately well-nested
+            tag_stack.pop()
+            if fl:
+                if fl & _F_SKIP:
+                    skip -= 1
+                if fl & _F_BOILER:
+                    boiler -= 1
+                if fl & _F_LINK and link:
+                    link -= 1
+                if fl & _F_BLOCK and block_stack:
+                    blocks.append(block_stack.pop())
+            continue
+        closer = _RAWTEXT_CLOSE.get(tag)
+        if closer is not None:
+            # raw-text element: content is opaque, ends at its close tag.
+            # (script/style carry no flags beyond SKIP semantics via
+            # _SKIP_TAGS — the close below rebalances whatever was pushed.)
+            mc = closer.search(raw, pos)
+            tag_stack.pop()
+            fl = flags_get(tag, 0)
+            if fl:
+                if fl & _F_SKIP:
+                    skip -= 1
+                if fl & _F_BOILER:
+                    boiler -= 1
+                if fl & _F_LINK and link:
+                    link -= 1
+                if fl & _F_BLOCK and block_stack:
+                    blocks.append(block_stack.pop())
+            if mc is None:
                 break
-            start = m.start()
-            if start > pos:
-                data = raw[pos:start]
-                sink.handle_data(unescape(data) if "&" in data else data)
-            is_end, tag, attrs = m.groups()
-            if tag is None:  # comment / doctype / PI
-                pos = m.end()
-                continue
-            self_close = attrs.endswith("/")
-            if not tag.islower():
-                tag = tag.lower()
-            if is_end:  # end tag
-                sink.handle_endtag(tag)
-                pos = m.end()
-                continue
-            sink.handle_starttag(tag, None)
-            if self_close:  # self-closing <x/>
-                if tag not in _VOID_TAGS:
-                    sink.handle_endtag(tag)
-                pos = m.end()
-                continue
-            pos = m.end()
-            closer = self._RAWTEXT_CLOSE.get(tag)
-            if closer is not None:
-                # raw-text element: content is opaque, ends at its close tag
-                mc = closer.search(raw, pos)
-                if mc is None:
-                    sink.handle_endtag(tag)
-                    break
-                sink.handle_endtag(tag)
-                pos = mc.end()
-
-    def close(self) -> None:
-        self.sink.close()
+            pos = mc.end()
+    while block_stack:
+        blocks.append(block_stack.pop())
+    return blocks
 
 
-def _run_parser(raw: str, fast: bool) -> "_ContentParser":
-    parser = _ContentParser()
+def _run_parser(raw: str, fast: bool) -> list[_Block]:
     if fast:
-        _FastTokenizer(parser).feed(raw)
-        parser.close()
-    else:
-        parser.feed(raw)
-        parser.close()
-    return parser
+        return _parse_fast(raw)
+    parser = _ContentParser()
+    parser.feed(raw)
+    parser.close()
+    return parser.blocks
 
 
 def extract_html(
@@ -302,12 +377,12 @@ def extract_html(
     except Exception as exc:  # pragma: no cover - decode with replace can't fail
         return "", [], f"decode-error: {exc}"
     try:
-        parser = _run_parser(raw, fast)
+        blocks = _run_parser(raw, fast)
     except Exception as exc:
         return "", [], f"html-parse-error: {type(exc).__name__}: {exc}"
 
     kept: list[tuple[int, str, str]] = []  # (doc_order, tag, normalized_text)
-    for blk in parser.blocks:
+    for blk in blocks:
         if blk.boiler:
             continue
         text = _normalize(blk.parts)
