@@ -364,6 +364,58 @@ def _run_parser(raw: str, fast: bool) -> list[_Block]:
     return parser.blocks
 
 
+class _SinkTokenizer:
+    """Regex tokenizer driving an HTMLParser-shaped sink (handle_starttag /
+    handle_endtag / handle_data). The main-content path uses the fused
+    ``_parse_fast`` instead (no per-token dispatch); this sink-driving form
+    remains for secondary sinks like ``_TableSink``, where per-token call
+    overhead is dwarfed by the table bookkeeping. Same token grammar
+    (module-level ``_TOKEN`` / ``_RAWTEXT_CLOSE``), same stdlib-divergence
+    notes as ``_parse_fast``."""
+
+    def __init__(self, sink) -> None:
+        self.sink = sink
+
+    def feed(self, raw: str) -> None:
+        sink = self.sink
+        pos = 0
+        n = len(raw)
+        search = _TOKEN.search
+        while pos < n:
+            m = search(raw, pos)
+            if m is None:
+                data = raw[pos:]
+                if data:
+                    sink.handle_data(unescape(data) if "&" in data else data)
+                break
+            start, end = m.span()
+            if start > pos:
+                data = raw[pos:start]
+                sink.handle_data(unescape(data) if "&" in data else data)
+            is_end, tag, attrs = m.group(1, 2, 3)
+            pos = end
+            if tag is None:  # comment / doctype / PI
+                continue
+            if not tag.islower():
+                tag = tag.lower()
+            if is_end:
+                sink.handle_endtag(tag)
+                continue
+            sink.handle_starttag(tag, None)
+            if attrs.endswith("/"):  # self-closing <x/>
+                if tag not in _VOID_TAGS:
+                    sink.handle_endtag(tag)
+                continue
+            closer = _RAWTEXT_CLOSE.get(tag)
+            if closer is not None:
+                # raw-text element: content is opaque, ends at its close tag
+                mc = closer.search(raw, pos)
+                sink.handle_endtag(tag)
+                if mc is None:
+                    break
+                pos = mc.end()
+
+
 def extract_html(
     data: bytes, fast: bool = True
 ) -> tuple[str, list[tuple[str, int, int, str]], str | None]:
@@ -522,7 +574,7 @@ def extract_html_tables(data: bytes) -> tuple[list[dict], str | None]:
         return [], f"decode-error: {exc}"
     try:
         sink = _TableSink()
-        _FastTokenizer(sink).feed(raw)
+        _SinkTokenizer(sink).feed(raw)
         sink.close()
         return sink.tables, None
     except Exception as exc:

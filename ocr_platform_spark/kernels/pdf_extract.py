@@ -22,7 +22,11 @@ from __future__ import annotations
 import re
 import zlib
 
-_STREAM_KW = re.compile(rb"stream\r?\n")
+# (?<!end): the keyword 'endstream' contains 'stream' — without the
+# lookbehind every stream terminator would start a bogus phantom stream
+# spanning to the NEXT terminator, duplicating content in any multi-stream
+# (i.e. multi-page) PDF. Single-stream files masked this.
+_STREAM_KW = re.compile(rb"(?<!end)stream\r?\n")
 _DICT_TOKEN = re.compile(rb"<<|>>")
 # Direct /Length only: an indirect reference '/Length 5 0 R' (the dominant
 # shape in real PDFs) must NOT match, or the stream would be sliced to the

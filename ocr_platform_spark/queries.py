@@ -2141,6 +2141,73 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "export_pdf_roundtrip",
+    f"""
+    WITH i AS (SELECT * FROM read_parquet('{staged_glob("export_input")}')),
+    e AS (SELECT * FROM read_parquet('{staged_glob("export_extracted")}')),
+    exp AS (
+      SELECT url,
+             string_agg(field_name || ': ' || value, chr(10)
+                        ORDER BY field_name, value) AS expected
+      FROM i GROUP BY url
+    )
+    SELECT e.url, CAST(e.extracted_text = exp.expected AS BOOLEAN) AS roundtrip_ok
+    FROM e JOIN exp ON e.url = exp.url
+    ORDER BY e.url
+    """,
+)
+def export_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 rendered-export sink proven end-to-end: EAV result rows →
+    ``render_exports`` PDF archive → re-extraction with the engine's OWN
+    pdf kernel. The staged input and the staged re-extracted text are
+    compared against an *independently computed* expected rendering
+    (DuckDB: string_agg ordered by field; Spark: sort_array+concat_ws), so
+    a bug in either the renderer or the extractor flips roundtrip_ok."""
+    from ocr_platform_spark.sources.export import render_exports
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    url = F.col("p_partkey").cast("string").alias("url")
+    inp = stage(
+        p.select(url, F.lit("NAME").alias("field_name"), F.col("p_name").alias("value"))
+        .unionByName(
+            p.select(url, F.lit("TYPE").alias("field_name"), F.col("p_type").alias("value"))
+        ),
+        "export_input",
+    )
+    arch = render_exports(inp, "pdf")
+
+    def _reextract_fn(contents):
+        import pandas as pd
+
+        from ocr_platform_spark.kernels.pdf_extract import extract_pdf
+
+        return pd.Series([extract_pdf(bytes(c))[0] for c in contents])
+
+    _reextract = F.pandas_udf(_reextract_fn, "string")
+
+    extracted = stage(
+        arch.select("url", _reextract(F.col("content")).alias("extracted_text")),
+        "export_extracted",
+    )
+    expected = inp.groupBy("url").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("field_name", "value"))),
+                lambda s: F.concat(s["field_name"], F.lit(": "), s["value"]),
+            ),
+        ).alias("expected")
+    )
+    return (
+        extracted.join(expected, "url")
+        .select(
+            "url", (F.col("extracted_text") == F.col("expected")).alias("roundtrip_ok")
+        )
+        .orderBy("url")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -20,10 +20,8 @@ def test_export_formats_round_trip(spark, tmp_path):
         assert sorted(r["v"] for r in got.collect()) == ["a", "b"]
 
 
-def test_export_rejects_presentation_formats(spark, tmp_path):
+def test_export_rejects_unknown_format(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "id long")
-    with pytest.raises(NotImplementedError):
-        export_results(df, str(tmp_path / "x"), "pdf")
     with pytest.raises(ValueError):
         export_results(df, str(tmp_path / "y"), "avro-ish")
 
