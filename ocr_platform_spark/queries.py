@@ -605,6 +605,41 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(_t(spark, sf_dir, "events"))
 
 
+@q(
+    "user_sessions_native",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM tagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM numbered GROUP BY user_id, session_no ORDER BY user_id, session_no
+    """,
+)
+def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN ``session_window`` operator
+    (merging gap windows inside one aggregation — the form that runs
+    unchanged on a watermarked stream). session_window merges an event at
+    EXACTLY last+gap (verified in tests/test_sessions.py), i.e. the same
+    ``diff > gap`` boundary as the lag/cumsum formulation the oracle runs —
+    two independent formulations of one semantics, cross-engine."""
+    from ocr_platform_spark.streaming.sessions import sessionize_session_window
+
+    return sessionize_session_window(_t(spark, sf_dir, "events"))
+
+
 @q("host_cardinality")
 def host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct over hosts + HLL-style scale story (sketch

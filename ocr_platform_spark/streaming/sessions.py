@@ -117,3 +117,108 @@ def sessionize_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def sessionize_session_window(
+    events: DataFrame, gap_minutes: int = DEFAULT_GAP_MIN
+) -> DataFrame:
+    """The Spark-NATIVE formulation: built-in ``session_window`` (merging
+    gap windows inside the aggregation operator — no lag/cumsum window
+    pair, one shuffle, streaming-capable with a watermark as-is).
+
+    Boundary semantics MATCH :func:`sessionize_batch`: session_window
+    merges an event arriving exactly ``gap`` after the previous one (its
+    window end ``last + gap`` is inclusive for merging — pinned in
+    tests/test_sessions.py::test_session_window_boundary_semantics), the
+    same ``diff > gap`` new-session rule as the lag formulation.
+
+    ``session_no`` is derived per user by session start order so the output
+    shape matches :func:`sessionize_batch`."""
+    gap = f"{gap_minutes} minutes"
+    agg = (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("_first"), F.max("ts").alias("_last"))
+    )
+    w = Window.partitionBy("user_id").orderBy("_first")
+    return (
+        agg.withColumn("session_no", F.row_number().over(w).cast("long"))
+        .select(
+            "user_id",
+            "session_no",
+            "n_events",
+            F.date_format("_first", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("_last", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+def sessionize_stream_event_time(
+    events_stream: DataFrame,
+    gap_minutes: int = DEFAULT_GAP_MIN,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time variant of the stateful sessionizer: sessions close when
+    the WATERMARK passes ``last_event + gap`` — deterministic under replay
+    (a backfill over yesterday's events closes the same sessions at the
+    same points regardless of wall-clock speed), unlike the processing-time
+    timeout which depends on when micro-batches happen to run. State per
+    user stays O(1); the watermark bounds how long an idle session can hold
+    state (ROADMAP item 6)."""
+    gap_s = gap_minutes * 60
+
+    def func(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "n_events": [n],
+                        "session_start": [pd.Timestamp(start, unit="s")],
+                        "session_end": [pd.Timestamp(last, unit="s")],
+                    }
+                )
+            return
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            ts_all.extend(int(t.timestamp()) for t in pdf["ts"])
+        ts_all.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for t in ts_all:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_s:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        # close exactly when the event-time watermark crosses last + gap
+        state.setTimeoutTimestamp((last + gap_s) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "n_events": [c[2] for c in closed],
+                    "session_start": [pd.Timestamp(c[0], unit="s") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="s") for c in closed],
+                }
+            )
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            func,
+            outputStructType=_SESSION_OUT_DDL,
+            stateStructType=_SESSION_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -85,3 +85,73 @@ def test_batch_streaming_agreement_on_closed_sessions(spark, sf001_events=None):
     assert batch.where(F.col("n_events") <= 0).count() == 0
     total = batch.agg(F.sum("n_events")).first()[0]
     assert total == events.count()
+
+
+def test_session_window_native_matches_batch_off_boundary(spark):
+    """Away from exact-gap boundaries the native session_window formulation
+    and the lag/cumsum formulation must agree completely (the _SPEC gaps
+    are all != 30 min exactly)."""
+    from ocr_platform_spark.streaming.sessions import sessionize_session_window
+
+    df = spark.createDataFrame(_events(_SPEC), _SCHEMA)
+    a = [tuple(r) for r in sessionize_batch(df).collect()]
+    b = [tuple(r) for r in sessionize_session_window(df).collect()]
+    assert a == b
+
+
+def test_session_window_boundary_semantics(spark):
+    """An event exactly gap later merges in BOTH formulations (session
+    window end last+gap is merge-inclusive); one second beyond splits."""
+    from ocr_platform_spark.streaming.sessions import sessionize_session_window
+
+    df = spark.createDataFrame(_events([(1, 0), (1, 30)]), _SCHEMA)
+    assert [r["n_events"] for r in sessionize_batch(df).collect()] == [2]
+    assert [r["n_events"] for r in sessionize_session_window(df).collect()] == [2]
+    df2 = spark.createDataFrame(
+        [(0, _BASE, 1, "click", 1.0, "{}"),
+         (1, _BASE + dt.timedelta(minutes=30, seconds=1), 1, "click", 1.0, "{}")],
+        _SCHEMA,
+    )
+    assert [r["n_events"] for r in sessionize_session_window(df2).collect()] == [1, 1]
+
+
+def test_sessionize_stream_event_time_closes_by_watermark(spark, tmp_path):
+    """EventTimeTimeout: sessions close when the watermark (max event time
+    - delay) passes last+gap — deterministic under replay. Feed two files
+    so the second batch's watermark closes user 1's first session."""
+    import time as _time
+
+    from ocr_platform_spark.streaming.sessions import sessionize_stream_event_time
+
+    in_dir = tmp_path / "ev-in"
+    in_dir.mkdir()
+    df = spark.createDataFrame(_events(_SPEC), _SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(in_dir))
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(in_dir))
+    sessions = sessionize_stream_event_time(stream, watermark="10 minutes")
+    out_rows = []
+
+    def sink(batch_df, _epoch):
+        out_rows.extend(batch_df.collect())
+
+    q = (
+        sessions.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt-et"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        q.stop()
+    except Exception:
+        pass
+    closed = sorted((r["user_id"], r["n_events"]) for r in out_rows)
+    # gap-closed sessions emit, PLUS user 2's idle tail (last event 101'):
+    # final watermark = 200' - 10' = 190' > 101' + 30' → event-time timeout
+    # closes it deterministically. User 1's tail (200') stays open
+    # (190' < 230') — exactly the replay-deterministic semantics the
+    # processing-time variant cannot give.
+    assert closed == [(1, 2), (1, 3), (2, 1), (2, 2)]
