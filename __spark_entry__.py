@@ -6,9 +6,12 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The actual catalog lives in ``ocr_platform_spark/queries.py`` — one named
-(Spark, DuckDB-oracle) pair per operator family of SURVEY.md §2, plus
-rows-only entries for the non-SQL-expressible operators (Arrow extraction
-kernel, MinHash/SimHash LSH, difflib fuzzy mapper, hyperplane-LSH ANN).
+(Spark, DuckDB-oracle) pair per operator family of SURVEY.md §2. Kernel-
+backed queries (Arrow extraction, MinHash/SimHash LSH, hyperplane-LSH /
+IVF ANN, fuzzy mapper, PDF/XLSX rendering) split at a staged-parquet
+boundary (ocr_platform_spark/staging.py) so DuckDB verifies the relational
+tail over the exact same bytes; the only rows-only entry left is
+``host_cardinality`` (HLL sketch values are engine-specific by nature).
 """
 
 from __future__ import annotations
