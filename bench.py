@@ -55,6 +55,10 @@ HEADLINE = [
     "minhash_near_dups",
     "simhash_near_dups",
     "ann_topk_quantized",
+    # round-2 additions (keyed by name; earlier entries stay comparable)
+    "doc_winnow_fingerprints",
+    "user_sessions_native",
+    "corrected_field_values",
 ]
 
 

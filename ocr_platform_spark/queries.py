@@ -2243,6 +2243,75 @@ def export_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "corrected_table_cells",
+    """
+    WITH cells AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS url, 'LINE_ITEMS' AS field_name,
+             CAST(l_linenumber AS INT) AS row_index, 'QTY' AS column_name,
+             CAST(CAST(l_quantity AS INT) AS VARCHAR) AS predicted_value
+      FROM lineitem WHERE l_orderkey <= 800
+    ),
+    corr AS (
+      -- the synthetic lineitem carries duplicate (orderkey, linenumber)
+      -- pairs; the overlay's latest-wins rule (equal timestamps → value
+      -- DESC tie-break) collapses them to MAX(corrected_value) per key
+      SELECT url, field_name, row_index, column_name,
+             MAX(predicted_value || '-fixed') AS corrected_value
+      FROM cells WHERE row_index = 1 AND CAST(url AS BIGINT) % 3 = 0
+      GROUP BY url, field_name, row_index, column_name
+    )
+    SELECT c.url, c.field_name, c.row_index, c.column_name,
+           COALESCE(k.corrected_value, c.predicted_value) AS value,
+           k.corrected_value IS NOT NULL AS was_corrected
+    FROM cells c LEFT JOIN corr k
+      ON c.url = k.url AND c.field_name = k.field_name
+     AND c.row_index = k.row_index AND c.column_name = k.column_name
+    ORDER BY c.url, c.row_index
+    """,
+)
+def corrected_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 at TABLE-cell granularity: corrections addressed to the full
+    (url, field_name, row_index, column_name) EAV key — only the addressed
+    row_index/column changes, null-safe key semantics exercised with
+    non-null cell keys (reference ocr_line_item_value.py:4-14,
+    document_routes.py:577-590)."""
+    from ocr_platform_spark.operators.corrections import apply_corrections
+    from ocr_platform_spark.operators.eav import canonical_value
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 800)
+    cells = li.select(
+        F.col("l_orderkey").cast("string").alias("url"),
+        F.lit("LINE_ITEMS").alias("field_name"),
+        F.col("l_linenumber").cast("int").alias("row_index"),
+        F.lit("QTY").alias("column_name"),
+        F.col("l_quantity").cast("int").cast("string").alias("predicted_value"),
+        F.lit(None).cast("string").alias("actual_value"),
+    )
+    corr = cells.where(
+        (F.col("row_index") == 1) & (F.col("url").cast("long") % 3 == 0)
+    ).select(
+        "url",
+        "field_name",
+        "row_index",
+        "column_name",
+        F.concat("predicted_value", F.lit("-fixed")).alias("corrected_value"),
+        F.lit("2024-01-01").cast("timestamp").alias("corrected_at"),
+    )
+    return (
+        apply_corrections(cells, corr)
+        .select(
+            "url",
+            "field_name",
+            "row_index",
+            "column_name",
+            canonical_value().alias("value"),
+            F.col("actual_value").isNotNull().alias("was_corrected"),
+        )
+        .orderBy("url", "row_index")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -125,3 +125,19 @@ def test_or_key_lookup_is_broadcast_nested_loop(spark):
     plan = _formatted(CATALOG["ledger_or_alias_lookup"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_correction_overlay_is_broadcast(spark):
+    """The correction overlay is a human-sized dimension — it must join
+    broadcast (a shuffle here would shuffle the full EAV fact table at
+    scale for a handful of corrections)."""
+    for qname in ("corrected_field_values", "corrected_table_cells"):
+        plan = _formatted(CATALOG[qname].fn(spark, SF))
+        assert "BroadcastHashJoin" in plan, qname
+        assert "SortMergeJoin" not in plan, qname
+
+
+def test_dimension_versions_broadcast(spark):
+    plan = _formatted(CATALOG["dimension_as_of_lookup"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

@@ -68,3 +68,25 @@ def test_export_archive_distributed(spark, tmp_path):
         ["DATE", "v3-DATE"],
         ["TITLE", "v3-TITLE"],
     ]
+
+
+def test_pdf_roundtrip_property():
+    """Property: for any printable lines, render->extract preserves the
+    stripped non-blank lines exactly (hypothesis fuzz over text content
+    incl. parens, backslashes, unicode)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=60
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(line, max_size=12))
+    def check(lines):
+        text, _, err = extract_pdf(render_pdf(lines))
+        assert err is None
+        expected = [l.strip() for l in lines if l.strip()]
+        assert text == "\n".join(expected)
+
+    check()
