@@ -118,19 +118,31 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
-def char_kgram_hashes(col: Column | str, k: int = 8) -> Column:
+def char_kgram_hashes(
+    col: Column | str, k: int = 8, normalized: bool = False
+) -> Column:
     """``array<long>`` of xxhash64'd character k-grams over the normalized
     text, in position order (NOT distinct — winnowing needs the positional
     sequence). Texts shorter than ``k`` chars yield one gram of what's
-    there. Built-ins only: sequence + transform + substr."""
-    norm = normalized_text(_c(col))
+    there. Built-ins only: sequence + transform + substr.
+
+    HOT-PATH RULE: pass a column that is ALREADY a materialized
+    ``normalized_text`` projection (separate select / staged write) with
+    ``normalized=True``. Referencing the normalization expression here
+    would let Catalyst's CollapseProject inline the regex normalize INTO
+    the per-gram lambda — re-running it once per gram (measured ~25× total
+    runtime on the sf0.1 documents table). Same trap as
+    ``minhash_signature_from_shingles``'s two-stage note (dedup.py)."""
+    norm = _c(col) if normalized else normalized_text(_c(col))
     n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), n), lambda i: F.xxhash64(norm.substr(i, F.lit(k)))
     )
 
 
-def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
+def winnow_fingerprints(
+    col: Column | str, k: int = 8, w: int = 4, normalized: bool = False
+) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     algorithm): slide a window of ``w`` consecutive k-gram hashes and keep
     each window's minimum; the DISTINCT sorted selection is the document's
@@ -144,7 +156,7 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     exploded window-frame formulation is pinned in tests/test_textfns
     parity; the catalog query stages the gram table so DuckDB reproduces
     the same selection with a window frame (queries.py)."""
-    grams = char_kgram_hashes(_c(col), k)
+    grams = char_kgram_hashes(_c(col), k, normalized=normalized)
     n_win = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(1))
     mins = F.transform(
         F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(grams, j, w))

@@ -2146,15 +2146,30 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts, distinct per document — so the fingerprint-selection logic is
     oracle-checked end-to-end (the single-pass array formulation
     ``winnow_fingerprints`` is pinned equivalent in tests/test_textfns.py)."""
-    from ocr_platform_spark.functions.textfns import char_kgram_hashes
+    from ocr_platform_spark.functions.textfns import char_kgram_hashes, normalized_text
 
     d = _t(spark, sf_dir, "documents")
-    grams = stage(
+    # Stage the normalized text FIRST (projection barrier): without it
+    # CollapseProject inlines the regex normalize into the per-gram lambda
+    # and re-runs it once per gram — measured ~25× the runtime at sf0.1.
+    # The bounded prefix keeps per-doc fingerprint cost constant at any
+    # corpus scale (near-dup docs share prefixes — standard curation trade).
+    norm = stage(
         d.select(
-            "doc_id", F.posexplode(char_kgram_hashes("text", 8)).alias("pos0", "h")
+            "doc_id", normalized_text(F.substring("text", 1, 2000)).alias("norm")
+        ),
+        "winnow_norm",
+        partitions=8,
+    )
+    grams = stage(
+        norm.select(
+            "doc_id",
+            F.posexplode(char_kgram_hashes("norm", 8, normalized=True)).alias(
+                "pos0", "h"
+            ),
         ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h"),
         "winnow_grams",
-        partitions=4,
+        partitions=8,
     )
     wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
     wdoc = Window.partitionBy("doc_id")
