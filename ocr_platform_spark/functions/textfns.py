@@ -105,17 +105,42 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized_text(_c(col)))
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` exactly once per row and feed the result to ``fn``
+    as a lambda variable: ``element_at(transform(array(expr), fn), 1)``.
+
+    WHY: an expression referenced inside a higher-order-function lambda is
+    re-evaluated once PER ELEMENT after Catalyst's CollapseProject inlines
+    it (a regex normalize referenced from a per-gram lambda ran ~2000× per
+    row — measured ~25× total runtime at sf0.1). A lambda VARIABLE, by
+    contrast, is bound once; this wrapper is the projection barrier that
+    CollapseProject cannot inline through, with no staging/caching cost."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def word_shingles(col: Column | str, k: int = 3, bound: bool = True) -> Column:
     """Array of k-word shingles over the normalized text (built-ins only:
     split + transform + slice + concat_ws). Short texts (<k words) yield a
-    single shingle of whatever is there."""
-    words = F.split(normalized_text(_c(col)), " ")
-    n = F.size(words)
-    n_shingles = F.greatest(n - F.lit(k - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), n_shingles)
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))
-    )
+    single shingle of whatever is there. The split-words array is λ-bound
+    (``bind_once``) so normalize+split run once per row, not once per
+    shingle — measured ~2× on the sf0.1 shingle stage.
+
+    ``bound=False`` reverts to the plain nested expression: required when
+    the result feeds a pandas-UDF argument, where Spark's interpreted input
+    projection cannot evaluate the ``element_at(transform(array(...)))``
+    binding (INTERNAL_ERROR Cannot evaluate expression) — the UDF path
+    materializes the column in its own projection anyway."""
+    words_expr = F.split(normalized_text(_c(col)), " ")
+
+    def shingles_of(words: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+
+    if not bound:
+        return shingles_of(words_expr)
+    return bind_once(words_expr, shingles_of)
 
 
 def char_kgram_hashes(
@@ -126,18 +151,20 @@ def char_kgram_hashes(
     sequence). Texts shorter than ``k`` chars yield one gram of what's
     there. Built-ins only: sequence + transform + substr.
 
-    HOT-PATH RULE: pass a column that is ALREADY a materialized
-    ``normalized_text`` projection (separate select / staged write) with
-    ``normalized=True``. Referencing the normalization expression here
-    would let Catalyst's CollapseProject inline the regex normalize INTO
-    the per-gram lambda — re-running it once per gram (measured ~25× total
-    runtime on the sf0.1 documents table). Same trap as
-    ``minhash_signature_from_shingles``'s two-stage note (dedup.py)."""
-    norm = _c(col) if normalized else normalized_text(_c(col))
-    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.xxhash64(norm.substr(i, F.lit(k)))
-    )
+    The normalized string is λ-bound (``bind_once``) so the regex
+    normalize runs once per row even though the per-gram lambda references
+    it; ``normalized=True`` skips normalization for callers that already
+    materialized it (e.g. the staged catalog query)."""
+
+    def grams_of(norm: Column) -> Column:
+        n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.xxhash64(norm.substr(i, F.lit(k)))
+        )
+
+    if normalized:
+        return grams_of(_c(col))
+    return bind_once(normalized_text(_c(col)), grams_of)
 
 
 def winnow_fingerprints(
@@ -156,9 +183,16 @@ def winnow_fingerprints(
     exploded window-frame formulation is pinned in tests/test_textfns
     parity; the catalog query stages the gram table so DuckDB reproduces
     the same selection with a window frame (queries.py)."""
-    grams = char_kgram_hashes(_c(col), k, normalized=normalized)
-    n_win = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(grams, j, w))
+    return bind_once(
+        char_kgram_hashes(_c(col), k, normalized=normalized),
+        lambda grams: F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(grams) - F.lit(w - 1), F.lit(1))
+                    ),
+                    lambda j: F.array_min(F.slice(grams, j, w)),
+                )
+            )
+        ),
     )
-    return F.array_sort(F.array_distinct(mins))

@@ -371,11 +371,23 @@ def _simhash_df(df: DataFrame, id_col: str, text_col: str, shingle_words: int = 
     (materialized projection), the 64-bit sign-sum runs in the Arrow-batched
     numpy kernel — the one place built-in expressions genuinely can't keep
     up (64 interpreted array passes per row)."""
-    hashed = _spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.transform(word_shingles(text_col, shingle_words), lambda x: F.xxhash64(x)).alias(
-            "_hh"
-        ),
+    # The λ-bound shingle expression (8× cheaper: normalize+split run once
+    # per row, not per shingle) cannot sit INSIDE the pandas-UDF input
+    # projection — Spark's interpreted UDF-arg projection can't evaluate
+    # the element_at(transform(array(...))) binding. The partition-local
+    # sort between the two projections is the barrier that keeps them
+    # separate (CollapseProject only merges adjacent Projects), so the UDF
+    # reads _hh as a plain attribute. Sorting by id within the already
+    # id-clustered partitions costs one local sort and nothing else.
+    hashed = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                word_shingles(text_col, shingle_words), lambda x: F.xxhash64(x)
+            ).alias("_hh"),
+        )
+        .sortWithinPartitions("id")
     )
     udf = F.pandas_udf(_simhash_kernel, "long")
     return hashed.select("id", udf(F.col("_hh")).alias("sh"))
