@@ -123,3 +123,93 @@ def test_watermark_progression_and_in_watermark_aggregation(spark, tmp_path):
     assert by_window.get(base) == 2                              # 10:00, 10:30
     assert by_window.get(base + dt.timedelta(hours=1)) == 1      # 11:15
     assert by_window.get(base + dt.timedelta(hours=2)) == 1      # 12:30
+
+
+def test_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Exactly-once across query restarts: batch 1 commits, the query
+    stops, new files arrive, a NEW query on the same checkpoint processes
+    only the new files — no re-extraction, no duplicate rows."""
+    from ocr_platform_spark.operators.corpus_spark import documents_df
+    from ocr_platform_spark.operators.resume import SnapshotTable
+    from ocr_platform_spark.streaming.incremental import stream_extraction
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table_path = str(tmp_path / "tbl")
+
+    all_docs = documents_df(spark, 60).cache()
+    a = all_docs.where("xxhash64(url) % 2 = 0")
+    b = all_docs.where("xxhash64(url) % 2 != 0")
+    a.coalesce(1).write.parquet(str(in_dir / "batch-a"))
+
+    q = stream_extraction(spark, str(in_dir) + "/*", table_path, ckpt)
+    q.awaitTermination(120)
+    table = SnapshotTable(table_path)
+    n_a = table.read_data(spark).count()
+    assert n_a == a.count()
+    runs_after_first = set(table.committed_runs())
+
+    b.coalesce(1).write.parquet(str(in_dir / "batch-b"))
+    q2 = stream_extraction(spark, str(in_dir) + "/*", table_path, ckpt)
+    q2.awaitTermination(120)
+
+    final = table.read_data(spark)
+    assert final.count() == 60
+    assert final.select("url").distinct().count() == 60  # no dupes
+    # first-run snapshots untouched; restart added new epochs only
+    assert runs_after_first.issubset(set(table.committed_runs()))
+    all_docs.unpersist()
+
+
+def test_sessionizer_on_rocksdb_state_store(spark, tmp_path):
+    """Large-cardinality state story: the stateful sessionizer must run
+    (and produce identical closed sessions) on the RocksDB state store
+    provider — the conf a 10^8-user stream needs so state spills off-heap
+    to local disk instead of living in executor memory."""
+    import datetime as dt
+
+    from ocr_platform_spark.streaming.sessions import sessionize_stream_event_time
+
+    base = dt.datetime(2025, 1, 1, 8, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, "click", 1.0, "{}")
+        for i, (u, m) in enumerate(
+            [(1, 0), (1, 5), (1, 60), (2, 0), (2, 100), (3, 0), (3, 200)]
+        )
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    in_dir = tmp_path / "ev"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(in_dir))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out_rows = []
+    try:
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(in_dir))
+        q = (
+            sessionize_stream_event_time(stream, watermark="10 minutes")
+            .writeStream.foreachBatch(lambda df, _e: out_rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt-rdb"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    closed = sorted((r["user_id"], r["n_events"]) for r in out_rows)
+    # same gap semantics as the default provider: user 1's 2-event session
+    # closes on the 60' event; watermark (200'-10') closes the idle tails
+    # of users 1 (60') and 2 (100'); user 3's 200' tail stays open.
+    assert (1, 2) in closed and len(closed) >= 3
