@@ -1367,20 +1367,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs
     WHERE CASE WHEN na > 0 AND nb > 0
                THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
-               ELSE 0.0 END >= 0.8
+               ELSE 0.0 END >= 0.25
     ORDER BY id_a, id_b
     """,
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH self-join candidates
-    staged, quantized-cosine verification ≥ 0.8 oracle-checked in both
-    engines from the same candidate table."""
+    staged, quantized-cosine verification oracle-checked in both engines
+    from the same candidate table. The synthetic embeddings table is
+    near-orthogonal (max candidate cosine ~0.35 — no true duplicates by
+    construction), so the catalog query verifies the scoring tail at a
+    0.25 threshold to produce NONZERO hash-checked rows; production
+    near-dup semantics use the operator default (0.95)."""
     emb = _t(spark, sf_dir, "embeddings")
     cands = stage(
         ann.embedding_lsh_pairs(emb, id_col="vec_id", vec_col="embedding"),
         "emb_dup_cands",
     )
-    return ann.quantized_verify_pairs(cands, emb, threshold=0.8).orderBy("id_a", "id_b")
+    return ann.quantized_verify_pairs(cands, emb, threshold=0.25).orderBy("id_a", "id_b")
 
 
 # =========================================================================
@@ -2325,6 +2329,56 @@ def corrected_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("url", "row_index")
     )
+
+
+@q(
+    "media_near_dups",
+    f"""
+    WITH e AS (SELECT * FROM read_parquet('{staged_glob("media_emb")}')),
+    qz AS (
+      SELECT media_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM e
+    ),
+    p AS (SELECT * FROM read_parquet('{staged_glob("media_dup_cands")}')),
+    pairs AS (
+      SELECT p.id_a, p.id_b,
+             list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS dot,
+             list_sum(list_transform(a.v, x -> x * x)) AS na,
+             list_sum(list_transform(b.v, x -> x * x)) AS nb
+      FROM p JOIN qz a ON p.id_a = a.media_id JOIN qz b ON p.id_b = b.media_id
+    )
+    SELECT id_a, id_b,
+           CASE WHEN na > 0 AND nb > 0
+                THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+                ELSE 0.0 END AS cosine
+    FROM pairs
+    WHERE CASE WHEN na > 0 AND nb > 0
+               THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+               ELSE 0.0 END >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal × ANN end-to-end: binary media payloads → byte-histogram
+    content embedding (codec-free numpy kernel) → hyperplane-LSH self-join
+    candidates → exact quantized-cosine verification ≥ 0.8. The embedding
+    table and the candidate pairs are staged, so DuckDB reproduces the
+    quantization + cosine + threshold tail over the same bytes — the
+    near-dup path a media corpus runs before any decode step exists."""
+    from ocr_platform_spark.operators.multimodal import media_corpus, with_byte_histogram
+
+    media = media_corpus(spark, 150)
+    emb = stage(
+        with_byte_histogram(media).select("media_id", "embedding"), "media_emb"
+    )
+    cands = stage(
+        ann.embedding_lsh_pairs(emb, id_col="media_id", vec_col="embedding"),
+        "media_dup_cands",
+    )
+    return ann.quantized_verify_pairs(
+        cands, emb, id_col="media_id", vec_col="embedding", threshold=0.8
+    ).orderBy("id_a", "id_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
