@@ -1,0 +1,85 @@
+"""End-to-end training-corpus curation — the composed pipeline a web-scale
+dataset build runs over the documents table (prompt-mandated training-data
+ops as ONE plan): quality gate → language gate → exact dedup → MinHash
+near-dup drop, with a per-stage funnel report.
+
+Every stage is an operator that already exists and is independently
+oracle-verified (functions/textfns.py quality/lang, operators/dedup.py
+exact + MinHash); this plan is their composition plus the bookkeeping a
+curation run needs — which stage dropped how many documents.
+
+Scale shape: stages 1-2 are pure column expressions fused into one scan;
+stage 3 is one hash-partitioned window on the md5 fingerprint; stage 4 is
+the banded-LSH near-dup pipeline (never all-pairs) followed by a left-anti
+join on the drop set. The funnel counts are separate tiny jobs over the
+(cached-or-recomputed) kept sets — at 10^12 rows you would lift them from
+the same pass via observation metrics, which Spark exposes as
+``df.observe``; the per-stage DataFrames returned here make either choice
+available to the caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_platform_spark.functions import textfns as TX
+from ocr_platform_spark.operators import dedup
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.5,
+) -> dict[str, DataFrame]:
+    """Run the curation funnel; returns the per-stage kept DataFrames plus
+    the near-dup drop set:
+
+    ``{"input", "quality", "lang", "exact", "dropped_near", "curated"}``
+
+    Near-dup policy: from each verified pair (id_a < id_b, Jaccard ≥
+    threshold) the LARGER id is dropped — the greedy min-id-survivor rule,
+    matching ``drop_exact_duplicates``'s representative choice."""
+    feats = docs.select(
+        "*",
+        TX.quality_score(text_col).alias("_quality"),
+        TX.lang_id(text_col).alias("_lang"),
+    )
+    s_quality = feats.where(F.col("_quality") >= min_quality)
+    s_lang = s_quality.where(F.col("_lang").isin(list(langs)))
+    s_exact = dedup.drop_exact_duplicates(
+        s_lang.drop("_quality", "_lang"), id_col, text_col
+    )
+    pairs = dedup.minhash_near_duplicates(
+        s_exact, id_col, text_col, threshold=near_dup_threshold
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    curated = s_exact.join(dropped, id_col, "left_anti")
+    return {
+        "input": docs,
+        "quality": s_quality,
+        "lang": s_lang,
+        "exact": s_exact,
+        "dropped_near": dropped,
+        "curated": curated,
+    }
+
+
+def curation_funnel(stages: dict[str, DataFrame]) -> DataFrame:
+    """(stage_no, stage, n_docs) report over :func:`curate_corpus` output."""
+    order = [
+        (0, "input", "input"),
+        (1, "quality", "quality"),
+        (2, "lang", "lang"),
+        (3, "exact_dedup", "exact"),
+        (4, "near_dup_drop", "curated"),
+    ]
+    out = None
+    for no, label, key in order:
+        row = stages[key].agg(F.count("*").alias("n_docs")).select(
+            F.lit(no).alias("stage_no"), F.lit(label).alias("stage"), "n_docs"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

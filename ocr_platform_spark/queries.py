@@ -2381,6 +2381,98 @@ def media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+#: SQL faces of the curation gates — textually identical to the proven
+#: doc_quality / doc_lang_id oracles so the funnel reuses verified math.
+_QUALITY_SQL = r"""
+      SELECT doc_id,
+        round(
+          least(toks / 100.0, 1.0) * 0.4
+          + least((CASE WHEN toks > 0 THEN stops / toks ELSE 0.0 END) * 5.0, 1.0) * 0.3
+          + (1.0 - least((CASE WHEN toks > 0 THEN punct / toks ELSE 1.0 END) * 2.0, 1.0)) * 0.3,
+          4) AS quality
+      FROM (
+        SELECT doc_id,
+          CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS toks,
+          CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|that|with)\b')) AS DOUBLE) AS stops,
+          CAST(length(text) - length(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE) AS punct
+        FROM documents
+      )
+"""
+
+
+def _lang_sql() -> str:
+    scores = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{_STOP_RE[lang]}')) AS s_{lang}"
+        for lang, _ in TX.LANG_PROFILES
+    )
+    whens = " ".join(
+        f"WHEN s_{lang} = greatest(s_en, s_de, s_es, s_fr, s_hi) THEN '{lang}'"
+        for lang, _ in TX.LANG_PROFILES
+    )
+    return f"""
+      SELECT doc_id,
+        CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_hi) = 0 THEN 'und'
+             {whens}
+        END AS pred_lang
+      FROM (SELECT doc_id, {scores} FROM documents)
+"""
+
+
+@q(
+    "curation_funnel",
+    f"""
+    WITH q AS ({_QUALITY_SQL}),
+    l AS ({_lang_sql()}),
+    s1 AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+      WHERE q.quality >= 0.3
+    ),
+    s2 AS (
+      SELECT s1.* FROM s1 JOIN l USING (doc_id) WHERE l.pred_lang = 'en'
+    ),
+    s3 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+          ORDER BY doc_id) AS rn
+        FROM s2
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT doc_id FROM read_parquet('{staged_glob("curation_dropped")}')
+    ),
+    s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+    SELECT CAST(stage_no AS INT) AS stage_no, stage, n_docs FROM (
+      VALUES (0, 'input',         (SELECT COUNT(*) FROM documents)),
+             (1, 'quality',       (SELECT COUNT(*) FROM s1)),
+             (2, 'lang',          (SELECT COUNT(*) FROM s2)),
+             (3, 'exact_dedup',   (SELECT COUNT(*) FROM s3)),
+             (4, 'near_dup_drop', (SELECT COUNT(*) FROM s4))
+    ) AS t(stage_no, stage, n_docs)
+    ORDER BY stage_no
+    """,
+)
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus curation pipeline (plans/curation.py):
+    quality ≥ 0.3 → lang = en → exact dedup → MinHash near-dup drop, as a
+    per-stage funnel. The oracle recomputes stages 0-3 entirely in SQL
+    (the same verified quality/lang/fingerprint math) and applies the
+    staged LSH drop set for stage 4 — so the whole funnel, including every
+    gate's count, is hash-checked."""
+    from ocr_platform_spark.plans.curation import curate_corpus, curation_funnel
+
+    d = _t(spark, sf_dir, "documents")
+    stages = curate_corpus(d, min_quality=0.3, langs=("en",), near_dup_threshold=0.5)
+    stages["dropped_near"] = stage(stages["dropped_near"], "curation_dropped")
+    # recompute 'curated' against the STAGED drop set so both engines
+    # subtract byte-identical ids
+    stages["curated"] = stages["exact"].join(
+        stages["dropped_near"], "doc_id", "left_anti"
+    )
+    return curation_funnel(stages).orderBy("stage_no")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

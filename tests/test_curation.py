@@ -1,0 +1,53 @@
+"""Composed curation plan: each gate drops exactly the engineered rows."""
+
+from __future__ import annotations
+
+from ocr_platform_spark.plans.curation import curate_corpus, curation_funnel
+
+_GOOD_EN = (
+    "the quick brown fox jumps over the lazy dog and runs to the forest "
+    "with great speed that nobody in the town had seen before and the "
+    "crowd watched in wonder as the animal disappeared into the trees"
+)
+_GOOD_DE = (
+    "der schnelle braune fuchs springt und der hund schaut mit den augen "
+    "auf das feld wo die kinder mit einem ball spielen und der wind weht"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, _GOOD_EN),
+        (2, _GOOD_EN + " extra tail words for the reader of the story"),  # near-dup of 1
+        (3, _GOOD_EN),  # exact dup of 1
+        (4, _GOOD_DE),  # wrong language
+        (5, "!!! ??? ... ,,, ;;; ((( ))) ::: !!!"),  # junk: low quality
+        (6, "completely different english content about the spark engine "
+            "and the way that partitions of data move with the shuffle to "
+            "the reducers in the cluster of many machines that work"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_corpus_gates(spark):
+    stages = curate_corpus(
+        _docs(spark), min_quality=0.3, langs=("en",), near_dup_threshold=0.5
+    )
+    assert stages["quality"].count() == 5  # junk doc 5 out
+    kept_lang = {r["doc_id"] for r in stages["lang"].select("doc_id").collect()}
+    assert kept_lang == {1, 2, 3, 6}  # german doc 4 out
+    kept_exact = {r["doc_id"] for r in stages["exact"].select("doc_id").collect()}
+    assert kept_exact == {1, 2, 6}  # exact dup 3 collapsed into 1 (min id)
+    dropped = {r["doc_id"] for r in stages["dropped_near"].collect()}
+    assert dropped == {2}  # near-dup of 1, larger id dropped
+    curated = {r["doc_id"] for r in stages["curated"].select("doc_id").collect()}
+    assert curated == {1, 6}
+
+    funnel = {r["stage"]: r["n_docs"] for r in curation_funnel(stages).collect()}
+    assert funnel == {
+        "input": 6,
+        "quality": 5,
+        "lang": 4,
+        "exact_dedup": 3,
+        "near_dup_drop": 2,
+    }
