@@ -67,6 +67,47 @@ def curate_corpus(
     }
 
 
+def curate_observed(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+):
+    """Single-pass funnel instrumentation: the quality/lang gates carry
+    ``df.observe`` metrics, so ONE action over the returned DataFrame
+    yields the gate counts as a side channel — no per-stage recount jobs.
+    This is the 10^12-row shape (an extra COUNT per stage would rescan the
+    corpus once per gate).
+
+    Returns ``(gated_df, observations)`` where ``observations`` is a dict
+    of :class:`pyspark.sql.Observation`; read ``obs[name].get`` AFTER an
+    action has consumed ``gated_df``. The dedup stages keep their own jobs
+    (they shuffle anyway, and their outputs — not just counts — are
+    needed)."""
+    from pyspark.sql import Observation
+
+    obs = {
+        "input": Observation("input"),
+        "quality": Observation("quality"),
+        "lang": Observation("lang"),
+    }
+    feats = docs.observe(obs["input"], F.count(F.lit(1)).alias("n")).select(
+        "*",
+        TX.quality_score(text_col).alias("_quality"),
+        TX.lang_id(text_col).alias("_lang"),
+    )
+    s_quality = feats.where(F.col("_quality") >= min_quality).observe(
+        obs["quality"], F.count(F.lit(1)).alias("n")
+    )
+    s_lang = (
+        s_quality.where(F.col("_lang").isin(list(langs)))
+        .observe(obs["lang"], F.count(F.lit(1)).alias("n"))
+        .drop("_quality", "_lang")
+    )
+    return s_lang, obs
+
+
 def curation_funnel(stages: dict[str, DataFrame]) -> DataFrame:
     """(stage_no, stage, n_docs) report over :func:`curate_corpus` output."""
     order = [
