@@ -228,6 +228,7 @@ def _parse_fast(raw: str) -> list[_Block]:
     blocks: list[_Block] = []
     tag_stack: list[str] = []
     block_stack: list[_Block] = []
+    _UNSET = object()  # sentinel: "no open block — maybe create implicit root"
     skip = boiler = link = 0
     seq = 0
     pos = 0
@@ -241,24 +242,34 @@ def _parse_fast(raw: str) -> list[_Block]:
         else:
             start, end = m.span()
         if start > pos and not skip:
-            data = raw[pos:start]
-            if "&" in data:
-                data = unescape(data)
-            stripped_len = len(data.strip())
             if block_stack:
                 blk = block_stack[-1]
-            elif stripped_len:
-                # text outside any block element (e.g. no <body>): implicit root
-                blk = _Block("body", boiler > 0, seq)
-                seq += 1
-                block_stack.append(blk)
+                # text feeding a boiler block is discarded wholesale at the
+                # filter step (parts/counts never read) — skip the unescape
+                # and list append entirely; output is byte-identical
+                # (pinned by the stdlib differential test).
+                if blk.boiler:
+                    blk = None
             else:
-                blk = None
+                blk = _UNSET
             if blk is not None:
-                blk.parts.append(data)
-                blk.total_chars += stripped_len
-                if link:
-                    blk.link_chars += stripped_len
+                data = raw[pos:start]
+                if "&" in data:
+                    data = unescape(data)
+                stripped_len = len(data.strip())
+                if blk is _UNSET:
+                    if stripped_len:
+                        # text outside any block element: implicit root
+                        blk = _Block("body", boiler > 0, seq)
+                        seq += 1
+                        block_stack.append(blk)
+                    else:
+                        blk = None
+                if blk is not None:
+                    blk.parts.append(data)
+                    blk.total_chars += stripped_len
+                    if link:
+                        blk.link_chars += stripped_len
         if m is None:
             break
         is_end, tag, attrs = m.group(1, 2, 3)
