@@ -86,3 +86,35 @@ def test_truncated_gzip_segment_yields_prefix():
 
 def test_fully_corrupt_gzip_yields_nothing():
     assert list(split_warc_records(b"\x1f\x8b" + b"\x00" * 30)) == []
+
+
+def test_warc_roundtrip_property():
+    """Hypothesis: build_warc_segment -> split_warc_records is the identity
+    on (url, ts, payload) for arbitrary payload bytes (incl. CRLFs, gzip
+    magic, WARC/ prefixes inside payloads) in both compressed and plain
+    layouts."""
+    from datetime import datetime, timezone
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_platform_spark.sources.warc import build_warc_segment, split_warc_records
+
+    url = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126, exclude_characters="\r\n"),
+        min_size=1,
+        max_size=40,
+    )
+    payload = st.binary(max_size=300)
+    ts = st.datetimes(
+        min_value=datetime(1990, 1, 1), max_value=datetime(2030, 1, 1)
+    ).map(lambda d: d.replace(microsecond=0))
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(st.tuples(url, ts, payload), max_size=6), st.booleans())
+    def check(rows, compress):
+        seg = build_warc_segment(rows, compress=compress)
+        got = list(split_warc_records(seg))
+        assert [(u, t, p) for u, t, p in got] == rows
+
+    check()
