@@ -98,3 +98,41 @@ def test_big_payloads_flow_through_byte_bounded_batches(spark):
     assert len(got) == 3
     assert all(r["n"] > 5_000_000 for r in got)
     assert out.count() == 203
+
+
+def test_aqe_skew_join_engages(spark):
+    """The session's AQE skew-join handling must actually split a skewed
+    partition at runtime — the complement of planned-in salting: salting
+    covers the aggregations we know are skewed (hosts), AQE covers the
+    joins we don't. Pinned on the final adaptive plan's skew marker."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 400000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-string-that-is-somewhat-long-"),
+                     F.col("id").cast("string")).alias("v"),
+        )
+        right = spark.range(0, 5000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k").select(F.count("*").alias("n"))
+        assert j.collect()[0]["n"] == 360500  # correctness under the split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
