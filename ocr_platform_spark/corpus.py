@@ -194,7 +194,7 @@ def _build_edge(
     rng: random.Random, lang: str
 ) -> tuple[bytes, str, str, str | None]:
     """Edge-case payloads; returns (bytes, expected_kind, expected_text, expected_error)."""
-    which = rng.randrange(6)
+    which = rng.randrange(7)
     if which == 0:  # empty body
         return (
             b"<html><head><title>t</title></head><body></body></html>",
@@ -220,6 +220,15 @@ def _build_edge(
         big = _words(rng, 4000, lang)
         html = f"<html><body><article><p>{big}</p></article></body></html>"
         return html.encode("utf-8"), "html", big, None
+    if which == 6:  # declared legacy charset: latin-1 bytes decode correctly
+        head = _sentence_words(rng, 8, 16, lang)
+        text = f"{head} café résumé naïve à côté"
+        html = (
+            '<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=iso-8859-1"></head>'
+            f"<body><p>{text}</p></body></html>"
+        ).encode("latin-1")
+        return html, "html", text, None
     if which == 4:  # PDF with corrupt FlateDecode data → error-as-data
         pdf = (
             b"%PDF-1.4\n1 0 obj << /Length 8 /Filter /FlateDecode >> stream\n"

@@ -427,6 +427,34 @@ class _SinkTokenizer:
                 pos = mc.end()
 
 
+# Declared-charset sniff: real crawls carry large latin-1/windows-1252
+# populations; decoding them as utf-8 produces U+FFFD mojibake. The sniff
+# reads only the document head and accepts an ALLOWLIST of stdlib codecs
+# (deterministic, platform-stable); unknown/absent declarations fall back
+# to utf-8 with replacement — never an exception.
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I)
+_SAFE_CODECS = {
+    "utf-8": "utf-8", "utf8": "utf-8", "ascii": "utf-8", "us-ascii": "utf-8",
+    "latin-1": "latin-1", "latin1": "latin-1", "iso-8859-1": "latin-1",
+    "iso8859-1": "latin-1", "windows-1252": "cp1252", "cp1252": "cp1252",
+    "iso-8859-15": "iso-8859-15", "windows-1251": "cp1251", "cp1251": "cp1251",
+    "koi8-r": "koi8-r", "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "euc-jp": "euc-jp", "gb2312": "gb18030", "gbk": "gb18030", "gb18030": "gb18030",
+    "big5": "big5", "euc-kr": "euc-kr",
+}
+
+
+def decode_html(data: bytes) -> str:
+    """Bytes → text honoring an in-document charset declaration (meta
+    charset / http-equiv), restricted to the allowlist; utf-8 otherwise."""
+    m = _CHARSET_RE.search(data[:2048])
+    if m is not None:
+        codec = _SAFE_CODECS.get(m.group(1).decode("ascii", "replace").lower())
+        if codec is not None and codec != "utf-8":
+            return data.decode(codec, errors="replace")
+    return data.decode("utf-8", errors="replace")
+
+
 def extract_html(
     data: bytes, fast: bool = True
 ) -> tuple[str, list[tuple[str, int, int, str]], str | None]:
@@ -436,7 +464,7 @@ def extract_html(
     cf. ``data_conversion.py:261-302``). ``fast=False`` selects the stdlib
     ``HTMLParser`` tokenizer (differential-test reference)."""
     try:
-        raw = data.decode("utf-8", errors="replace")
+        raw = decode_html(data)
     except Exception as exc:  # pragma: no cover - decode with replace can't fail
         return "", [], f"decode-error: {exc}"
     try:
@@ -580,7 +608,7 @@ def extract_html_tables(data: bytes) -> tuple[list[dict], str | None]:
     (sub-template columns per row, ``ocr_backend/app/models/
     sub_template_field.py:5-15``) map onto headers→columns, tr→row_index."""
     try:
-        raw = data.decode("utf-8", errors="replace")
+        raw = decode_html(data)
     except Exception as exc:  # pragma: no cover
         return [], f"decode-error: {exc}"
     try:

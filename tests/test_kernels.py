@@ -269,3 +269,37 @@ def test_pdf_direct_length_still_authoritative():
     text, _spans, err = extract_pdf(pdf)
     assert text == "Direct"
     assert err is None
+
+
+def test_declared_charset_decoding():
+    """Pages declaring a legacy charset decode through it; undeclared or
+    unknown declarations fall back to utf-8-with-replacement."""
+    from ocr_platform_spark.kernels.html_extract import decode_html, extract_html
+
+    body = "le café est à côté de la résidence et le chien dort dehors"
+    latin = (
+        '<html><head><meta charset="iso-8859-1"></head>'
+        f"<body><p>{body}</p></body></html>"
+    ).encode("latin-1")
+    text, _, err = extract_html(latin)
+    assert err is None and text == body
+
+    cp1252 = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=windows-1252"></head>'
+        "<body><p>curly “quotes” and a dash — here in the text</p>"
+        "</body></html>"
+    ).encode("cp1252")
+    text, _, _ = extract_html(cp1252)
+    assert "“quotes”" in text and "—" in text
+
+    # unknown charset name → utf-8 fallback, never an exception
+    weird = (
+        b'<html><head><meta charset="x-unknown-enc"></head>'
+        b"<body><p>plain ascii body text that is long enough to keep</p></body></html>"
+    )
+    text, _, err = extract_html(weird)
+    assert err is None and "plain ascii body" in text
+
+    # utf-8 declared == utf-8 default
+    assert decode_html("<p>héllo</p>".encode()) == "<p>héllo</p>"
