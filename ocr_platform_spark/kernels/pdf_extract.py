@@ -42,6 +42,14 @@ _TEXT_OP_RE = re.compile(
     rb"|(T\*|TD|Td)"                        # line moves → newline
 )
 _STRING_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)")
+# TJ array elements in order: literal strings and positioning numbers.
+_TJ_ITEM_RE = re.compile(rb"(\((?:[^()\\]|\\.)*\))|(-?\d+(?:\.\d+)?)")
+#: TJ offsets are thousandths of an em of NEGATIVE displacement; a shift
+#: this large renders as visible whitespace (a word space glyph is ~250;
+#: kerning pairs are tens). pdfminer-style layout analysis derives this
+#: from glyph positions — this fixed threshold is the streaming-parser
+#: equivalent, pinned by tests/test_kernels.py.
+TJ_WORD_SPACE_THRESHOLD = -180.0
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -158,8 +166,20 @@ def extract_pdf(data: bytes) -> tuple[str, list[tuple[str, int, int, str]], str 
                     body = _STRING_RE.search(tj).group(0)[1:-1]
                     current.append(_unescape(body).decode("utf-8", errors="replace"))
                 elif tj_array is not None:
-                    for s in _STRING_RE.findall(tj_array):
-                        current.append(_unescape(s[1:-1]).decode("utf-8", errors="replace"))
+                    # kerning-aware: a displacement beyond the word-space
+                    # threshold between two strings renders as whitespace
+                    pending_space = False
+                    for mi in _TJ_ITEM_RE.finditer(tj_array):
+                        s, num = mi.group(1), mi.group(2)
+                        if s is not None:
+                            if pending_space:
+                                current.append(" ")
+                                pending_space = False
+                            current.append(
+                                _unescape(s[1:-1]).decode("utf-8", errors="replace")
+                            )
+                        elif float(num) <= TJ_WORD_SPACE_THRESHOLD:
+                            pending_space = True
             flush()
         if not saw_stream:
             return "", [], "pdf-no-content-stream"

@@ -107,9 +107,21 @@ PDF = (
 def test_pdf_lines():
     text, spans, err = extract_pdf(PDF)
     assert err is None
-    assert text == "first line\nsecond (escaped) line\narray line"
+    # -250 between (arr) and (ay line) exceeds the word-space threshold:
+    # a displacement that large renders as visible whitespace
+    assert text == "first line\nsecond (escaped) line\narr ay line"
     for field, start, end, value in spans:
         assert text[start:end] == value
+
+
+def test_pdf_tj_kerning_threshold():
+    """Small kerning offsets join; word-space-sized offsets split."""
+    stream = b"BT (a) Tj 0 -14 Td [(ker) -50 (ned)] TJ 0 -14 Td [(two) -400 (words)] TJ ET"
+    pdf = (b"%PDF-1.4\n1 0 obj << /Length " + str(len(stream)).encode()
+           + b" >> stream\n" + stream + b"\nendstream endobj\n%%EOF")
+    text, _, err = extract_pdf(pdf)
+    assert err is None
+    assert text == "a\nkerned\ntwo words"
 
 
 def test_pdf_octal_escape():
