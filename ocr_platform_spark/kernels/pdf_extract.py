@@ -37,9 +37,9 @@ _FILTER_RE = re.compile(rb"/Filter\s*(?:/(\w+)|\[\s*((?:/\w+\s*)*)\])")
 # PDF literal string: parenthesized with backslash escapes (no nesting support
 # needed for the operator subset we target).
 _TEXT_OP_RE = re.compile(
-    rb"(\((?:[^()\\]|\\.)*\)\s*(?:Tj|'))"  # (string) Tj   or   (string) '
-    rb"|(\[(?:[^\]\\]|\\.)*\]\s*TJ)"       # [ (s1) -250 (s2) ] TJ
-    rb"|(T\*|TD|Td)"                        # line moves → newline
+    rb"(\((?:[^()\\]|\\.)*\)\s*(?:Tj|'|\"))"  # (s) Tj | (s) ' | aw ac (s) "
+    rb"|(\[(?:[^\]\\]|\\.)*\]\s*TJ)"          # [ (s1) -250 (s2) ] TJ
+    rb"|(T\*|TD|Td)"                           # line moves → newline
 )
 _STRING_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)")
 # TJ array elements in order: literal strings and positioning numbers.
@@ -103,6 +103,15 @@ def _object_dict(data: bytes, stream_kw_start: int) -> bytes:
     return b""
 
 
+#: Stream object types that are NOT page content: cross-reference streams,
+#: object streams, XML metadata, embedded files, and image XObjects — all
+#: carry binary/opaque payloads that can contain accidental ``(..) Tj``
+#: byte patterns, which would inject garbage into the extracted text.
+_NON_CONTENT_RE = re.compile(
+    rb"/Type\s*/(?:XRef|ObjStm|Metadata|EmbeddedFile)|/Subtype\s*/Image"
+)
+
+
 def _decoded_streams(data: bytes):
     """Yield (stream_bytes | None, error | None) per content stream."""
     for m in _STREAM_KW.finditer(data):
@@ -111,6 +120,8 @@ def _decoded_streams(data: bytes):
         if end < 0:
             continue
         obj = _object_dict(data, m.start())
+        if _NON_CONTENT_RE.search(obj):
+            continue  # xref/object-stream/metadata/image: never page text
         lm = _LENGTH_RE.search(obj)
         if lm is not None and start + int(lm.group(1)) <= end:
             # /Length is authoritative (PDF spec) — EOL bytes beyond it are
@@ -163,6 +174,9 @@ def extract_pdf(data: bytes) -> tuple[str, list[tuple[str, int, int, str]], str 
                 if move is not None:
                     flush()
                 elif tj is not None:
+                    # ' and " are move-to-next-line-then-show (T* + Tj)
+                    if tj.rstrip().endswith((b"'", b'"')):
+                        flush()
                     body = _STRING_RE.search(tj).group(0)[1:-1]
                     current.append(_unescape(body).decode("utf-8", errors="replace"))
                 elif tj_array is not None:

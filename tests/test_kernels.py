@@ -315,3 +315,23 @@ def test_declared_charset_decoding():
 
     # utf-8 declared == utf-8 default
     assert decode_html("<p>héllo</p>".encode()) == "<p>héllo</p>"
+
+
+def test_pdf_quote_operators_and_non_content_streams():
+    """' and \" show-operators imply a line move; xref/object/image streams
+    never contribute text even when their bytes contain (..) Tj patterns."""
+    stream = b"BT (first) Tj (quoted next) ' 2 3 (dquoted next) \" ET"
+    fake_image = b"\x00\x01(garbage) Tj\x02\x03"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Length " + str(len(stream)).encode() + b" >> stream\n"
+        + stream + b"\nendstream endobj\n"
+        b"2 0 obj << /Subtype /Image /Length " + str(len(fake_image)).encode()
+        + b" >> stream\n" + fake_image + b"\nendstream endobj\n"
+        b"3 0 obj << /Type /XRef /Length 14 >> stream\n"
+        b"(xref) Tj junk\nendstream endobj\n%%EOF"
+    )
+    text, _, err = extract_pdf(pdf)
+    assert err is None
+    assert text == "first\nquoted next\ndquoted next"
+    assert "garbage" not in text and "xref" not in text
