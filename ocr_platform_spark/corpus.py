@@ -194,7 +194,7 @@ def _build_edge(
     rng: random.Random, lang: str
 ) -> tuple[bytes, str, str, str | None]:
     """Edge-case payloads; returns (bytes, expected_kind, expected_text, expected_error)."""
-    which = rng.randrange(7)
+    which = rng.randrange(8)
     if which == 0:  # empty body
         return (
             b"<html><head><title>t</title></head><body></body></html>",
@@ -229,6 +229,14 @@ def _build_edge(
             f"<body><p>{text}</p></body></html>"
         ).encode("latin-1")
         return html, "html", text, None
+    if which == 7:  # <pre> code block: internal whitespace is content
+        intro = _sentence_words(rng, 12, 20, lang)
+        a, b = _WORDS[rng.randrange(len(_WORDS))], _WORDS[rng.randrange(len(_WORDS))]
+        code = f"def {a}(x):\n    return x + {rng.randint(1, 9)}\n\n{b} = {a}(2)"
+        html = (
+            f"<html><body><p>{intro}</p><pre>\n{code}\n</pre></body></html>"
+        ).encode("utf-8")
+        return html, "html", f"{intro}\n\n{code}", None
     if which == 4:  # PDF with corrupt FlateDecode data → error-as-data
         pdf = (
             b"%PDF-1.4\n1 0 obj << /Length 8 /Filter /FlateDecode >> stream\n"

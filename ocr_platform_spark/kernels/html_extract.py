@@ -476,7 +476,12 @@ def extract_html(
     for blk in blocks:
         if blk.boiler:
             continue
-        text = _normalize(blk.parts)
+        if blk.tag == "pre":
+            # preformatted blocks keep their internal whitespace (code /
+            # ASCII layout is content); only outer blank space is trimmed
+            text = "".join(blk.parts).strip()
+        else:
+            text = _normalize(blk.parts)
         if not text:
             continue
         if blk.total_chars > 0 and blk.link_chars / blk.total_chars > MAX_LINK_DENSITY:

@@ -37,13 +37,31 @@ _FILTER_RE = re.compile(rb"/Filter\s*(?:/(\w+)|\[\s*((?:/\w+\s*)*)\])")
 # PDF literal string: parenthesized with backslash escapes (no nesting support
 # needed for the operator subset we target).
 _TEXT_OP_RE = re.compile(
-    rb"(\((?:[^()\\]|\\.)*\)\s*(?:Tj|'|\"))"  # (s) Tj | (s) ' | aw ac (s) "
-    rb"|(\[(?:[^\]\\]|\\.)*\]\s*TJ)"          # [ (s1) -250 (s2) ] TJ
-    rb"|(T\*|TD|Td)"                           # line moves → newline
+    rb"((?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s*(?:Tj|'|\"))"  # literal or hex show
+    rb"|(\[(?:[^\]\\]|\\.|<[0-9A-Fa-f\s]*>)*\]\s*TJ)"              # TJ arrays, both kinds
+    rb"|(T\*|TD|Td)"                                                # line moves → newline
 )
-_STRING_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)")
-# TJ array elements in order: literal strings and positioning numbers.
-_TJ_ITEM_RE = re.compile(rb"(\((?:[^()\\]|\\.)*\))|(-?\d+(?:\.\d+)?)")
+_STRING_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>")
+# TJ array elements in order: literal/hex strings and positioning numbers.
+_TJ_ITEM_RE = re.compile(
+    rb"(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)|(-?\d+(?:\.\d+)?)"
+)
+
+
+def _string_bytes(token: bytes) -> bytes:
+    """Decode a PDF string token — ``(literal)`` with escapes or ``<hex>``
+    pairs (odd final digit zero-padded per spec). Hex strings are shown as
+    their byte values; without per-font encoding tables (CID maps need the
+    font program) this is the honest single-byte-encoding reading."""
+    if token[:1] == b"(":
+        return _unescape(token[1:-1])
+    hx = b"".join(token[1:-1].split())
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except ValueError:  # pragma: no cover - regex admits hex digits only
+        return b""
 #: TJ offsets are thousandths of an em of NEGATIVE displacement; a shift
 #: this large renders as visible whitespace (a word space glyph is ~250;
 #: kerning pairs are tens). pdfminer-style layout analysis derives this
@@ -177,8 +195,8 @@ def extract_pdf(data: bytes) -> tuple[str, list[tuple[str, int, int, str]], str 
                     # ' and " are move-to-next-line-then-show (T* + Tj)
                     if tj.rstrip().endswith((b"'", b'"')):
                         flush()
-                    body = _STRING_RE.search(tj).group(0)[1:-1]
-                    current.append(_unescape(body).decode("utf-8", errors="replace"))
+                    tok = _STRING_RE.search(tj).group(0)
+                    current.append(_string_bytes(tok).decode("utf-8", errors="replace"))
                 elif tj_array is not None:
                     # kerning-aware: a displacement beyond the word-space
                     # threshold between two strings renders as whitespace
@@ -190,7 +208,7 @@ def extract_pdf(data: bytes) -> tuple[str, list[tuple[str, int, int, str]], str 
                                 current.append(" ")
                                 pending_space = False
                             current.append(
-                                _unescape(s[1:-1]).decode("utf-8", errors="replace")
+                                _string_bytes(s).decode("utf-8", errors="replace")
                             )
                         elif float(num) <= TJ_WORD_SPACE_THRESHOLD:
                             pending_space = True

@@ -335,3 +335,33 @@ def test_pdf_quote_operators_and_non_content_streams():
     assert err is None
     assert text == "first\nquoted next\ndquoted next"
     assert "garbage" not in text and "xref" not in text
+
+
+def test_pdf_hex_strings():
+    """<hex> show strings decode by byte value, in Tj and TJ arrays,
+    including odd-length (zero-padded) and whitespace-broken hex."""
+    stream = (
+        b"BT <48656C6C6F> Tj 0 -14 Td "
+        b"[<776F 726C> -400 (mid) -400 <64 7> ] TJ ET"
+    )
+    pdf = (b"%PDF-1.4\n1 0 obj << /Length " + str(len(stream)).encode()
+           + b" >> stream\n" + stream + b"\nendstream endobj\n%%EOF")
+    text, _, err = extract_pdf(pdf)
+    assert err is None
+    # <48656C6C6F>=Hello; <776F726C>=worl; <647>=d + 0x70 pad -> 'dp'
+    assert text == "Hello\nworl mid dp"
+
+
+def test_pre_preserves_internal_whitespace():
+    from ocr_platform_spark.kernels.html_extract import extract_html
+
+    code = "def f(x):\n    return x + 1\n\n\nprint(f(2))"
+    html = (
+        "<html><body><p>intro paragraph that is long enough to keep here</p>"
+        f"<pre>\n{code}\n</pre></body></html>"
+    ).encode()
+    fast, slow = extract_html(html, fast=True), extract_html(html, fast=False)
+    assert fast == slow  # differential parity holds for pre too
+    text = fast[0]
+    assert "def f(x):\n    return x + 1" in text  # indentation survives
+    assert text.startswith("intro paragraph")
