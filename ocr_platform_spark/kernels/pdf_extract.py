@@ -2,12 +2,15 @@
 
 pdfminer-style layout analysis is out of reach in this environment (pdfminer
 is not installed), so this is a minimal, honest content-stream text parser:
-it handles uncompressed and **FlateDecode** (zlib — the dominant filter in
-real PDFs, stdlib-decodable) content streams and the text-showing operators
-``Tj`` / ``'`` / ``TJ``, emitting one output line per text-positioning move.
-Other filters (DCT, LZW, ASCII85, …) and corrupt deflate data are reported
-as an error-as-data row, never an exception — matching the reference's
-carry-the-error semantics (``ocr_backend/app/utils/data_conversion.py:261-302``).
+it handles uncompressed and stdlib-decodable filter chains (**FlateDecode**
+— the dominant real-world filter — plus ASCIIHexDecode and ASCII85Decode,
+in any declared order) and the text-showing operators ``Tj`` / ``'`` /
+``\"`` / ``TJ`` (literal and <hex> strings, kerning-aware word spacing),
+emitting one output line per text-positioning move. Non-content streams
+(XRef/ObjStm/Metadata/Image) are skipped. Filters with no stdlib decoder
+(DCT, LZW, JBIG2, …) and corrupt data are reported as an error-as-data
+row, never an exception — matching the reference's carry-the-error
+semantics (``ocr_backend/app/utils/data_conversion.py:261-302``).
 
 Maps the reference's per-payload-category branching
 (``ocr_backend/app/utils/gemini_ocr.py:50-91``: MIME sniff →
@@ -157,13 +160,40 @@ def _decoded_streams(data: bytes):
             yield raw, None
             continue
         names = [fm.group(1)] if fm.group(1) else re.findall(rb"/(\w+)", fm.group(2) or b"")
-        if names == [b"FlateDecode"]:
+        yield _apply_filters(raw, names)
+
+
+def _apply_filters(raw: bytes, names: list[bytes]):
+    """Apply a PDF filter chain in declaration order. Stdlib-decodable
+    filters are decoded for real (FlateDecode/zlib, ASCIIHexDecode,
+    ASCII85Decode — including the [ASCII85Decode FlateDecode] chain common
+    in text tooling); anything else stays an honest error-as-data row."""
+    for name in names:
+        if name == b"FlateDecode":
             try:
-                yield zlib.decompress(raw), None
+                raw = zlib.decompress(raw)
             except zlib.error:
-                yield None, "pdf-flate-error"
+                return None, "pdf-flate-error"
+        elif name == b"ASCIIHexDecode":
+            body = raw.split(b">")[0]
+            hx = b"".join(body.split())
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                raw = bytes.fromhex(hx.decode("ascii"))
+            except (ValueError, UnicodeDecodeError):
+                return None, "pdf-asciihex-error"
+        elif name == b"ASCII85Decode":
+            import base64
+
+            body = raw.split(b"~>")[0]
+            try:
+                raw = base64.a85decode(b"".join(body.split()), adobe=False)
+            except ValueError:
+                return None, "pdf-ascii85-error"
         else:
-            yield None, "pdf-unsupported-filter"
+            return None, "pdf-unsupported-filter"
+    return raw, None
 
 
 def extract_pdf(data: bytes) -> tuple[str, list[tuple[str, int, int, str]], str | None]:

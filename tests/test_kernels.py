@@ -365,3 +365,31 @@ def test_pre_preserves_internal_whitespace():
     text = fast[0]
     assert "def f(x):\n    return x + 1" in text  # indentation survives
     assert text.startswith("intro paragraph")
+
+
+def test_pdf_filter_chains():
+    """ASCIIHex / ASCII85 decode for real, alone and chained with Flate;
+    unknown filters stay error-as-data."""
+    import base64
+    import zlib
+
+    stream = b"BT (chained text content) Tj ET"
+
+    def pdf_with(body, filt):
+        return (b"%PDF-1.4\n1 0 obj << /Length " + str(len(body)).encode()
+                + b" /Filter " + filt + b" >> stream\n" + body
+                + b"\nendstream endobj\n%%EOF")
+
+    hex_body = stream.hex().encode() + b">"
+    text, _, err = extract_pdf(pdf_with(hex_body, b"/ASCIIHexDecode"))
+    assert err is None and text == "chained text content"
+
+    a85 = base64.a85encode(zlib.compress(stream)) + b"~>"
+    text, _, err = extract_pdf(pdf_with(a85, b"[ /ASCII85Decode /FlateDecode ]"))
+    assert err is None and text == "chained text content"
+
+    text, _, err = extract_pdf(pdf_with(b"xxxx", b"/LZWDecode"))
+    assert text == "" and err == "pdf-unsupported-filter"
+
+    text, _, err = extract_pdf(pdf_with(b"zz not85\xff", b"/ASCII85Decode"))
+    assert text == "" and err == "pdf-ascii85-error"

@@ -155,3 +155,35 @@ def test_sessionize_stream_event_time_closes_by_watermark(spark, tmp_path):
     # (190' < 230') — exactly the replay-deterministic semantics the
     # processing-time variant cannot give.
     assert closed == [(1, 2), (1, 3), (2, 1), (2, 2)]
+
+
+def test_session_window_runs_as_stream(spark, tmp_path):
+    """The native session_window formulation runs UNCHANGED on a
+    watermarked stream (the docstring's claim): append mode emits a
+    session once the watermark passes its close."""
+    from pyspark.sql import functions as F
+
+    in_dir = tmp_path / "sw-in"
+    df = spark.createDataFrame(_events(_SPEC), _SCHEMA)
+    df.coalesce(1).write.parquet(str(in_dir))
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(in_dir))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out_rows = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: out_rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "sw-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = sorted((r["user_id"], r["n_events"]) for r in out_rows)
+    # watermark 200'-10'=190' closes user1 sessions A(3),B(2) and user2 A(1),
+    # B(2, last event 101'+30'<190'); user1 C (200') stays open in state
+    assert closed == [(1, 2), (1, 3), (2, 1), (2, 2)]
