@@ -1,0 +1,79 @@
+"""Outlink extraction — the crawl-graph kernel.
+
+A training-data pipeline over web text needs the link structure as well as
+the content (dedup by URL normalization, host-level quality signals,
+PageRank-family scores all start from the edge list). The reference has no
+crawl face (single uploaded documents), so this kernel extends the engine
+the same way the dedup/ANN operators do: a deterministic, pure function of
+the payload bytes, run via ``mapInArrow`` over whole partitions.
+
+Scope: ``<a href>`` targets, resolved against the source URL — absolute
+http(s) kept as-is, protocol-relative and root/relative paths resolved,
+fragments dropped, javascript:/mailto:/data: ignored. No DOM needed: one
+regex pass over the anchor tags (attribute-aware, quote-safe — the content
+tokenizer deliberately drops attributes, so this is its own scan).
+"""
+
+from __future__ import annotations
+
+import re
+
+from ocr_platform_spark.kernels.html_extract import decode_html
+
+_ANCHOR_RE = re.compile(
+    r"<a\s[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))",
+    re.I | re.S,
+)
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+_HOST_RE = re.compile(r"^(https?)://([^/?#]+)", re.I)
+
+
+def _split_src(src_url: str) -> tuple[str, str, str]:
+    """(scheme, host, dir_path) of the source url; tolerant defaults."""
+    m = _HOST_RE.match(src_url)
+    if not m:
+        return "https", "", "/"
+    scheme, host = m.group(1).lower(), m.group(2)
+    rest = src_url[m.end() :]
+    path = rest.split("?", 1)[0].split("#", 1)[0]
+    if not path.startswith("/"):
+        path = "/"
+    d = path.rsplit("/", 1)[0] + "/"
+    return scheme, host, d
+
+
+def resolve_href(src_url: str, href: str) -> str | None:
+    """One resolved absolute URL or None (non-navigational/unsupported)."""
+    href = href.strip()
+    if not href or href.startswith("#"):
+        return None
+    scheme, host, d = _split_src(src_url)
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    m = _SCHEME_RE.match(href)
+    if m:
+        low = href.lower()
+        if low.startswith(("http://", "https://")):
+            return href.split("#", 1)[0]
+        return None  # javascript:, mailto:, data:, tel:, ...
+    if not host:
+        return None
+    href = href.split("#", 1)[0]
+    if href.startswith("/"):
+        return f"{scheme}://{host}{href}"
+    return f"{scheme}://{host}{d}{href}"
+
+
+def extract_links(src_url: str, data: bytes) -> list[str]:
+    """All resolved outlink URLs of a page, document order, duplicates
+    kept (the caller decides whether multiplicity matters)."""
+    if not data:
+        return []
+    raw = decode_html(data)
+    out: list[str] = []
+    for m in _ANCHOR_RE.finditer(raw):
+        href = m.group(1) or m.group(2) or m.group(3) or ""
+        resolved = resolve_href(src_url, href)
+        if resolved is not None:
+            out.append(resolved)
+    return out

@@ -1,0 +1,122 @@
+"""Crawl link graph: outlink edges + host-level rollups.
+
+The edge list is the substrate of crawl-scale analyses (host authority,
+spam clusters, frontier scheduling). Shape at 10^12 pages: the kernel emits
+edges map-side (no shuffle), host projection is a column expression, and
+every rollup is a plain hash aggregate — all scale-free. The quadratic
+object (host×host matrix) is only ever materialized as the *sparse* edge
+group-by, never as a cross join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_platform_spark.operators.partitioning import host_of
+
+_EDGES_DDL = "src_url string, dst_url string"
+
+
+def extract_outlinks(docs: DataFrame) -> DataFrame:
+    """documents(url, html, ...) → one row per resolved outlink
+    (src_url, dst_url), Arrow-batched; column-pruned to (url, html)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_platform_spark.kernels.links import extract_links  # executor import
+
+        for pdf in batches:
+            src: list[str] = []
+            dst: list[str] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for link in extract_links(url, bytes(html) if html is not None else b""):
+                    src.append(url)
+                    dst.append(link)
+            yield pd.DataFrame({"src_url": src, "dst_url": dst})
+
+    return docs.select("url", "html").mapInPandas(kernel, _EDGES_DDL)
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """(src_host, dst_host) projection of the edge list."""
+    return links.select(
+        host_of("src_url").alias("src_host"), host_of("dst_url").alias("dst_host")
+    )
+
+
+def host_degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-host out-degree / distinct-target rollup over host edges."""
+    return (
+        edges.groupBy("src_host")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("dst_host").alias("n_dst_hosts"),
+        )
+        .orderBy(F.desc("n_links"), "src_host")
+    )
+
+
+def host_pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Deterministic INTEGER PageRank over the host graph.
+
+    Floating-point PageRank sums are order-dependent (partial aggregation
+    order varies run to run), which breaks both cross-run and cross-engine
+    determinism. This variant keeps every quantity an exact integer in
+    fixed-point 'rank units' (``scale`` total mass):
+
+        contrib(e)   = rank(src) div out_degree(src)        (floor div)
+        rank'(h)     = base + (damping_pct * Σ contrib) div 100
+        base         = ((100-damping_pct) * scale div 100) div n_hosts
+
+    Floor-division remainders leak a little mass per iteration (documented
+    trade — ranking order is what matters, and the leak is bounded by
+    n_edges per iteration); dangling hosts' mass is dropped the same way.
+    Because every step is integer arithmetic, ANY engine that replays the
+    same recurrence over the same edges reproduces the ranks bit-for-bit —
+    the catalog query's DuckDB oracle does exactly that with a recursive
+    CTE (queries.py ``host_pagerank``).
+
+    Each iteration is one join + one aggregate; ``localCheckpoint`` caps
+    the growing plan lineage (at crawl scale you would write ranks to a
+    table per iteration instead — same dataflow)."""
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    n_hosts = hosts.count()
+    if n_hosts == 0:
+        return hosts.withColumn("rank", F.lit(0).cast("long"))
+    base = ((100 - damping_pct) * scale // 100) // n_hosts
+    deg = edges.groupBy("src_host").agg(F.count("*").alias("out_deg"))
+    ranks = hosts.withColumn("rank", F.lit(scale // n_hosts).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges.src_host == ranks.host)
+            .join(deg, "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("rank div out_deg").alias("contrib"),
+            )
+            .groupBy("host")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            hosts.join(contribs, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(inc, 0)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.orderBy(F.desc("rank"), "host")

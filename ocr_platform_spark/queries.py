@@ -2473,6 +2473,85 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(stages).orderBy("stage_no")
 
 
+@q(
+    "host_link_graph",
+    f"""
+    SELECT src_host, COUNT(*) AS n_links,
+           COUNT(DISTINCT dst_host) AS n_dst_hosts
+    FROM read_parquet('{staged_glob("host_edges")}')
+    GROUP BY src_host ORDER BY n_links DESC, src_host
+    """,
+)
+def host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link graph: anchor-extraction kernel → resolved outlink edges
+    → host projection (staged) → per-host degree rollup aggregated by both
+    engines. The edge list is the PageRank/host-authority substrate a
+    crawl pipeline maintains alongside the text."""
+    from ocr_platform_spark.operators.linkgraph import (
+        extract_outlinks,
+        host_degree_stats,
+        host_edges,
+    )
+
+    docs = _synth_docs(spark)
+    edges = stage(host_edges(extract_outlinks(docs)), "host_edges", partitions=4)
+    return host_degree_stats(edges)
+
+
+_PR_SCALE, _PR_DAMP, _PR_ITER = 10**9, 85, 10
+
+
+@q(
+    "host_pagerank",
+    f"""
+    WITH RECURSIVE
+    e AS (SELECT * FROM read_parquet('{staged_glob("pr_edges")}')),
+    deg AS (SELECT src_host, COUNT(*) AS out_deg FROM e GROUP BY src_host),
+    hosts AS (SELECT DISTINCT host FROM
+              (SELECT src_host AS host FROM e UNION ALL SELECT dst_host AS host FROM e)),
+    e2 AS (
+      SELECT src_host, dst_host, FALSE AS phantom FROM e
+      UNION ALL
+      SELECT host, host, TRUE FROM hosts
+    ),
+    pr AS (
+      SELECT 0 AS it, host,
+             CAST(CAST({_PR_SCALE} AS BIGINT) // (SELECT COUNT(*) FROM hosts) AS BIGINT) AS rank
+      FROM hosts
+      UNION ALL
+      SELECT p.it + 1, e2.dst_host AS host,
+             CAST( ((CAST({100 - _PR_DAMP} AS BIGINT) * {_PR_SCALE}) // 100)
+                     // (SELECT COUNT(*) FROM hosts)
+                   + (CAST({_PR_DAMP} AS BIGINT)
+                      * SUM(CASE WHEN e2.phantom THEN CAST(0 AS BIGINT)
+                                 ELSE p.rank // d.out_deg END)) // 100
+               AS BIGINT) AS rank
+      FROM pr p
+      JOIN e2 ON e2.src_host = p.host
+      LEFT JOIN deg d ON d.src_host = p.host
+      WHERE p.it < {_PR_ITER}
+      GROUP BY p.it, e2.dst_host
+    )
+    SELECT host, rank FROM pr WHERE it = {_PR_ITER} ORDER BY rank DESC, host
+    """,
+)
+def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative host PageRank, cross-engine EXACT: the integer recurrence
+    (operators/linkgraph.py) is replayed by DuckDB as a recursive CTE over
+    the same staged edge list — ten iterations of joins + aggregates
+    verified value-for-value, the strongest oracle shape in the catalog
+    (iterative algorithms are normally written off as non-SQL-checkable)."""
+    from ocr_platform_spark.operators.linkgraph import (
+        extract_outlinks,
+        host_edges,
+        host_pagerank,
+    )
+
+    docs = _synth_docs(spark)
+    edges = stage(host_edges(extract_outlinks(docs)), "pr_edges", partitions=4)
+    return host_pagerank(edges, iterations=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

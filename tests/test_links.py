@@ -1,0 +1,95 @@
+"""Outlink kernel: href resolution semantics + the distributed edge list."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ocr_platform_spark.kernels.links import extract_links, resolve_href
+
+SRC = "https://site-01.example.org/a/b/page.html?x=1"
+
+
+def test_resolve_href_semantics():
+    assert resolve_href(SRC, "https://other.org/p") == "https://other.org/p"
+    assert resolve_href(SRC, "http://other.org/p#frag") == "http://other.org/p"
+    assert resolve_href(SRC, "//cdn.org/lib.js") == "https://cdn.org/lib.js"
+    assert resolve_href(SRC, "/root/x") == "https://site-01.example.org/root/x"
+    assert resolve_href(SRC, "rel/y") == "https://site-01.example.org/a/b/rel/y"
+    assert resolve_href(SRC, "#frag") is None
+    assert resolve_href(SRC, "mailto:a@b.c") is None
+    assert resolve_href(SRC, "javascript:void(0)") is None
+    assert resolve_href(SRC, "") is None
+
+
+def test_extract_links_attribute_forms():
+    html = (
+        '<html><body><a href="/one">1</a>'
+        "<a class='x' href='/two'>2</a>"
+        "<a href=/three>3</a>"
+        '<a name="anchor-only">no href</a>'
+        '<a href="https://ext.org/p?q=2#s">ext</a></body></html>'
+    ).encode()
+    got = extract_links("https://h.org/dir/page", html)
+    assert got == [
+        "https://h.org/one",
+        "https://h.org/two",
+        "https://h.org/three",
+        "https://ext.org/p?q=2",
+    ]
+
+
+def test_outlink_edges_distributed(spark):
+    from ocr_platform_spark.operators.linkgraph import (
+        extract_outlinks,
+        host_degree_stats,
+        host_edges,
+    )
+
+    rows = [
+        (
+            "https://a.org/p1",
+            None,
+            b'<html><body><a href="/x">x</a><a href="https://b.org/y">y</a></body></html>',
+            None,
+            "en",
+        ),
+        (
+            "https://b.org/p2",
+            None,
+            b'<html><body><a href="https://a.org/z">z</a></body></html>',
+            None,
+            "en",
+        ),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    edges = host_edges(extract_outlinks(docs))
+    got = sorted(tuple(r) for r in edges.collect())
+    assert got == [("a.org", "a.org"), ("a.org", "b.org"), ("b.org", "a.org")]
+    deg = {r["src_host"]: (r["n_links"], r["n_dst_hosts"]) for r in host_degree_stats(edges).collect()}
+    assert deg == {"a.org": (2, 2), "b.org": (1, 1)}
+    # kernel path stays Arrow-batched (no per-row Python eval)
+    plan = extract_outlinks(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_host_pagerank_integer_recurrence(spark):
+    """Ranks match the hand-computed integer recurrence on a known graph;
+    higher in-link mass ranks higher; deterministic across runs."""
+    from ocr_platform_spark.operators.linkgraph import host_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")],
+        "src_host string, dst_host string",
+    )
+    got = [(r["host"], r["rank"]) for r in host_pagerank(edges).collect()]
+    # reference values from the pure-python recurrence (10 iter, 85%, 1e9)
+    assert got == [
+        ("c", 392508555),
+        ("a", 375054379),
+        ("b", 194937056),
+        ("d", 37500000),
+    ]
+    got2 = [(r["host"], r["rank"]) for r in host_pagerank(edges).collect()]
+    assert got == got2
