@@ -2552,6 +2552,103 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(edges, iterations=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE)
 
 
+def _noisy_url_sql() -> str:
+    base = "'//Site-' || CAST(doc_id % 40 AS VARCHAR) || '.Example.org'"
+    return f"""
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'HTTPS:' || {base} || ':443/Page/' || CAST(doc_id AS VARCHAR)
+                      || '/?utm_source=feed&q=' || CAST(doc_id AS VARCHAR) || '#top'
+          WHEN 1 THEN 'http:' || lower({base}) || ':80/page/' || CAST(doc_id AS VARCHAR) || '/'
+          WHEN 2 THEN 'https:' || lower({base}) || '/page/' || CAST(doc_id AS VARCHAR)
+                      || '?gclid=abc&q=' || CAST(doc_id AS VARCHAR) || '&fbclid=z'
+          ELSE 'https:' || lower({base}) || '/page/' || CAST(doc_id AS VARCHAR)
+        END AS raw_url
+      FROM documents
+"""
+
+
+@q(
+    "url_canonicalization",
+    (
+        lambda: f"""
+    WITH u AS ({_noisy_url_sql()})
+    SELECT doc_id, raw_url,
+           {__import__("ocr_platform_spark.functions.urlfns", fromlist=["canonical_sql"]).canonical_sql("raw_url")} AS canon_url
+    FROM u ORDER BY doc_id
+    """
+    )(),
+)
+def url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (the dedup key BEFORE content dedup): both
+    engines synthesize the same noisy variants (case, default ports,
+    tracking params, fragments, trailing slashes) and run the SAME
+    canonicalization chain — Spark as column expressions, DuckDB via the
+    dialect-translated mirror (functions/urlfns.py) — hash-compared
+    per row."""
+    from ocr_platform_spark.functions.urlfns import canonical_url
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("//Site-"), F.pmod("doc_id", F.lit(40)).cast("string"), F.lit(".Example.org")
+    )
+    did = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            F.pmod("doc_id", F.lit(4)) == 0,
+            F.concat(F.lit("HTTPS:"), base, F.lit(":443/Page/"), did,
+                     F.lit("/?utm_source=feed&q="), did, F.lit("#top")),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 1,
+            F.concat(F.lit("http:"), F.lower(base), F.lit(":80/page/"), did, F.lit("/")),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 2,
+            F.concat(F.lit("https:"), F.lower(base), F.lit("/page/"), did,
+                     F.lit("?gclid=abc&q="), did, F.lit("&fbclid=z")),
+        )
+        .otherwise(F.concat(F.lit("https:"), F.lower(base), F.lit("/page/"), did))
+    )
+    return (
+        d.select("doc_id", raw.alias("raw_url"))
+        .withColumn("canon_url", canonical_url("raw_url"))
+        .orderBy("doc_id")
+    )
+
+
+#: GPT-2-family pretokenizer shape (contractions, letter runs, digit runs,
+#: punctuation runs, whitespace), restricted to the RE2 ∩ Java common
+#: subset — identical counts in both engines.
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@q(
+    "doc_bpe_tokens",
+    f"""
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_PAT.replace(chr(39), chr(39) * 2)}')) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both faces the prompt asks for: whitespace tokens
+    and a BPE-ish pretokenizer count (GPT-2 pattern family) — the unit a
+    training-data budget is denominated in. Same regex in both engines."""
+    from ocr_platform_spark.functions.textfns import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
