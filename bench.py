@@ -63,6 +63,8 @@ HEADLINE = [
     "doc_winnow_fingerprints",
     "user_sessions_native",
     "corrected_field_values",
+    "curation_funnel",
+    "host_pagerank",
 ]
 
 

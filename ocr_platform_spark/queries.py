@@ -2649,6 +2649,91 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@q(
+    "doc_repetition",
+    r"""
+    WITH lines AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS ls
+      FROM documents
+    ),
+    line_stats AS (
+      SELECT doc_id, len(ls) AS n_lines,
+             CASE WHEN len(ls) > 0
+                  THEN round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 4)
+                  ELSE 0.0 END AS dup_line_frac
+      FROM lines
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(words) - 1, 1)),
+               i -> array_to_string(words[i:i+1], ' '))) AS g
+      FROM (
+        SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        FROM documents
+      )
+    ),
+    gram_counts AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    ),
+    gram_stats AS (
+      SELECT doc_id,
+             round(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_bigram_frac
+      FROM gram_counts GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+           COALESCE(g.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM line_stats l LEFT JOIN gram_stats g ON l.doc_id = g.doc_id
+    ORDER BY l.doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition gates (the Gopher-family curation signals): fraction of
+    duplicated non-empty lines, and the most-frequent word-bigram's share
+    of all bigrams — the two signals that catch boilerplate loops and
+    machine-generated spam that length/stopword scores miss. Pure column
+    expressions + one explode/agg; identical math in the oracle."""
+    from ocr_platform_spark.functions.textfns import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    lines = F.filter(
+        F.transform(F.split("text", "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    line_stats = d.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.when(
+            F.size(lines) > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+    )
+    grams = d.select("doc_id", F.explode(word_shingles("text", 2)).alias("g"))
+    gram_stats = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c").cast("double") / F.sum("c"), 4).alias("top_bigram_frac"))
+    )
+    return (
+        line_stats.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
