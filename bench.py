@@ -123,19 +123,23 @@ def main() -> None:
             extraction_run(CPUS, corpus_path, work, attempt=1),
         )
         _log(f"extraction local[{CPUS}] best {t_full:.1f}s")
-        # --- scaling legs: N cores, then 4N cores, same input; min of two
-        # runs per leg (drops transient OS/JVM-teardown noise, keeps the
-        # comparison honest: identical protocol for both legs) -------------
-        t_n = min(
-            extraction_run(N_CORES, corpus_path, work),
-            extraction_run(N_CORES, corpus_path, work, attempt=1),
-        )
-        _log(f"extraction local[{N_CORES}] best {t_n:.1f}s")
-        t_4n = min(
-            extraction_run(N4_CORES, corpus_path, work),
-            extraction_run(N4_CORES, corpus_path, work, attempt=1),
-        )
-        _log(f"extraction local[{N4_CORES}] best {t_4n:.1f}s")
+        # --- scaling legs: same input, min of two runs per leg, and the
+        # rounds INTERLEAVED (N, 4N, N, 4N) — this box's absolute speed
+        # drifts over a long session (turbo/thermal/neighbor effects);
+        # back-to-back same-leg runs let one slow window poison a whole
+        # leg while the other leg measures a fast window, corrupting the
+        # RATIO. Alternating puts both legs in the same windows so drift
+        # cancels out of the efficiency. ------------------------------------
+        t_n_runs, t_4n_runs = [], []
+        for attempt in range(2):
+            t_n_runs.append(extraction_run(N_CORES, corpus_path, work, attempt=attempt))
+            _log(f"extraction local[{N_CORES}] run{attempt} {t_n_runs[-1]:.1f}s")
+            t_4n_runs.append(
+                extraction_run(N4_CORES, corpus_path, work, attempt=attempt)
+            )
+            _log(f"extraction local[{N4_CORES}] run{attempt} {t_4n_runs[-1]:.1f}s")
+        t_n, t_4n = min(t_n_runs), min(t_4n_runs)
+        _log(f"extraction best: local[{N_CORES}] {t_n:.1f}s, local[{N4_CORES}] {t_4n:.1f}s")
         thr_n = BENCH_DOCS / t_n
         thr_4n = BENCH_DOCS / t_4n
         efficiency = (thr_4n / thr_n) / (N4_CORES / N_CORES)

@@ -33,11 +33,18 @@ def curate_corpus(
     min_quality: float = 0.3,
     langs: tuple[str, ...] = ("en",),
     near_dup_threshold: float = 0.5,
+    max_top_bigram_frac: float | None = None,
 ) -> dict[str, DataFrame]:
     """Run the curation funnel; returns the per-stage kept DataFrames plus
     the near-dup drop set:
 
-    ``{"input", "quality", "lang", "exact", "dropped_near", "curated"}``
+    ``{"input", "quality", "lang", ["repetition",] "exact",
+    "dropped_near", "curated"}``
+
+    ``max_top_bigram_frac`` enables the optional repetition gate (Gopher
+    family): drop documents whose most frequent word-bigram exceeds that
+    share of all bigrams — loops and generated spam that the length/
+    stopword quality score misses.
 
     Near-dup policy: from each verified pair (id_a < id_b, Jaccard ≥
     threshold) the LARGER id is dropped — the greedy min-id-survivor rule,
@@ -49,15 +56,31 @@ def curate_corpus(
     )
     s_quality = feats.where(F.col("_quality") >= min_quality)
     s_lang = s_quality.where(F.col("_lang").isin(list(langs)))
+    pre_exact = s_lang
+    rep_stage: DataFrame | None = None
+    if max_top_bigram_frac is not None:
+        grams = s_lang.select(
+            F.col(id_col), F.explode(TX.word_shingles(text_col, 2)).alias("_g")
+        )
+        offenders = (
+            grams.groupBy(id_col, "_g")
+            .agg(F.count("*").alias("_c"))
+            .groupBy(id_col)
+            .agg((F.max("_c").cast("double") / F.sum("_c")).alias("_frac"))
+            .where(F.col("_frac") > max_top_bigram_frac)
+            .select(id_col)
+        )
+        rep_stage = s_lang.join(offenders, id_col, "left_anti")
+        pre_exact = rep_stage
     s_exact = dedup.drop_exact_duplicates(
-        s_lang.drop("_quality", "_lang"), id_col, text_col
+        pre_exact.drop("_quality", "_lang"), id_col, text_col
     )
     pairs = dedup.minhash_near_duplicates(
         s_exact, id_col, text_col, threshold=near_dup_threshold
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     curated = s_exact.join(dropped, id_col, "left_anti")
-    return {
+    out = {
         "input": docs,
         "quality": s_quality,
         "lang": s_lang,
@@ -65,6 +88,9 @@ def curate_corpus(
         "dropped_near": dropped,
         "curated": curated,
     }
+    if rep_stage is not None:
+        out["repetition"] = rep_stage
+    return out
 
 
 def curate_observed(
@@ -114,11 +140,14 @@ def curation_funnel(stages: dict[str, DataFrame]) -> DataFrame:
         (0, "input", "input"),
         (1, "quality", "quality"),
         (2, "lang", "lang"),
-        (3, "exact_dedup", "exact"),
-        (4, "near_dup_drop", "curated"),
+        (3, "repetition", "repetition"),
+        (4, "exact_dedup", "exact"),
+        (5, "near_dup_drop", "curated"),
     ]
     out = None
     for no, label, key in order:
+        if key not in stages:
+            continue
         row = stages[key].agg(F.count("*").alias("n_docs")).select(
             F.lit(no).alias("stage_no"), F.lit(label).alias("stage"), "n_docs"
         )

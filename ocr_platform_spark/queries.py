@@ -2447,8 +2447,8 @@ def _lang_sql() -> str:
       VALUES (0, 'input',         (SELECT COUNT(*) FROM documents)),
              (1, 'quality',       (SELECT COUNT(*) FROM s1)),
              (2, 'lang',          (SELECT COUNT(*) FROM s2)),
-             (3, 'exact_dedup',   (SELECT COUNT(*) FROM s3)),
-             (4, 'near_dup_drop', (SELECT COUNT(*) FROM s4))
+             (4, 'exact_dedup',   (SELECT COUNT(*) FROM s3)),
+             (5, 'near_dup_drop', (SELECT COUNT(*) FROM s4))
     ) AS t(stage_no, stage, n_docs)
     ORDER BY stage_no
     """,

@@ -63,3 +63,23 @@ def test_observed_funnel_single_pass(spark):
     got = {k: o.get["n"] for k, o in obs.items()}
     assert got == {"input": 6, "quality": 5, "lang": 4}
     assert n_out == 4
+
+
+def test_repetition_gate_optional(spark):
+    """max_top_bigram_frac drops loop/spam docs; funnel gains a stage."""
+    rows = [
+        (1, _GOOD_EN),
+        (2, "spam spam " * 60),  # one bigram dominates
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stages = curate_corpus(
+        docs, min_quality=0.0, langs=("en", "und"), max_top_bigram_frac=0.5
+    )
+    kept = {r["doc_id"] for r in stages["repetition"].select("doc_id").collect()}
+    assert kept == {1}
+    funnel = {r["stage"]: r["n_docs"] for r in curation_funnel(stages).collect()}
+    assert funnel["repetition"] == 1 and funnel["input"] == 2
+    # without the flag, no repetition stage exists and the spam doc survives
+    stages2 = curate_corpus(docs, min_quality=0.0, langs=("en", "und"))
+    assert "repetition" not in stages2
+    assert stages2["curated"].count() == 2
