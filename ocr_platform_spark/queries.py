@@ -2734,6 +2734,42 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "corpus_top_bigrams",
+    r"""
+    WITH grams AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(words) - 1, 1)),
+               i -> array_to_string(words[i:i+1], ' '))) AS g
+      FROM (
+        SELECT regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        FROM documents
+      )
+    )
+    SELECT g AS bigram, COUNT(*) AS n FROM grams
+    GROUP BY g
+    QUALIFY row_number() OVER (ORDER BY n DESC, g) <= 50
+    ORDER BY n DESC, bigram
+    """,
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide n-gram frequency (the vocabulary/boilerplate census a
+    dataset build runs before choosing filters): global bigram counts,
+    deterministic top-50. Map-side partial aggregation makes the global
+    count one shuffle of the distinct-gram dimension, not the corpus."""
+    from ocr_platform_spark.functions.textfns import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(word_shingles("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-k merge, not a single-partition global window
+    return counts.orderBy(F.desc("n"), "bigram").limit(50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
