@@ -132,8 +132,8 @@ def main() -> None:
         #       a cold machine where the memory bus dominates 2→8.
         # A real cluster's N vs 4N executors run at identical per-executor
         # clocks, so the defensible sandbox evidence is: measure BOTH
-        # windows, report both, headline the one less corrupted by the
-        # sandbox artifact of the hour. Everything is recorded.
+        # windows, report both, headline the MINIMUM. Everything is
+        # recorded.
         leg_cores = sorted({N_CORES, 2 * N_CORES, N4_CORES, 2 * N4_CORES})
         leg_times: dict[int, float] = {}
         for attempt in range(2):
@@ -146,7 +146,10 @@ def main() -> None:
             if 4 * n in leg_times:
                 e = (leg_times[n] / leg_times[4 * n]) / 4
                 windows.append({"cores_n": n, "cores_4n": 4 * n, "efficiency": round(e, 3)})
-        best = max(windows, key=lambda w: w["efficiency"])
+        # Headline the CONSERVATIVE (minimum) window: best-of selection is a
+        # favorable-selection estimator and would mask a window falling below
+        # the 0.8 bar.  Both windows stay recorded in `windows` either way.
+        best = min(windows, key=lambda w: w["efficiency"])
         t_n, t_4n = leg_times[best["cores_n"]], leg_times[best["cores_4n"]]
         thr_n = BENCH_DOCS / t_n
         thr_4n = BENCH_DOCS / t_4n

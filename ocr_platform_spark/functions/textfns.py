@@ -196,3 +196,33 @@ def winnow_fingerprints(
             )
         ),
     )
+
+
+def top_bigram_frac(col: Column | str) -> Column:
+    """Most-frequent word-bigram's share of all bigrams, computed PER ROW
+    with pure column expressions (no explode/groupBy): sort the bigram
+    array, then the max multiplicity is the longest run of equal adjacent
+    elements — one ``aggregate`` pass with a (prev, run, best) accumulator.
+
+    Identical math to the exploded ``max(c)/sum(c)`` formulation of the
+    ``doc_repetition`` catalog query (parity pinned in tests/test_textfns);
+    being per-row, the repetition gate fuses into the same corpus scan as
+    the quality/language gates in plans/curation.py — no extra shuffle.
+    Short texts (<2 words → one degenerate shingle) score 1.0, matching the
+    exploded form."""
+
+    def frac_of(sorted_grams: Column) -> Column:
+        acc0 = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def step(a: Column, x: Column) -> Column:
+            run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+            )
+
+        best = F.aggregate(sorted_grams, acc0, step)["best"]
+        return best.cast("double") / F.size(sorted_grams)
+
+    return bind_once(F.array_sort(word_shingles(_c(col), 2)), frac_of)

@@ -20,8 +20,14 @@ import re
 
 from ocr_platform_spark.kernels.html_extract import decode_html
 
+# Pre-href attribute run: complete attributes only (name, optional =value,
+# quoted values may contain '>'), each followed by whitespace — so
+# ``data-href=...`` can't trigger a match (no word-boundary leak) and a
+# quoted '>' in an earlier attribute (``title="x > y"``) doesn't end the
+# scan before href is seen.
 _ANCHOR_RE = re.compile(
-    r"<a\s[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))",
+    r"<a\s(?:(?:[^<>\s\"'=]|\"[^\"]*\"|'[^']*'|=)+\s)*?"
+    r"href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))",
     re.I | re.S,
 )
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
@@ -47,6 +53,7 @@ def resolve_href(src_url: str, href: str) -> str | None:
     href = href.strip()
     if not href or href.startswith("#"):
         return None
+    href = href.split("#", 1)[0]  # fragments dropped on EVERY branch
     scheme, host, d = _split_src(src_url)
     if href.startswith("//"):
         return f"{scheme}:{href}"
@@ -54,11 +61,10 @@ def resolve_href(src_url: str, href: str) -> str | None:
     if m:
         low = href.lower()
         if low.startswith(("http://", "https://")):
-            return href.split("#", 1)[0]
+            return href
         return None  # javascript:, mailto:, data:, tel:, ...
     if not host:
         return None
-    href = href.split("#", 1)[0]
     if href.startswith("/"):
         return f"{scheme}://{host}{href}"
     return f"{scheme}://{host}{d}{href}"

@@ -181,7 +181,9 @@ def parse_xlsx_sheet(data: bytes) -> list[list[str]]:
     for row_xml in _re.findall(r"<row [^>]*>(.*?)</row>", xml, _re.S):
         rows.append(
             [
-                _re.sub(r"&lt;", "<", _re.sub(r"&gt;", ">", _re.sub(r"&amp;", "&", t)))
+                # &amp; LAST — decoding it first would double-unescape
+                # literal cell text like '&lt;x&gt;' into '<x>'
+                _re.sub(r"&amp;", "&", _re.sub(r"&gt;", ">", _re.sub(r"&lt;", "<", t)))
                 for t in _re.findall(r"<t>(.*?)</t>", row_xml, _re.S)
             ]
         )

@@ -453,3 +453,94 @@ def simhash_near_duplicates(
     return j.select(
         "id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).cast("int").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+# --- Winnowing-fingerprint near-dup -------------------------------------------
+
+
+def winnow_fp_postings(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Exploded (id, fp) posting list of each document's winnowing
+    fingerprints (functions/textfns.winnow_fingerprints — distinct window
+    minima, so one row per (doc, fp))."""
+    from ocr_platform_spark.functions.textfns import winnow_fingerprints
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(text_col, k=k, w=w)).alias("fp"),
+    )
+
+
+def winnow_near_duplicate_pairs(
+    postings: DataFrame,
+    min_shared: int = 2,
+    max_df: int = 64,
+    min_overlap: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, n_shared, overlap) near-dup pairs from an (id, fp)
+    winnowing-fingerprint posting table: pairs sharing ≥ ``min_shared``
+    fingerprints whose containment overlap ``n_shared / min(|A|, |B|)``
+    (over the frequency-capped postings) is ≥ ``min_overlap`` — an
+    absolute floor alone would pair every document that shares a couple of
+    common-phrase grams.
+
+    Scale shape: fingerprints appearing in more than ``max_df`` documents
+    are dropped ENTIRELY before the self-join (a frequency-capped posting
+    list — the standard guard against boilerplate fingerprints that would
+    otherwise make a bucket quadratic). Unlike the LSH ``max_bucket``
+    row-number truncation, both the cap and the overlap are pure aggregate
+    predicates, so an independent SQL engine reproduces the exact same
+    pair set — the funnel oracle recomputes it in DuckDB from the staged
+    postings."""
+    df_counts = postings.groupBy("fp").agg(F.count("*").alias("_df"))
+    good = postings.join(
+        df_counts.where(F.col("_df") <= max_df).select("fp"), "fp"
+    )
+    sizes = good.groupBy("id").agg(F.count("*").alias("n_fp"))
+    a = good.alias("a")
+    b = good.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("n_fp", "n_fp_a")
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_fp", "n_fp_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("n_fp_a", "n_fp_b"), 6
+            ).alias("overlap"),
+        )
+        .where(F.col("overlap") >= min_overlap)
+    )
+
+
+def winnow_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    max_df: int = 64,
+    min_overlap: float = 0.5,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Full winnowing near-dup pipeline over a document table: fingerprint
+    postings → frequency cap → shared-fingerprint pairs (id_a < id_b) with
+    containment overlap ≥ ``min_overlap``."""
+    return winnow_near_duplicate_pairs(
+        winnow_fp_postings(df, id_col, text_col, k=k, w=w),
+        min_shared,
+        max_df,
+        min_overlap,
+    )

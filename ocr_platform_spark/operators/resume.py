@@ -199,9 +199,15 @@ class SnapshotTable:
                 continue
             df = spark.read.parquet(d)
             covering = [t for t in tombs if r in t["runs"]]
-            if covering:
-                key = covering[0]["key"]
-                keys_df = spark.read.parquet(*[t["keys_dir"] for t in covering])
+            # Tombstones may target different key columns (``invalidate``
+            # takes ``key`` as a parameter): group by key column and apply
+            # one anti-join per group, so no tombstone's keys are ever
+            # matched against another tombstone's column.
+            by_key: dict[str, list[str]] = {}
+            for t in covering:
+                by_key.setdefault(t["key"], []).append(t["keys_dir"])
+            for key, dirs_k in sorted(by_key.items()):
+                keys_df = spark.read.parquet(*dirs_k)
                 df = df.join(
                     F.broadcast(keys_df.select(F.col("key").alias(key)).distinct()),
                     key,

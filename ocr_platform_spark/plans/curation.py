@@ -59,18 +59,12 @@ def curate_corpus(
     pre_exact = s_lang
     rep_stage: DataFrame | None = None
     if max_top_bigram_frac is not None:
-        grams = s_lang.select(
-            F.col(id_col), F.explode(TX.word_shingles(text_col, 2)).alias("_g")
+        # per-row pure-expression gate (textfns.top_bigram_frac) — fuses
+        # into the same scan as the quality/lang gates, no explode/groupBy
+        rep_stage = s_lang.where(
+            F.coalesce(TX.top_bigram_frac(text_col), F.lit(1.0))
+            <= max_top_bigram_frac
         )
-        offenders = (
-            grams.groupBy(id_col, "_g")
-            .agg(F.count("*").alias("_c"))
-            .groupBy(id_col)
-            .agg((F.max("_c").cast("double") / F.sum("_c")).alias("_frac"))
-            .where(F.col("_frac") > max_top_bigram_frac)
-            .select(id_col)
-        )
-        rep_stage = s_lang.join(offenders, id_col, "left_anti")
         pre_exact = rep_stage
     s_exact = dedup.drop_exact_duplicates(
         pre_exact.drop("_quality", "_lang"), id_col, text_col
@@ -153,3 +147,136 @@ def curation_funnel(stages: dict[str, DataFrame]) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def run_curation_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    max_top_bigram_frac: float | None = 0.11,
+    near_dup_threshold: float = 0.5,
+    winnow_min_shared: int | None = 2,
+    winnow_max_df: int = 64,
+    winnow_min_overlap: float = 0.35,
+    stage_prefix: str = "curation",
+) -> tuple[DataFrame, dict]:
+    """The flagship composed curation job — single-pass gates, staged
+    dedup tail, zero per-stage corpus rescans.
+
+    Execution shape (the 10^12-row shape):
+
+    1. **One pass over the corpus**: quality, language and repetition gates
+       are pure column expressions fused into a single scan; each gate
+       carries a ``df.observe`` counter, and the exact-dedup window's
+       survivors stream straight into a parquet stage write. That ONE
+       action yields stage counts 0-4 as observation side channels — the
+       corpus is never re-read for a count.
+    2. **MinHash near-dup** runs over the (much smaller) staged survivor
+       table — banded LSH, exact-Jaccard verified, drop-set staged.
+    3. **Winnowing near-dup** runs over the stage-5 survivors: fingerprint
+       postings staged, frequency-capped (``winnow_max_df``) self-join,
+       pairs sharing ≥ ``winnow_min_shared`` fingerprints drop the larger
+       id. Both dedup drop sets are exactly reproducible by an independent
+       SQL engine from the staged bytes (the funnel oracle does).
+
+    Returns ``(funnel_report, details)``: the report is a tiny
+    (stage_no, stage, n_docs) DataFrame; ``details`` carries the staged
+    survivor/drop DataFrames for callers that need the rows, plus the raw
+    observation values."""
+    from pyspark.sql import Observation
+
+    from ocr_platform_spark.operators.dedup import (
+        winnow_fp_postings,
+        winnow_near_duplicate_pairs,
+    )
+    from ocr_platform_spark.staging import stage
+
+    spark = docs.sparkSession
+    obs: dict[str, Observation] = {}
+
+    def counted(df: DataFrame, name: str) -> DataFrame:
+        obs[name] = Observation(name)
+        return df.observe(obs[name], F.count(F.lit(1)).alias("n"))
+
+    feats = counted(docs, "input").select(
+        "*",
+        TX.quality_score(text_col).alias("_quality"),
+        TX.lang_id(text_col).alias("_lang"),
+    )
+    s = counted(feats.where(F.col("_quality") >= min_quality), "quality")
+    s = counted(s.where(F.col("_lang").isin(list(langs))), "lang")
+    if max_top_bigram_frac is not None:
+        s = counted(
+            s.where(
+                F.coalesce(TX.top_bigram_frac(text_col), F.lit(1.0))
+                <= max_top_bigram_frac
+            ),
+            "repetition",
+        )
+    s_exact = counted(
+        dedup.drop_exact_duplicates(s.drop("_quality", "_lang"), id_col, text_col),
+        "exact",
+    )
+    # the single corpus-pass action: gates + window + write, observes filled
+    staged_exact = stage(
+        s_exact.select(id_col, text_col), f"{stage_prefix}_exact", partitions=4
+    )
+    counts = {name: int(o.get["n"]) for name, o in obs.items()}
+
+    # minhash near-dup over the staged survivors (reads staged bytes, not
+    # the corpus); drop set staged for the oracle
+    pairs = dedup.minhash_near_duplicates(
+        staged_exact, id_col, text_col, threshold=near_dup_threshold
+    )
+    o_drop = Observation("dropped_near")
+    dropped_near = stage(
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .observe(o_drop, F.count(F.lit(1)).alias("n")),
+        f"{stage_prefix}_dropped",
+    )
+    counts["near_dup_drop"] = counts["exact"] - int(o_drop.get["n"])
+
+    details: dict = {
+        "exact": staged_exact,
+        "dropped_near": dropped_near,
+        "observations": counts,
+    }
+    if winnow_min_shared is not None:
+        survivors = staged_exact.join(dropped_near, id_col, "left_anti")
+        postings = stage(
+            winnow_fp_postings(survivors, id_col, text_col),
+            f"{stage_prefix}_winnow_fps",
+            partitions=4,
+        )
+        wpairs = winnow_near_duplicate_pairs(
+            postings,
+            min_shared=winnow_min_shared,
+            max_df=winnow_max_df,
+            min_overlap=winnow_min_overlap,
+        )
+        wdrop = wpairs.select(F.col("id_b").alias(id_col)).distinct()
+        counts["winnow_drop"] = counts["near_dup_drop"] - wdrop.count()
+        details["dropped_winnow"] = wdrop
+        details["curated"] = survivors.join(wdrop, id_col, "left_anti")
+    else:
+        details["curated"] = staged_exact.join(dropped_near, id_col, "left_anti")
+
+    order = [
+        "input",
+        "quality",
+        "lang",
+        "repetition",
+        "exact",
+        "near_dup_drop",
+        "winnow_drop",
+    ]
+    label = {"exact": "exact_dedup"}
+    rows = [
+        (i, label.get(name, name), counts[name])
+        for i, name in enumerate(n for n in order if n in counts)
+    ]
+    report = spark.createDataFrame(rows, "stage_no int, stage string, n_docs long")
+    return report, details

@@ -2431,46 +2431,90 @@ def _lang_sql() -> str:
     s2 AS (
       SELECT s1.* FROM s1 JOIN l USING (doc_id) WHERE l.pred_lang = 'en'
     ),
+    rep AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS frac FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(1, greatest(len(words) - 1, 1)),
+                   i -> array_to_string(words[i:i+1], ' '))) AS g
+          FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+            FROM s2
+          )
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ),
     s3 AS (
+      SELECT s2.* FROM s2 JOIN rep USING (doc_id) WHERE rep.frac <= 0.11
+    ),
+    s4 AS (
       SELECT doc_id FROM (
         SELECT doc_id, row_number() OVER (
           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
           ORDER BY doc_id) AS rn
-        FROM s2
+        FROM s3
       ) WHERE rn = 1
     ),
     dropped AS (
       SELECT DISTINCT doc_id FROM read_parquet('{staged_glob("curation_dropped")}')
     ),
-    s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
-    SELECT CAST(stage_no AS INT) AS stage_no, stage, n_docs FROM (
+    s5 AS (SELECT doc_id FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+    fps AS (SELECT id, fp FROM read_parquet('{staged_glob("curation_winnow_fps")}')),
+    good AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64),
+    gp AS (SELECT fps.id, fps.fp FROM fps JOIN good USING (fp)),
+    sizes AS (SELECT id, COUNT(*) AS n_fp FROM gp GROUP BY id),
+    wpairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+      FROM gp a JOIN gp b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY a.id, b.id HAVING COUNT(*) >= 2
+    ),
+    wdrop AS (
+      SELECT DISTINCT w.id_b FROM wpairs w
+      JOIN sizes sa ON sa.id = w.id_a
+      JOIN sizes sb ON sb.id = w.id_b
+      WHERE round(CAST(w.n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6) >= 0.35
+    ),
+    s6 AS (SELECT doc_id FROM s5 WHERE doc_id NOT IN (SELECT id_b FROM wdrop))
+    SELECT CAST(stage_no AS INT) AS stage_no, stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
       VALUES (0, 'input',         (SELECT COUNT(*) FROM documents)),
              (1, 'quality',       (SELECT COUNT(*) FROM s1)),
              (2, 'lang',          (SELECT COUNT(*) FROM s2)),
-             (4, 'exact_dedup',   (SELECT COUNT(*) FROM s3)),
-             (5, 'near_dup_drop', (SELECT COUNT(*) FROM s4))
+             (3, 'repetition',    (SELECT COUNT(*) FROM s3)),
+             (4, 'exact_dedup',   (SELECT COUNT(*) FROM s4)),
+             (5, 'near_dup_drop', (SELECT COUNT(*) FROM s5)),
+             (6, 'winnow_drop',   (SELECT COUNT(*) FROM s6))
     ) AS t(stage_no, stage, n_docs)
     ORDER BY stage_no
     """,
 )
 def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-corpus curation pipeline (plans/curation.py):
-    quality ≥ 0.3 → lang = en → exact dedup → MinHash near-dup drop, as a
-    per-stage funnel. The oracle recomputes stages 0-3 entirely in SQL
-    (the same verified quality/lang/fingerprint math) and applies the
-    staged LSH drop set for stage 4 — so the whole funnel, including every
-    gate's count, is hash-checked."""
-    from ocr_platform_spark.plans.curation import curate_corpus, curation_funnel
+    """The flagship composed curation pipeline (plans/curation.py
+    run_curation_funnel): quality >= 0.3 -> lang = en -> repetition
+    (top-bigram share <= 0.11) -> exact dedup -> MinHash near-dup drop ->
+    winnowing near-dup drop, as a per-stage funnel. The Spark side runs the
+    SINGLE-PASS shape: all three gates are pure column expressions fused
+    into one corpus scan whose counts come from ``df.observe`` metrics (no
+    per-gate rescans); the dedup tail runs over the staged survivor table.
+    The oracle recomputes stages 0-4 entirely in SQL (the same verified
+    quality/lang/repetition/fingerprint math), applies the staged LSH drop
+    set for stage 5, and re-derives the winnowing drop set from the staged
+    fingerprint postings (frequency cap + overlap, pure aggregates) — every
+    count cross-engine hash-checked."""
+    from ocr_platform_spark.plans.curation import run_curation_funnel
 
     d = _t(spark, sf_dir, "documents")
-    stages = curate_corpus(d, min_quality=0.3, langs=("en",), near_dup_threshold=0.5)
-    stages["dropped_near"] = stage(stages["dropped_near"], "curation_dropped")
-    # recompute 'curated' against the STAGED drop set so both engines
-    # subtract byte-identical ids
-    stages["curated"] = stages["exact"].join(
-        stages["dropped_near"], "doc_id", "left_anti"
+    report, _details = run_curation_funnel(
+        d,
+        min_quality=0.3,
+        langs=("en",),
+        max_top_bigram_frac=0.11,
+        near_dup_threshold=0.5,
+        winnow_min_shared=2,
+        winnow_max_df=64,
+        winnow_min_overlap=0.35,
     )
-    return curation_funnel(stages).orderBy("stage_no")
+    return report.orderBy("stage_no")
 
 
 @q(

@@ -83,3 +83,60 @@ def test_repetition_gate_optional(spark):
     stages2 = curate_corpus(docs, min_quality=0.0, langs=("en", "und"))
     assert "repetition" not in stages2
     assert stages2["curated"].count() == 2
+
+
+def test_run_curation_funnel_matches_sequential(spark, tmp_path, monkeypatch):
+    """The single-pass observe-based flagship (run_curation_funnel) reports
+    exactly the counts the sequential per-stage implementation computes —
+    two independent formulations of the same funnel."""
+    import ocr_platform_spark.staging as staging
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.dedup import winnow_near_duplicates
+    from ocr_platform_spark.plans.curation import (
+        curate_corpus,
+        curation_funnel,
+        run_curation_funnel,
+    )
+
+    monkeypatch.setattr(staging, "STAGE_ROOT", str(tmp_path / "stage"))
+
+    docs = _docs(spark)
+    report, details = run_curation_funnel(
+        docs,
+        min_quality=0.3,
+        langs=("en",),
+        max_top_bigram_frac=0.9,
+        near_dup_threshold=0.5,
+        winnow_min_shared=2,
+        winnow_max_df=64,
+        winnow_min_overlap=0.5,
+        stage_prefix="t_funnel",
+    )
+    got = {r["stage"]: r["n_docs"] for r in report.collect()}
+
+    stages = curate_corpus(
+        docs,
+        min_quality=0.3,
+        langs=("en",),
+        near_dup_threshold=0.5,
+        max_top_bigram_frac=0.9,
+    )
+    expected = {
+        "input": stages["input"].count(),
+        "quality": stages["quality"].count(),
+        "lang": stages["lang"].count(),
+        "repetition": stages["repetition"].count(),
+        "exact_dedup": stages["exact"].count(),
+        "near_dup_drop": stages["curated"].count(),
+    }
+    surv = stages["curated"]
+    wdrop = (
+        winnow_near_duplicates(surv, "doc_id", "text", 2, 64, 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    expected["winnow_drop"] = surv.join(wdrop, "doc_id", "left_anti").count()
+    assert got == expected
+    # curated detail frame agrees with the reported final count
+    assert details["curated"].count() == got["winnow_drop"]

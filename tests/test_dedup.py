@@ -114,3 +114,62 @@ def test_simhash_udf_matches_expression(spark):
             df.select("id", simhash64("text").alias("sh")).collect()}
     udf = {r["id"]: r["sh"] for r in _simhash_df(df, "id", "text").collect()}
     assert expr == udf
+
+
+def test_winnow_near_duplicates(spark):
+    """Winnowing near-dup: overlap gate keeps true near-dups, frequency cap
+    removes boilerplate fingerprints from consideration entirely."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.dedup import (
+        winnow_fp_postings,
+        winnow_near_duplicate_pairs,
+        winnow_near_duplicates,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the crowd of "
+        "many people watches the spectacle from the side of the road"
+    )
+    rows = [
+        (1, base),
+        (2, base + " and then walks away into the night"),  # near-dup of 1
+        (3, "completely different text about distributed query engines and "
+            "the exchange operators that move rows between the stages"),
+        (4, "short unrelated words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_near_duplicates(
+        df, "doc_id", "text", min_shared=2, max_df=64, min_overlap=0.5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert all(r["overlap"] >= 0.5 for r in pairs)
+
+    # frequency cap: with max_df=1 every shared fingerprint (df>=2) is
+    # boilerplate-capped away, so NO pairs survive
+    postings = winnow_fp_postings(df, "doc_id", "text")
+    capped = winnow_near_duplicate_pairs(postings, min_shared=1, max_df=1, min_overlap=0.0)
+    assert capped.count() == 0
+
+    # containment semantics: doc 1's text is a strict prefix of doc 2's, so
+    # every fingerprint of 1 appears in 2 → overlap (shared / min size) = 1.0
+    ov = winnow_near_duplicate_pairs(postings, 2, 64, 0.0).where(
+        (F.col("id_a") == 1) & (F.col("id_b") == 2)
+    ).first()["overlap"]
+    assert ov == 1.0
+    # overlap gate: a partially-overlapping pair (shared head, different
+    # tails) sits strictly between 0 and 1 and is removed by a threshold
+    # above its measured overlap
+    head = "the quick brown fox jumps over the lazy dog near the river"
+    part = spark.createDataFrame(
+        [
+            (10, head + " and the story continues with the first unique tail"),
+            (11, head + " but a second entirely different ending follows here"),
+        ],
+        "doc_id long, text string",
+    )
+    ppost = winnow_fp_postings(part, "doc_id", "text")
+    pov = winnow_near_duplicate_pairs(ppost, 2, 64, 0.0).first()["overlap"]
+    assert 0.0 < pov < 1.0
+    gated = winnow_near_duplicate_pairs(ppost, 2, 64, min(pov + 0.001, 1.0))
+    assert gated.count() == 0

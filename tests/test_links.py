@@ -19,6 +19,11 @@ def test_resolve_href_semantics():
     assert resolve_href(SRC, "mailto:a@b.c") is None
     assert resolve_href(SRC, "javascript:void(0)") is None
     assert resolve_href(SRC, "") is None
+    # fragments dropped on EVERY branch, incl. protocol-relative and
+    # path-relative (same target must never yield fragment-distinct edges)
+    assert resolve_href(SRC, "//cdn.org/lib.js#sect") == "https://cdn.org/lib.js"
+    assert resolve_href(SRC, "rel/y#top") == "https://site-01.example.org/a/b/rel/y"
+    assert resolve_href(SRC, "/root/x#mid") == "https://site-01.example.org/root/x"
 
 
 def test_extract_links_attribute_forms():
@@ -36,6 +41,19 @@ def test_extract_links_attribute_forms():
         "https://h.org/three",
         "https://ext.org/p?q=2",
     ]
+
+
+def test_extract_links_attribute_edge_cases():
+    html = (
+        # data-href must NOT produce an edge (no word-boundary leak)
+        '<html><body><a data-href="/fake">no</a>'
+        # a quoted '>' in an earlier attribute must not hide the real href
+        '<a title="x > y" href="/real">yes</a>'
+        # data-href together with a real href: only the real one
+        '<a data-href="/fake2" href="/real2">yes</a></body></html>'
+    ).encode()
+    got = extract_links("https://h.org/", html)
+    assert got == ["https://h.org/real", "https://h.org/real2"]
 
 
 def test_outlink_edges_distributed(spark):

@@ -36,6 +36,10 @@ def test_xlsx_round_trip_and_determinism():
     assert grid[0] == header
     assert grid[1] == ["TITLE", "a <b> & c"]
     assert grid[2] == ["QTY"]  # None cell omitted
+    # entity-like literal text must survive the round trip (no
+    # double-unescape: '&lt;x&gt;' is the CELL TEXT, not markup)
+    ent = render_xlsx(["v"], [["&lt;x&gt; &amp; y"]])
+    assert parse_xlsx_sheet(ent)[1] == ["&lt;x&gt; &amp; y"]
 
 
 def test_export_archive_distributed(spark, tmp_path):

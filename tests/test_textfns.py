@@ -74,3 +74,37 @@ def test_array_formulation_matches_window_frame(spark):
     got_e = {r["doc_id"]: r["fps"] for r in exploded.collect()}
     got_a = {r["doc_id"]: r["fps"] for r in array_form.collect()}
     assert got_e == got_a
+
+
+def test_top_bigram_frac_matches_exploded_form(spark):
+    """The per-row sort+max-run formulation equals the exploded
+    max(count)/sum(count) formulation — the math the funnel oracle runs."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.functions.textfns import top_bigram_frac, word_shingles
+
+    rows = [
+        (1, "a b a b a b c"),
+        (2, "x"),
+        (3, ""),
+        (4, "one two three four five six seven"),
+        (5, "spam spam spam spam spam"),
+        (6, "the cat sat on the cat sat on the mat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    per_row = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", top_bigram_frac("text").alias("f")).collect()
+    }
+    exploded = {
+        r["doc_id"]: r["f"]
+        for r in (
+            df.select("doc_id", F.explode(word_shingles("text", 2)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg((F.max("c").cast("double") / F.sum("c")).alias("f"))
+            .collect()
+        )
+    }
+    assert per_row == exploded
