@@ -62,7 +62,14 @@ def wratio_like(a: str, b: str) -> int:
     """Weighted similarity in [0, 100]:
     max(full, .95·token-sort, .95·token-set, .9·partial) — the signal family
     and weights of WRatio, on stdlib SequenceMatcher."""
-    pa, pb = _preprocess(a), _preprocess(b)
+    return wratio_like_pre(_preprocess(a), _preprocess(b))
+
+
+def wratio_like_pre(pa: str, pb: str) -> int:
+    """:func:`wratio_like` over ALREADY-preprocessed strings. The hot-path
+    entry: the mapper preprocesses each distinct value once and every
+    vocabulary label once (at build time) instead of re-running the
+    full_process step per (value, option) pair."""
     if pa == pb:
         return 100 if pa else 0
     full = _ratio(pa, pb)
@@ -96,32 +103,65 @@ def map_select_value(
         return None
     if not options:
         return ocr_value
-    scored = []
+    pa = _preprocess(ocr_value)
+    best_s, best_idx = 0, -1
     for idx, (_value, label) in enumerate(options):
-        s = wratio_like(ocr_value, label)
-        if s >= SCORE_CUTOFF:
-            scored.append((-s, idx))
-    if not scored:
+        s = wratio_like_pre(pa, _preprocess(label))
+        if s > best_s and s >= SCORE_CUTOFF:
+            best_s, best_idx = s, idx
+            if s == 100:
+                # nothing later can beat (-100, idx): the sort key is
+                # (score desc, vocabulary order asc)
+                break
+    if best_idx < 0:
         return None
-    scored.sort()  # by score desc, then stable vocabulary order
-    top = scored[:TOP_K]
-    _neg_best, best_idx = top[0]
     # auto-accept ≥90 (:71-76) and the deterministic best-fuzzy fallback for
-    # the 75-89 band (:153-163) coincide: best match wins.
+    # the 75-89 band (:153-163) coincide: best match wins; ties keep the
+    # earliest vocabulary index (strict > above), matching the stable
+    # (-score, idx) sort of the reference's top-5 selection.
     return options[best_idx][0]
+
+
+def score_all(ocr_value: str, options: list[tuple[str, str]]) -> list[int]:
+    """Per-option scores of one value against a vocabulary, vocabulary
+    order (no cutoff, no early exit) — the staged-oracle surface: an
+    independent SQL engine re-applies cutoff/top-k/tie-break over these to
+    re-derive the mapping (queries.fuzzy_supplier_mapping)."""
+    pa = _preprocess(ocr_value or "")
+    return [wratio_like_pre(pa, _preprocess(label)) for _v, label in options]
 
 
 class CachedMapper:
     """Per-field vocabulary mapper with value-level memoization — web-scale
     columns repeat values heavily; the cache collapses per-batch cost to
-    per-distinct-value cost."""
+    per-distinct-value cost.
+
+    Labels are preprocessed ONCE at build time (the full_process step used
+    to run per (value, option) pair); per distinct value the scoring loop
+    early-exits on a 100 score, which nothing later in vocabulary order can
+    beat. Outputs are byte-identical to :func:`map_select_value`."""
 
     def __init__(self, vocab_by_field: dict[str, list[tuple[str, str]]]):
         self._vocab = vocab_by_field
+        self._pre = {
+            f: [_preprocess(label) for _v, label in opts]
+            for f, opts in vocab_by_field.items()
+        }
 
         @lru_cache(maxsize=65536)
         def _cached(field: str, value: str) -> str | None:
-            return map_select_value(value, self._vocab.get(field, []))
+            opts = self._vocab.get(field, [])
+            if not opts:
+                return value  # passthrough: no vocabulary configured
+            pa = _preprocess(value)
+            best_s, best_idx = 0, -1
+            for idx, plbl in enumerate(self._pre[field]):
+                s = wratio_like_pre(pa, plbl)
+                if s > best_s and s >= SCORE_CUTOFF:
+                    best_s, best_idx = s, idx
+                    if s == 100:
+                        break
+            return None if best_idx < 0 else opts[best_idx][0]
 
         self._cached = _cached
 

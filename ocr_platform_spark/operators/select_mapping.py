@@ -18,7 +18,41 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ocr_platform_spark.functions.fuzzy import CachedMapper
+from ocr_platform_spark.functions.fuzzy import CachedMapper, score_all
+
+# Per-worker mapper registry: the lru_cache of distinct-value mappings
+# survives across Arrow batches AND across tasks of the same stage on one
+# worker (it used to be rebuilt per batch, re-scoring every repeated
+# value). Worker-side Broadcast objects expose no ``id``; their spill file
+# ``_path`` is the stable per-broadcast identity on a worker.
+_WORKER_MAPPERS: dict[object, CachedMapper] = {}
+
+
+def _mapper_for(bc) -> CachedMapper:
+    key = getattr(bc, "_path", None) or id(bc)
+    m = _WORKER_MAPPERS.get(key)
+    if m is None:
+        m = CachedMapper(bc.value)
+        _WORKER_MAPPERS[key] = m
+    return m
+
+
+def _spread_rows(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input is narrower than the core
+    count (single-file dimension scans arrive as ONE partition, serializing
+    the O(distinct × vocab) scoring into one task). Round-robin — not
+    value-hash — because a skewed value column (many rows, one distinct
+    value) must still spread; the mapping is a per-row pure function, so
+    placement never affects results. Wide inputs pass through untouched."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file plan
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def vocab_dict(field_options: DataFrame) -> dict[str, list[tuple[str, str]]]:
@@ -50,12 +84,12 @@ def map_select_column(
 
     @F.pandas_udf("string")
     def _map(values: pd.Series, fields: pd.Series) -> pd.Series:
-        mapper = CachedMapper(bc.value)
+        mapper = _mapper_for(bc)
         return pd.Series(
             [mapper.map(f, v) for v, f in zip(values, fields)], dtype="object"
         )
 
-    return df.withColumn(out_col, _map(F.col(value_col), F.col(field_col)))
+    return _spread_rows(df).withColumn(out_col, _map(F.col(value_col), F.col(field_col)))
 
 
 def map_select_single_vocab(
@@ -67,7 +101,38 @@ def map_select_single_vocab(
 
     @F.pandas_udf("string")
     def _map(values: pd.Series) -> pd.Series:
-        mapper = CachedMapper(bc.value)
+        mapper = _mapper_for(bc)
         return pd.Series([mapper.map("_", v) for v in values], dtype="object")
 
-    return df.withColumn(out_col, _map(F.col(value_col)))
+    return _spread_rows(df).withColumn(out_col, _map(F.col(value_col)))
+
+
+def score_select_column(
+    df: DataFrame,
+    value_col: str,
+    options: list[tuple[str, str]],
+    out_col: str = "scores",
+) -> DataFrame:
+    """Append ``out_col``: the full per-option score vector (``array<int>``,
+    vocabulary order, no cutoff). Verification surface, not the hot path —
+    |values| × |vocab| scores exist so an independent engine can re-apply
+    the cutoff/top-k/tie-break selection over the exact same numbers."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(sorted(options))
+
+    @F.pandas_udf("array<int>")
+    def _scores(values: pd.Series) -> pd.Series:
+        opts = bc.value
+        memo: dict[str, list[int]] = {}
+
+        def of(v):
+            if not v:
+                return None
+            got = memo.get(v)
+            if got is None:
+                got = memo[v] = score_all(v, opts)
+            return got
+
+        return pd.Series([of(v) for v in values])
+
+    return _spread_rows(df).withColumn(out_col, _scores(F.col(value_col)))

@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ocr_platform_spark.functions import conversions as C
 from ocr_platform_spark.functions import textfns as TX
 from ocr_platform_spark.operators import ann, dedup
-from ocr_platform_spark.operators.select_mapping import map_select_single_vocab
+from ocr_platform_spark.operators.select_mapping import (
+    map_select_single_vocab,
+    score_select_column,
+)
 from ocr_platform_spark.staging import stage, staged_glob
 
 
@@ -1420,11 +1423,21 @@ def fuzzy_exact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "fuzzy_supplier_mapping",
     f"""
+    WITH pick AS (
+      SELECT s_suppkey, option_value,
+             row_number() OVER (
+               PARTITION BY s_suppkey ORDER BY score DESC, option_value
+             ) AS rn
+      FROM read_parquet('{staged_glob("fuzzy_scores")}')
+      WHERE score >= 75
+    )
     SELECT st.s_suppkey, st.raw_name,
-           CASE WHEN st.s_suppkey % 3 = 2 THEN st.mapped_name ELSE s.s_name END
+           CASE WHEN st.s_suppkey % 3 = 2 THEN p.option_value ELSE s.s_name END
              AS mapped_name
     FROM read_parquet('{staged_glob("fuzzy_supplier_mapping")}') st
     JOIN supplier s ON st.s_suppkey = s.s_suppkey
+    LEFT JOIN (SELECT s_suppkey, option_value FROM pick WHERE rn = 1) p
+      ON p.s_suppkey = st.s_suppkey
     ORDER BY st.s_suppkey
     """,
 )
@@ -1438,8 +1451,13 @@ def fuzzy_supplier_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     a token-superset whose token-set ratio is 1.0 → 0.95 weight → score 95 ≥
     auto-accept, with no competing label able to tie — both MUST map back to
     ``s_name``. The genuinely fuzzy truncated-prefix partition (suppkey%3=2)
-    is taken from the staged Spark result (pinned instead by the corpus
-    goldens in tests/test_select_mapping.py)."""
+    stages its FULL per-option score matrix (score_select_column — every
+    (value, option) wratio_like score, no cutoff), and the oracle re-derives
+    the mapping from those numbers alone: cutoff ≥ 75, argmax with the
+    vocabulary-order tie-break, NULL when nothing clears the cutoff. The
+    selection logic is therefore cross-engine verified end-to-end; the raw
+    pair scores themselves stay pinned by the pytest golden corpus
+    (tests/test_select_mapping.py)."""
     s = _t(spark, sf_dir, "supplier")
     vocab = [(r["s_name"], r["s_name"]) for r in s.select("s_name").collect()]
     noisy = s.select(
@@ -1453,6 +1471,22 @@ def fuzzy_supplier_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.substring(F.col("s_name"), 1, 12))
         .alias("raw_name"),
+    )
+    # full score matrix for the fuzzy partition (vocabulary order == the
+    # sorted order both score_all and the mapper's tie-break use)
+    opt_values = F.array(*[F.lit(v) for v, _l in sorted(vocab)])
+    scored = score_select_column(
+        noisy.where(F.pmod("s_suppkey", F.lit(3)) == 2), "raw_name", vocab
+    )
+    stage(
+        scored.select(
+            "s_suppkey", F.posexplode("scores").alias("idx", "score")
+        ).select(
+            "s_suppkey",
+            F.element_at(opt_values, F.col("idx") + 1).alias("option_value"),
+            "score",
+        ),
+        "fuzzy_scores",
     )
     mapped = map_select_single_vocab(noisy, "raw_name", vocab, "mapped_name")
     return stage(mapped, "fuzzy_supplier_mapping").orderBy("s_suppkey")

@@ -79,3 +79,57 @@ def test_determinism_across_vocab_order(spark):
     a = map_select_value("ZANVAR SAREES", VOCAB)
     b = map_select_value("ZANVAR SAREES", list(reversed(VOCAB)))
     assert a == b == "ZANVAR"
+
+
+def test_cached_mapper_matches_reference_path():
+    """The hoisted/early-exit CachedMapper is byte-identical to the plain
+    map_select_value on every corpus case, including score-100 ties (the
+    early exit must keep the EARLIEST vocabulary index, like the stable
+    (-score, idx) sort does)."""
+    from ocr_platform_spark.functions.fuzzy import CachedMapper, map_select_value
+
+    vocab = [
+        ("a-first", "Exact Match Label"),
+        ("b-second", "exact  match   label"),  # same after preprocessing
+        ("c-other", "Completely Different"),
+        ("d-near", "Exact Match Labels"),
+    ]
+    values = [
+        "exact match label",   # 100-tie between idx 0 and 1 -> idx 0 wins
+        "EXACT MATCH LABEL",
+        "Exact Match Labe",
+        "nothing like any option at all zzz",
+        "completely different",
+        "",
+        None,
+    ]
+    mapper = CachedMapper({"f": vocab})
+    for v in values:
+        assert mapper.map("f", v) == (map_select_value(v, vocab) if v else None)
+    # passthrough when the field has no vocabulary
+    assert mapper.map("unknown_field", "anything") == "anything"
+
+
+def test_score_select_column_matches_mapper(spark):
+    """Re-ranking the staged score matrix reproduces the mapped output —
+    the exact selection the fuzzy_supplier_mapping oracle re-runs in SQL."""
+    from ocr_platform_spark.functions.fuzzy import SCORE_CUTOFF
+    from ocr_platform_spark.operators.select_mapping import (
+        map_select_single_vocab,
+        score_select_column,
+    )
+
+    vocab = [(f"Opt {i:03d} label", f"Opt {i:03d} label") for i in range(8)]
+    rows = [(i, f"opt {i % 8:03d} labe") for i in range(24)] + [(99, "zzz qqq")]
+    df = spark.createDataFrame(rows, "rid long, raw string")
+    mapped = {
+        r["rid"]: r["m"]
+        for r in map_select_single_vocab(df, "raw", vocab, "m").collect()
+    }
+    opts = sorted(vocab)
+    for r in score_select_column(df, "raw", vocab).collect():
+        best, best_s = None, SCORE_CUTOFF - 1
+        for idx, s in enumerate(r["scores"]):
+            if s > best_s:
+                best, best_s = opts[idx][0], s
+        assert mapped[r["rid"]] == best, r["rid"]
