@@ -71,23 +71,30 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def extraction_run(master_cores: int, corpus_path: str, out_root: str, attempt: int = 0) -> float:
+def extraction_run(
+    master_cores: int,
+    corpus_path: str,
+    out_root: str,
+    attempt: int = 0,
+    expect_rows: int | None = None,
+    tag: str = "",
+) -> tuple[float, str]:
     """One full extraction job (read → repartition → kernel → snapshot
-    commit) on a fresh session; returns elapsed seconds."""
+    commit) on a fresh session; returns (elapsed seconds, partitioner)."""
     from ocr_platform_spark.plans.pipeline import run_extraction_job
     from ocr_platform_spark.session import get_spark
 
     spark = get_spark(master=f"local[{master_cores}]", app_name=f"bench-x{master_cores}")
     try:
         docs = spark.read.parquet(corpus_path)
-        table_path = os.path.join(out_root, f"extracted-x{master_cores}-{attempt}")
+        table_path = os.path.join(out_root, f"extracted-{tag}x{master_cores}-{attempt}")
         t0 = time.monotonic()
         metrics = run_extraction_job(
-            spark, docs, table_path, run_id=f"bench-{master_cores}"
+            spark, docs, table_path, run_id=f"bench-{tag}{master_cores}"
         )
         elapsed = time.monotonic() - t0
-        assert metrics["rows"] == BENCH_DOCS, metrics
-        return elapsed
+        assert metrics["rows"] == (expect_rows or BENCH_DOCS), metrics
+        return elapsed, metrics["partitioner"]
     finally:
         spark.stop()
         time.sleep(2)  # let the previous JVM's threads/ports drain fully
@@ -114,8 +121,8 @@ def main() -> None:
         # pair). Min of two runs like the scaling legs: the first run after
         # corpus generation eats page-cache writeback and can read ~2x slow.
         t_full = min(
-            extraction_run(CPUS, corpus_path, work),
-            extraction_run(CPUS, corpus_path, work, attempt=1),
+            extraction_run(CPUS, corpus_path, work)[0],
+            extraction_run(CPUS, corpus_path, work, attempt=1)[0],
         )
         _log(f"extraction local[{CPUS}] best {t_full:.1f}s")
         # --- scaling legs: same input, two interleaved rounds over core
@@ -138,7 +145,7 @@ def main() -> None:
         leg_times: dict[int, float] = {}
         for attempt in range(2):
             for c in leg_cores:
-                t = extraction_run(c, corpus_path, work, attempt=attempt)
+                t, _part = extraction_run(c, corpus_path, work, attempt=attempt)
                 _log(f"extraction local[{c}] run{attempt} {t:.1f}s")
                 leg_times[c] = min(leg_times.get(c, float("inf")), t)
         windows = []
@@ -159,9 +166,35 @@ def main() -> None:
             + ", ".join(f"{w['cores_n']}->{w['cores_4n']}={w['efficiency']}" for w in windows)
         )
         if t_full > leg_times[max(leg_cores)]:  # full width slower than 8 cores → transient; remeasure
-            t_full = extraction_run(CPUS, corpus_path, work, attempt=2)
+            t_full, _ = extraction_run(CPUS, corpus_path, work, attempt=2)
             _log(f"extraction local[{CPUS}] retry {t_full:.1f}s")
         thr_full = BENCH_DOCS / t_full
+
+        # --- skew corpus: long-tailed payload sizes (0.4% of docs inflated
+        # to 2 MB of extractor-skipped padding). Evidence that the
+        # size-tiered partitioner engages via the payload probe AND that
+        # scaling efficiency holds on a corpus where task byte budgets
+        # would otherwise be wildly uneven. Smaller doc count (the big tail
+        # dominates kernel time); one window (2 -> 8 cores), interleaved
+        # min-of-two like the main legs.
+        skew_docs = int(os.environ.get("SPARK_GRAFT_SKEW_DOCS", "60000"))
+        skew_path = os.path.join(work, "corpus-skew")
+        _log(f"generating skew corpus n={skew_docs} (big_frac=0.004)")
+        spark = get_spark(master=f"local[{CPUS}]", app_name="bench-gen-skew")
+        write_corpus(spark, skew_docs, skew_path, big_frac=0.004)
+        spark.stop()
+        skew_times: dict[int, float] = {}
+        skew_part = ""
+        for attempt in range(2):
+            for c in (2 * N_CORES, 2 * N4_CORES):
+                t, skew_part = extraction_run(
+                    c, skew_path, work, attempt=attempt,
+                    expect_rows=skew_docs, tag="skew-",
+                )
+                _log(f"skew extraction local[{c}] run{attempt} {t:.1f}s [{skew_part}]")
+                skew_times[c] = min(skew_times.get(c, float("inf")), t)
+        skew_eff = (skew_times[2 * N_CORES] / skew_times[2 * N4_CORES]) / 4
+        _log(f"skew efficiency 2->8: {skew_eff:.3f} partitioner={skew_part}")
 
         # --- headline queries at SF_DIR ------------------------------------
         spark = get_spark(master=f"local[{CPUS}]", app_name="bench-queries")
@@ -195,6 +228,16 @@ def main() -> None:
                 "leg_best_sec": {str(c): round(t, 2) for c, t in sorted(leg_times.items())},
                 "full_width_cores": CPUS,
                 "docs_per_sec_full": round(thr_full, 1),
+            },
+            "skew_scaling": {
+                "docs": skew_docs,
+                "big_frac": 0.004,
+                "partitioner": skew_part,
+                "cores_n": 2 * N_CORES,
+                "cores_4n": 2 * N4_CORES,
+                "elapsed_sec_n": round(skew_times[2 * N_CORES], 2),
+                "elapsed_sec_4n": round(skew_times[2 * N4_CORES], 2),
+                "efficiency": round(skew_eff, 3),
             },
         }
     finally:

@@ -251,8 +251,46 @@ def _build_edge(
     return pdf, "pdf", "", "pdf-unsupported-filter"
 
 
-def gen_doc(doc_id: int, seed: int = DEFAULT_SEED) -> dict:
-    """Generate one document row (pure function of (seed, doc_id))."""
+def _inflate_html(html: bytes, doc_id: int, seed: int, target_bytes: int) -> bytes:
+    """Pad an HTML payload to ~``target_bytes`` with a ``<script>`` block of
+    deterministic junk. The extraction kernel treats script as a rawtext
+    SKIP tag, so the expected main text is byte-identical to the unpadded
+    page — only the tokenizer's work (and the partition byte budget) grows.
+    This is the long-tailed-size knob for skew/tiering tests and benches."""
+    pad = target_bytes - len(html)
+    if pad <= 0:
+        return html
+    rng = random.Random(f"pad-{seed}-{doc_id}")
+    line = (f"var pad_{rng.randrange(1 << 30):08x} = " + "'x" + "y" * 40 + "'; ").encode()
+    block = b"<script>" + line * (pad // len(line) + 1) + b"</script>"
+    tail = b"</body></html>"
+    if html.endswith(tail):
+        return html[: -len(tail)] + block + tail
+    return html + block
+
+
+def is_big_doc(doc_id: int, seed: int, big_frac: float) -> bool:
+    """Deterministic long-tail membership, independent of the content rng
+    stream (so ``big_frac=0`` corpora are byte-identical to historical
+    ones)."""
+    if big_frac <= 0:
+        return False
+    import zlib
+
+    return (zlib.crc32(f"big-{seed}-{doc_id}".encode()) % 10**6) < big_frac * 10**6
+
+
+def gen_doc(
+    doc_id: int,
+    seed: int = DEFAULT_SEED,
+    big_frac: float = 0.0,
+    big_bytes: int = 2 * 1024 * 1024,
+) -> dict:
+    """Generate one document row (pure function of (seed, doc_id)).
+
+    ``big_frac`` > 0 inflates that fraction of HTML documents to
+    ``big_bytes`` with extractor-skipped script padding — a long-tailed
+    payload-size distribution with UNCHANGED expected text."""
     rng = random.Random(f"corpus-{seed}-{doc_id}")
     host = _pick_host(rng)
     lang = rng.choices(_LANGS, weights=_LANG_WEIGHTS, k=1)[0]
@@ -269,6 +307,8 @@ def gen_doc(doc_id: int, seed: int = DEFAULT_SEED) -> dict:
         html, kind, expected, err = _build_edge(rng, lang)
         if kind == "html" and not html:
             kind = "empty"
+    if kind == "html" and html and is_big_doc(doc_id, seed, big_frac):
+        html = _inflate_html(html, doc_id, seed, big_bytes)
     return {
         "url": url,
         "warc_ts": warc_ts,

@@ -34,11 +34,16 @@ def documents_df(
     seed: int = corpus.DEFAULT_SEED,
     num_partitions: int | None = None,
     golden: bool = False,
+    big_frac: float = 0.0,
+    big_bytes: int = 2 * 1024 * 1024,
 ) -> DataFrame:
     """The Common-Crawl-style input table, generated in-executor.
 
     ``golden=True`` appends the expected_kind/expected_text/expected_error
     columns (fixtures only — the engine never reads them).
+    ``big_frac`` > 0 gives the corpus a long-tailed payload-size
+    distribution (that fraction of HTML docs inflated to ``big_bytes``
+    with extractor-skipped padding; expected text unchanged).
     """
     schema = GOLDEN_ARROW if golden else DOCUMENTS_ARROW
     ddl = _GOLDEN_DDL if golden else _DOCS_DDL
@@ -49,7 +54,7 @@ def documents_df(
             ids = batch.column("id").to_pylist()
             rows = []
             for i in ids:
-                d = corpus.gen_doc(i, seed)
+                d = corpus.gen_doc(i, seed, big_frac=big_frac, big_bytes=big_bytes)
                 rows.append({k: v for k, v in d.items() if k in keep})
             yield _batch_to_arrow(rows, schema)
 
@@ -58,7 +63,14 @@ def documents_df(
 
 
 def write_corpus(
-    spark: SparkSession, n: int, path: str, seed: int = corpus.DEFAULT_SEED
+    spark: SparkSession,
+    n: int,
+    path: str,
+    seed: int = corpus.DEFAULT_SEED,
+    big_frac: float = 0.0,
+    big_bytes: int = 2 * 1024 * 1024,
 ) -> None:
     """Materialize the corpus as parquet (bench/fixture staging)."""
-    documents_df(spark, n, seed).write.mode("overwrite").parquet(path)
+    documents_df(spark, n, seed, big_frac=big_frac, big_bytes=big_bytes).write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -63,6 +63,9 @@ def host_pagerank(
     iterations: int = 10,
     damping_pct: int = 85,
     scale: int = 10**9,
+    convergence_delta: int | None = None,
+    checkpoint_dir: str | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Deterministic INTEGER PageRank over the host graph.
 
@@ -83,20 +86,39 @@ def host_pagerank(
     the catalog query's DuckDB oracle does exactly that with a recursive
     CTE (queries.py ``host_pagerank``).
 
-    Each iteration is one join + one aggregate; ``localCheckpoint`` caps
-    the growing plan lineage (at crawl scale you would write ranks to a
-    table per iteration instead — same dataflow)."""
+    Each iteration is one join + one aggregate. Lineage control:
+    ``localCheckpoint`` by default; pass ``checkpoint_dir`` to write the
+    rank table to parquet per checkpoint instead — the 10^8-host shape
+    (durable across executor loss, bounded driver memory), bit-identical
+    ranks either way (pinned in tests).
+
+    ``convergence_delta`` (rank units) enables early exit: stop when the
+    L1 rank change of an iteration is ≤ the threshold. Disabled by default
+    so fixed-iteration replays (the DuckDB recursive-CTE oracle) stay
+    bit-exact. ``metrics_out``, if given, receives ``iterations_run`` and
+    ``converged``."""
+    spark = edges.sparkSession
     hosts = (
         edges.select(F.col("src_host").alias("host"))
         .unionByName(edges.select(F.col("dst_host").alias("host")))
         .distinct()
     )
     n_hosts = hosts.count()
+    if metrics_out is not None:
+        metrics_out.update({"iterations_run": 0, "converged": False})
     if n_hosts == 0:
         return hosts.withColumn("rank", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * scale // 100) // n_hosts
     deg = edges.groupBy("src_host").agg(F.count("*").alias("out_deg"))
     ranks = hosts.withColumn("rank", F.lit(scale // n_hosts).cast("long"))
+
+    def _truncate(df: DataFrame, it: int) -> DataFrame:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/ranks-{it:04d}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
     for i in range(iterations):
         contribs = (
             edges.join(ranks, edges.src_host == ranks.host)
@@ -108,16 +130,37 @@ def host_pagerank(
             .groupBy("host")
             .agg(F.sum("contrib").alias("inc"))
         )
-        ranks = hosts.join(contribs, "host", "left").select(
+        new_ranks = hosts.join(contribs, "host", "left").select(
             "host",
             (
                 F.lit(base)
                 + F.expr(f"({damping_pct} * coalesce(inc, 0)) div 100")
             ).cast("long").alias("rank"),
         )
-        # truncate lineage every few iterations — each eager checkpoint is
-        # its own job, so checkpointing every step pays ~iterations extra
-        # job round-trips for no correctness gain
-        if (i + 1) % 3 == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+        if convergence_delta is not None:
+            # materialize first (the delta agg would otherwise re-execute
+            # the whole iteration DAG when the next iteration consumes it)
+            new_ranks = _truncate(new_ranks, i + 1)
+            delta = (
+                ranks.alias("o")
+                .join(new_ranks.alias("n"), "host")
+                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+                .first()["d"]
+            ) or 0
+            ranks = new_ranks
+            if metrics_out is not None:
+                metrics_out["iterations_run"] = i + 1
+            if delta <= convergence_delta:
+                if metrics_out is not None:
+                    metrics_out["converged"] = True
+                break
+        else:
+            ranks = new_ranks
+            # truncate lineage every few iterations — each eager checkpoint
+            # is its own job, so checkpointing every step pays ~iterations
+            # extra job round-trips for no correctness gain
+            if (i + 1) % 3 == 0 or i == iterations - 1:
+                ranks = _truncate(ranks, i + 1)
+            if metrics_out is not None:
+                metrics_out["iterations_run"] = i + 1
     return ranks.orderBy(F.desc("rank"), "host")

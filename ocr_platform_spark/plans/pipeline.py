@@ -29,14 +29,37 @@ from __future__ import annotations
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_platform_spark.operators.extract import (
     extract_documents,
     lineage_from_extracted,
 )
-from ocr_platform_spark.operators.partitioning import repartition_for_extraction
+from ocr_platform_spark.operators.partitioning import (
+    DEFAULT_BIG_PAYLOAD_BYTES,
+    repartition_for_extraction,
+    repartition_size_tiered,
+)
 from ocr_platform_spark.operators.resume import SnapshotTable, pending_documents
+
+_PROBE_ROWS = 4096
+
+
+def _has_big_payloads(
+    docs: DataFrame, threshold: int = DEFAULT_BIG_PAYLOAD_BYTES
+) -> bool:
+    """Cheap payload-size probe: max ``length(html)`` over the first
+    ``_PROBE_ROWS`` rows (one tiny job reading a bounded prefix — the limit
+    stops the scan after the first partition(s)). A prefix sample can miss
+    a tail that starts later in the file order; callers that KNOW their
+    corpus is long-tailed pass ``tiered=True`` explicitly."""
+    row = (
+        docs.select(F.coalesce(F.length("html"), F.lit(0)).alias("n"))
+        .limit(_PROBE_ROWS)
+        .agg(F.max("n").alias("mx"))
+        .first()
+    )
+    return (row["mx"] or 0) > threshold
 
 
 def run_extraction_job(
@@ -46,28 +69,48 @@ def run_extraction_job(
     run_id: str | None = None,
     num_partitions: int | None = None,
     balance: bool = True,
+    tiered: bool | None = None,
 ) -> dict:
     """Extract all not-yet-committed documents into the snapshot table.
 
     Returns run metrics. Idempotent: re-running after success is a no-op;
     re-running after a crash picks up exactly the uncommitted remainder.
 
-    ``balance=False`` skips the size-tier repartition — correct when the
+    ``balance=False`` skips the repartition entirely — correct when the
     input's own partitioning is already uniform (e.g. a freshly bucketed
     Iceberg table); keep it on for raw crawl layouts with mixed payload
     sizes or host-clustered files.
-    """
+
+    ``tiered`` picks between the plain url-hash repartition and the
+    size-tiered variant (oversized payloads get their own smaller buckets —
+    operators/partitioning.py). ``None`` (default) probes the payload-size
+    prefix and engages tiering when any payload exceeds the big-payload
+    threshold; the chosen partitioner is reported in the returned metrics
+    (``"partitioner"``)."""
     run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
     table = SnapshotTable(table_path)
     t0 = time.monotonic()
 
     if table.is_committed(run_id):
-        return {"run_id": run_id, "rows": -1, "elapsed_sec": 0.0, "committed": True}
+        return {
+            "run_id": run_id,
+            "rows": -1,
+            "elapsed_sec": 0.0,
+            "committed": True,
+            "partitioner": "none",
+        }
 
     pending = pending_documents(docs, table, "url")
-    staged = (
-        repartition_for_extraction(pending, num_partitions) if balance else pending
-    )
+    partitioner = "none"
+    staged = pending
+    if balance:
+        use_tiered = _has_big_payloads(pending) if tiered is None else tiered
+        if use_tiered:
+            staged = repartition_size_tiered(pending, num_partitions)
+            partitioner = "size_tiered"
+        else:
+            staged = repartition_for_extraction(pending, num_partitions)
+            partitioner = "uniform"
     extracted = extract_documents(staged)
 
     # Single pass: kernel output streams straight into the snapshot's data
@@ -86,6 +129,7 @@ def run_extraction_job(
             "rows": 0,
             "elapsed_sec": time.monotonic() - t0,
             "committed": False,
+            "partitioner": partitioner,
         }
     table.commit(lineage, run_id)
     return {
@@ -93,4 +137,5 @@ def run_extraction_job(
         "rows": n_rows,
         "elapsed_sec": time.monotonic() - t0,
         "committed": True,
+        "partitioner": partitioner,
     }

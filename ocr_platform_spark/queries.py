@@ -647,13 +647,38 @@ def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 def host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct over hosts + HLL-style scale story (sketch
     results are engine-specific → rows-only driver check; exactness is
-    asserted against countDistinct in tests at small scale)."""
+    asserted against countDistinct in tests at small scale, and the
+    sketch's target value is pinned cross-engine by the
+    ``host_cardinality_exact`` companion query below)."""
     docs = _synth_docs(spark)
     from ocr_platform_spark.operators.partitioning import host_of
 
     return docs.select(host_of("url").alias("host")).agg(
         F.approx_count_distinct("host", 0.01).alias("approx_hosts"),
         F.countDistinct("host").alias("exact_hosts"),
+    )
+
+
+@q(
+    "host_cardinality_exact",
+    f"""
+    SELECT CAST(COUNT(DISTINCT regexp_extract(url, '^https?://([^/?#]+)', 1)) AS BIGINT)
+             AS exact_hosts,
+           CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM read_parquet('{staged_glob("host_urls")}')
+    """,
+)
+def host_cardinality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact companion of ``host_cardinality``: the url column is staged,
+    and BOTH engines independently derive the host (Spark ``parse_url``,
+    DuckDB regexp) and count distinct — pinning the exact value the HLL
+    sketch approximates."""
+    from ocr_platform_spark.operators.partitioning import host_of
+
+    urls = stage(_synth_docs(spark).select("url"), "host_urls", partitions=2)
+    return urls.agg(
+        F.countDistinct(host_of("url")).alias("exact_hosts"),
+        F.count("*").alias("n_urls"),
     )
 
 

@@ -111,3 +111,52 @@ def test_host_pagerank_integer_recurrence(spark):
     ]
     got2 = [(r["host"], r["rank"]) for r in host_pagerank(edges).collect()]
     assert got == got2
+
+
+def test_host_pagerank_early_exit_and_table_checkpoints(spark, tmp_path):
+    """Early exit stops once the L1 rank delta is under the threshold and
+    reports the iteration metric; per-iteration parquet checkpoints produce
+    bit-identical ranks to localCheckpoint."""
+    from ocr_platform_spark.operators.linkgraph import host_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")],
+        "src_host string, dst_host string",
+    )
+    base = [(r["host"], r["rank"]) for r in host_pagerank(edges).collect()]
+
+    # parquet-checkpoint variant: identical ranks
+    via_table = [
+        (r["host"], r["rank"])
+        for r in host_pagerank(edges, checkpoint_dir=str(tmp_path / "pr")).collect()
+    ]
+    assert via_table == base
+
+    # fixed-iteration metric
+    m: dict = {}
+    host_pagerank(edges, iterations=4, metrics_out=m).collect()
+    assert m == {"iterations_run": 4, "converged": False}
+
+    # early exit: a huge threshold stops after the first delta check
+    m2: dict = {}
+    got = host_pagerank(
+        edges, iterations=10, convergence_delta=10**9, metrics_out=m2
+    )
+    got.collect()
+    assert m2["converged"] and m2["iterations_run"] == 1
+
+    # tight threshold: converges before 50 iterations on this graph, and
+    # the converged ranks match a fixed run of the same length
+    m3: dict = {}
+    conv = [
+        (r["host"], r["rank"])
+        for r in host_pagerank(
+            edges, iterations=50, convergence_delta=10, metrics_out=m3
+        ).collect()
+    ]
+    assert m3["converged"] and 1 < m3["iterations_run"] < 50
+    fixed = [
+        (r["host"], r["rank"])
+        for r in host_pagerank(edges, iterations=m3["iterations_run"]).collect()
+    ]
+    assert conv == fixed

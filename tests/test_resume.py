@@ -75,3 +75,43 @@ def test_ensure_exists(spark):
     existing = spark.createDataFrame([("b",)], "k string")
     new = ensure_exists_new_rows(incoming, existing, ["k"])
     assert sorted(r["k"] for r in new.collect()) == ["a", "c"]
+
+
+def test_extraction_job_size_tier_probe(spark, tmp_path):
+    """The payload-size probe engages the size-tiered partitioner exactly
+    when the corpus is long-tailed, and the long-tailed corpus still
+    extracts byte-identically (the padding is extractor-skipped)."""
+    uniform = documents_df(spark, 250, golden=True).cache()
+    m1 = run_extraction_job(
+        spark, uniform.drop("expected_kind", "expected_text", "expected_error"),
+        str(tmp_path / "uni"), run_id="u1", num_partitions=4,
+    )
+    assert m1["partitioner"] == "uniform"
+
+    big = documents_df(
+        spark, 250, golden=True, big_frac=0.06, big_bytes=400_000
+    ).cache()
+    m2 = run_extraction_job(
+        spark, big.drop("expected_kind", "expected_text", "expected_error"),
+        str(tmp_path / "tiered"), run_id="t1", num_partitions=4,
+    )
+    assert m2["partitioner"] == "size_tiered"
+    assert m2["rows"] == 250
+
+    # explicit override beats the probe
+    m3 = run_extraction_job(
+        spark, uniform.drop("expected_kind", "expected_text", "expected_error"),
+        str(tmp_path / "forced"), run_id="f1", num_partitions=4, tiered=True,
+    )
+    assert m3["partitioner"] == "size_tiered"
+
+    # golden byte-identity on the long-tailed corpus
+    data = SnapshotTable(str(tmp_path / "tiered")).read_data(spark)
+    j = data.join(big.select("url", "expected_text", "expected_error"), "url")
+    bad = j.where(
+        ~F.col("text").eqNullSafe(F.col("expected_text"))
+        | ~F.col("error").eqNullSafe(F.col("expected_error"))
+    ).count()
+    assert bad == 0
+    uniform.unpersist()
+    big.unpersist()
