@@ -8,14 +8,18 @@ oracle-verified (functions/textfns.py quality/lang, operators/dedup.py
 exact + MinHash); this plan is their composition plus the bookkeeping a
 curation run needs — which stage dropped how many documents.
 
-Scale shape: stages 1-2 are pure column expressions fused into one scan;
-stage 3 is one hash-partitioned window on the md5 fingerprint; stage 4 is
-the banded-LSH near-dup pipeline (never all-pairs) followed by a left-anti
-join on the drop set. The funnel counts are separate tiny jobs over the
-(cached-or-recomputed) kept sets — at 10^12 rows you would lift them from
-the same pass via observation metrics, which Spark exposes as
-``df.observe``; the per-stage DataFrames returned here make either choice
-available to the caller.
+Scale shape: the quality/lang/repetition gates are pure column expressions
+fused into one scan; exact dedup is one hash-partitioned window on the md5
+fingerprint; MinHash near-dup is the banded-LSH pipeline (never all-pairs)
+followed by a left-anti join on the drop set; winnowing near-dup is a
+frequency-capped fingerprint-postings self-join.
+
+:func:`run_curation_funnel` is the flagship single-pass shape (the catalog
+``curation_funnel`` query and the composed corpus-build job run it): ONE
+action over the corpus fills every gate count via ``df.observe`` metrics
+and stages the survivors; the dedup tail reads staged bytes only.
+:func:`curate_corpus` keeps the per-stage-DataFrame API for callers that
+need the intermediate row sets rather than counts.
 """
 
 from __future__ import annotations

@@ -139,3 +139,129 @@ def run_extraction_job(
         "committed": True,
         "partitioner": partitioner,
     }
+
+
+def run_corpus_build_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    table_path: str,
+    run_id: str | None = None,
+    min_quality: float = 0.1,
+    langs: tuple[str, ...] = ("en",),
+    max_top_bigram_frac: float | None = 0.5,
+    near_dup_threshold: float = 0.5,
+    token_budget: int | None = None,
+    stage_prefix: str = "corpus_build",
+) -> dict:
+    """The engine's end-to-end story as ONE composed job: extract →
+    canonicalize → curate → token budget, committed with lineage.
+
+    1. **Extract** (:func:`run_extraction_job`): raw pages → byte-exact
+       main text in a committed snapshot (resume/lineage semantics apply —
+       a re-run extracts only the uncommitted remainder).
+    2. **Canonicalize** (functions/urlfns.canonical_url): duplicate urls
+       under canonicalization keep the min url (the pre-content dedup a
+       crawl pipeline runs first — tracking params, hosts case, ports).
+    3. **Curate** (plans/curation.run_curation_funnel): the single-pass
+       observe-counted funnel — quality/lang/repetition gates fused into
+       one scan, exact + MinHash + winnowing dedup — over the EXTRACTED
+       text (doc identity = url).
+    4. **Token budget**: BPE-style token counts over the curated survivors;
+       when ``token_budget`` is given, keep documents in url order until
+       the running total crosses the budget (deterministic cut).
+
+    Returns the funnel report rows plus run metrics (extraction metrics,
+    canonical-dup count, token totals, kept-doc count). The heavy text
+    moves exactly twice: once through the extraction kernel into the
+    snapshot, once through the fused gate scan; everything after operates
+    on staged survivor tables."""
+    from pyspark.sql import Window
+
+    from ocr_platform_spark.functions.urlfns import canonical_url
+    from ocr_platform_spark.plans.curation import run_curation_funnel
+
+    ext_metrics = run_extraction_job(spark, docs, table_path, run_id=run_id)
+    table = SnapshotTable(table_path)
+    extracted = table.read_data(spark).where(
+        F.col("error").isNull() & (F.length("text") > 0)
+    )
+
+    # canonical-url dedup: min url per canonical form survives
+    w = Window.partitionBy(canonical_url("url")).orderBy("url")
+    canon = (
+        extracted.select("url", "text")
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    n_canon_dups = canon.where(F.col("_rn") > 1).count()
+    canon = canon.where(F.col("_rn") == 1).drop("_rn")
+
+    report, details = run_curation_funnel(
+        canon.withColumnRenamed("url", "doc_id"),
+        id_col="doc_id",
+        text_col="text",
+        min_quality=min_quality,
+        langs=langs,
+        max_top_bigram_frac=max_top_bigram_frac,
+        near_dup_threshold=near_dup_threshold,
+        stage_prefix=stage_prefix,
+    )
+
+    from ocr_platform_spark.functions.textfns import token_count
+
+    counted = details["curated"].select(
+        "doc_id", "text", token_count("text").alias("n_tokens")
+    )
+    if token_budget is not None:
+        # Deterministic budget cut in doc_id order WITHOUT a global
+        # single-partition window: range-partition on doc_id, per-partition
+        # token sums (tiny), exclusive prefix offsets on the driver, then a
+        # per-partition windowed filter against (budget - offset). Keeps a
+        # doc iff the running total BEFORE it is under budget — identical
+        # to the serial rule at any partition count.
+        ranged = counted.repartitionByRange(
+            max(2, spark.sparkContext.defaultParallelism), "doc_id"
+        ).withColumn("_pid", F.spark_partition_id())
+        ranged = ranged.persist()
+        per_part = {
+            r["_pid"]: r["s"]
+            for r in ranged.groupBy("_pid")
+            .agg(F.sum("n_tokens").alias("s"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(per_part):
+            offsets[pid] = acc
+            acc += per_part[pid]
+        off_col = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in offsets.items() for x in kv]
+                ),
+                F.col("_pid"),
+            ),
+            F.lit(0),
+        ) if offsets else F.lit(0)
+        w_local = (
+            Window.partitionBy("_pid")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        counted = (
+            ranged.withColumn(
+                "_cum", off_col + F.sum("n_tokens").over(w_local)
+            )
+            .where(F.col("_cum") - F.col("n_tokens") < token_budget)
+            .drop("_cum", "_pid")
+        )
+    totals = counted.agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    ).first()
+
+    return {
+        "extraction": ext_metrics,
+        "canonical_dups_dropped": n_canon_dups,
+        "funnel": [tuple(r) for r in report.collect()],
+        "kept_docs": totals["n_docs"],
+        "kept_tokens": int(totals["n_tokens"] or 0),
+        "curated": counted,
+    }

@@ -78,3 +78,72 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+_EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_sessions_to_snapshot(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+    max_files_per_trigger: int = 4,
+):
+    """The composed streaming story end-to-end: readStream(event files) →
+    event-time stateful sessionizer (applyInPandasWithState, watermark-
+    closed sessions) → snapshot-table sink.
+
+    Exactly-once across restarts by layering the two recovery mechanisms:
+    the streaming checkpoint replays an interrupted epoch with the SAME
+    epoch_id, and the snapshot sink is idempotent per epoch — a replayed
+    epoch either finds its commit marker (skip) or overwrites its own
+    staged directory before the marker lands. Closed sessions therefore
+    become visible exactly once, no dupes, no holes
+    (tests/test_streaming.py::test_stream_sessions_exactly_once_restart).
+
+    Lineage per epoch: one row (partition_id = epoch, session count,
+    n/a bytes) so the snapshot stays self-describing like batch runs."""
+    from ocr_platform_spark.streaming.sessions import sessionize_stream_event_time
+
+    table = SnapshotTable(table_path)
+    stream = (
+        spark.readStream.schema(_EVENTS_DDL)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+    sessions = sessionize_stream_event_time(
+        stream, gap_minutes=gap_minutes, watermark=watermark
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        run_id = f"sessions-{epoch_id:08d}"
+        if table.is_committed(run_id):
+            return  # replayed epoch — already visible
+        table.stage_data(batch_df, run_id)
+        written = table.read_staged(spark, run_id)
+        if written.take(1):
+            lineage = written.agg(F.count("*").alias("input_count")).select(
+                F.lit(epoch_id).cast("int").alias("partition_id"),
+                "input_count",
+                F.lit(0).cast("long").alias("input_bytes"),
+                F.lit("sessionizer-v1").alias("extractor_version"),
+                F.lit(0).cast("long").alias("elapsed_ms"),
+                F.lit(run_id).alias("run_id"),
+            )
+            table.commit(lineage, run_id)
+        else:
+            table.discard_staged(run_id)
+
+    writer = sessions.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

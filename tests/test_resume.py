@@ -115,3 +115,66 @@ def test_extraction_job_size_tier_probe(spark, tmp_path):
     assert bad == 0
     uniform.unpersist()
     big.unpersist()
+
+
+def test_run_corpus_build_job_end_to_end(spark, tmp_path):
+    """The composed flagship: extract → canonical-url dedup → single-pass
+    curation funnel → token budget, one call. Canonical dups drop, the
+    funnel report is coherent (monotone counts), and the budget cut is the
+    deterministic serial rule at any partition count."""
+    import ocr_platform_spark.staging as staging
+    from ocr_platform_spark.plans.pipeline import run_corpus_build_job
+
+    staging_root = str(tmp_path / "stage")
+
+    docs = documents_df(spark, 120).cache()
+    # re-crawl 10 pages under tracking-param variants (same payload bytes)
+    dups = (
+        docs.where(F.xxhash64("url") % 12 == 0)
+        .withColumn("url", F.concat("url", F.lit("?utm_source=feed")))
+    )
+    with_dups = docs.unionByName(dups)
+    n_dups = dups.count()
+    assert n_dups > 0
+
+    import unittest.mock as mock
+
+    with mock.patch.object(staging, "STAGE_ROOT", staging_root):
+        res = run_corpus_build_job(
+            spark, with_dups, str(tmp_path / "tbl"), run_id="cb1"
+        )
+    assert res["extraction"]["committed"]
+    assert res["canonical_dups_dropped"] == n_dups
+    funnel = {stage: n for _no, stage, n in res["funnel"]}
+    # monotone funnel over the canonical survivors
+    order = ["input", "quality", "lang", "repetition", "exact_dedup",
+             "near_dup_drop", "winnow_drop"]
+    counts = [funnel[s] for s in order]
+    assert counts == sorted(counts, reverse=True)
+    assert res["kept_docs"] == funnel["winnow_drop"]
+    assert res["kept_tokens"] > 0
+
+    # token budget: keep docs in doc_id order while the running total
+    # BEFORE the doc is under budget — recompute serially and compare
+    with mock.patch.object(staging, "STAGE_ROOT", staging_root):
+        res_b = run_corpus_build_job(
+            spark, with_dups, str(tmp_path / "tbl"), run_id="cb1",
+            token_budget=res["kept_tokens"] // 2,
+        )
+    budget = res["kept_tokens"] // 2
+    with mock.patch.object(staging, "STAGE_ROOT", staging_root):
+        res_all = run_corpus_build_job(
+            spark, with_dups, str(tmp_path / "tbl"), run_id="cb1"
+        )
+    rows = sorted(
+        ((r["doc_id"], r["n_tokens"]) for r in res_all["curated"].collect())
+    )
+    acc, expect = 0, []
+    for did, nt in rows:
+        if acc < budget:
+            expect.append(did)
+        acc += nt
+    got = sorted(r["doc_id"] for r in res_b["curated"].collect())
+    assert got == sorted(expect)
+    assert res_b["kept_docs"] == len(expect)
+    docs.unpersist()

@@ -213,3 +213,69 @@ def test_sessionizer_on_rocksdb_state_store(spark, tmp_path):
     # closes on the 60' event; watermark (200'-10') closes the idle tails
     # of users 1 (60') and 2 (100'); user 3's 200' tail stays open.
     assert (1, 2) in closed and len(closed) >= 3
+
+
+def test_stream_sessions_exactly_once_restart(spark, tmp_path):
+    """The composed streaming story (readStream → event-time sessionizer →
+    snapshot sink): closed sessions land in the snapshot table exactly once
+    across a checkpoint restart — the second query run skips already-
+    processed files, a replayed/no-op run commits nothing new."""
+    import datetime as dt
+
+    from ocr_platform_spark.operators.resume import SnapshotTable
+    from ocr_platform_spark.streaming.incremental import stream_sessions_to_snapshot
+
+    base = dt.datetime(2025, 5, 1, 8, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def ev(eid, user, minutes):
+        return (eid, base + dt.timedelta(minutes=minutes), user, "click", 1.0, "{}")
+
+    in_dir = tmp_path / "sess-in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "sess-ckpt")
+    tbl = str(tmp_path / "sess-tbl")
+
+    # file 1: user 1 session A (3 events), user 2 session A (1 event)
+    spark.createDataFrame(
+        [ev(1, 1, 0), ev(2, 1, 5), ev(3, 1, 10), ev(4, 2, 0)], schema
+    ).coalesce(1).write.parquet(str(in_dir / "f1"))
+
+    q = stream_sessions_to_snapshot(
+        spark, str(in_dir) + "/*", tbl, ckpt, watermark="10 minutes"
+    )
+    q.awaitTermination(120)
+    table = SnapshotTable(tbl)
+    first = table.read_data(spark)
+    n_first = 0 if first is None else first.count()
+    assert n_first == 0  # nothing closed yet (all sessions still open)
+
+    # file 2 arrives much later in event time: the gap closes both sessions
+    spark.createDataFrame([ev(5, 1, 300), ev(6, 2, 300)], schema).coalesce(
+        1
+    ).write.parquet(str(in_dir / "f2"))
+
+    q2 = stream_sessions_to_snapshot(
+        spark, str(in_dir) + "/*", tbl, ckpt, watermark="10 minutes"
+    )
+    q2.awaitTermination(120)
+    data = table.read_data(spark)
+    got = sorted((r["user_id"], r["n_events"]) for r in data.collect())
+    assert got == [(1, 3), (2, 1)]
+    runs_after_two = set(table.committed_runs())
+
+    # restart with NO new files: exactly-once means nothing new commits
+    q3 = stream_sessions_to_snapshot(
+        spark, str(in_dir) + "/*", tbl, ckpt, watermark="10 minutes"
+    )
+    q3.awaitTermination(120)
+    data2 = table.read_data(spark)
+    assert sorted((r["user_id"], r["n_events"]) for r in data2.collect()) == got
+    assert set(table.committed_runs()) == runs_after_two
+
+    # lineage covers exactly the committed sessions
+    lin = table.read_lineage(spark)
+    assert lin.agg(F.sum("input_count")).first()[0] == 2
