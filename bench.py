@@ -60,6 +60,9 @@ HEADLINE = [
     "corrected_field_values",
     "curation_funnel",
     "host_pagerank",
+    # round-3 additions
+    "fuzzy_supplier_mapping",
+    "ann_pq_topk",
 ]
 
 

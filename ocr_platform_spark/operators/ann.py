@@ -252,17 +252,18 @@ def lsh_candidates(
     n_tables: int = 2,
     seed: int = 42,
     multiprobe: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Distinct (query_id, item_id) bucket-colliding candidate pairs — the
     approximate half of :func:`lsh_topk`, exposed so the exact scoring tail
     can run over a staged copy (oracle-verifiable)."""
     it = with_lsh_bucket(
         items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec")),
-        "i_vec", n_planes, n_tables, seed,
+        "i_vec", n_planes, n_tables, seed, dim=dim,
     ).select("item_id", F.explode("buckets").alias("bucket"))
     q = with_lsh_bucket(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        "q_vec", n_planes, n_tables, seed, multiprobe=multiprobe,
+        "q_vec", n_planes, n_tables, seed, dim=dim, multiprobe=multiprobe,
     ).select("query_id", F.explode("buckets").alias("bucket"))
     return (
         it.join(F.broadcast(q), "bucket")
@@ -282,17 +283,18 @@ def lsh_topk(
     n_tables: int = 2,
     seed: int = 42,
     multiprobe: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine only for bucket-colliding pairs.
     ``multiprobe`` probes extra near-boundary buckets on the QUERY side
     only (items stay single-bucket → index size unchanged)."""
     it = with_lsh_bucket(
         items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec")),
-        "i_vec", n_planes, n_tables, seed,
+        "i_vec", n_planes, n_tables, seed, dim=dim,
     ).select("item_id", "i_vec", F.explode("buckets").alias("bucket"))
     q = with_lsh_bucket(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        "q_vec", n_planes, n_tables, seed, multiprobe=multiprobe,
+        "q_vec", n_planes, n_tables, seed, dim=dim, multiprobe=multiprobe,
     ).select("query_id", "q_vec", F.explode("buckets").alias("bucket"))
     scored = (
         it.join(F.broadcast(q), "bucket")
@@ -320,12 +322,13 @@ def embedding_lsh_pairs(
     n_tables: int = 3,
     seed: int = 42,
     max_bucket: int = 128,
+    dim: int | None = None,
 ) -> DataFrame:
     """Distinct self-join candidate pairs (id_a < id_b) from the near-dup
     LSH buckets — generation half of :func:`embedding_near_duplicates`."""
     b = with_lsh_bucket(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        "vec", n_planes, n_tables, seed,
+        "vec", n_planes, n_tables, seed, dim=dim,
     ).select("id", F.explode("buckets").alias("bucket"))
     w = Window.partitionBy("bucket").orderBy("id")
     b = b.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= max_bucket).drop("_rn")
@@ -347,12 +350,13 @@ def embedding_near_duplicates(
     n_tables: int = 3,
     seed: int = 42,
     max_bucket: int = 128,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold):
     LSH self-join candidates → exact cosine verify."""
     b = with_lsh_bucket(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        "vec", n_planes, n_tables, seed,
+        "vec", n_planes, n_tables, seed, dim=dim,
     ).select("id", "vec", F.explode("buckets").alias("bucket"))
     w = Window.partitionBy("bucket").orderBy("id")
     b = b.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= max_bucket).drop("_rn")
@@ -515,4 +519,137 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# --- Product quantization (PQ) — the 10^9-vector regime -----------------------
+
+
+def train_pq(
+    items: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    max_sample: int | None = None,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace PQ codebooks: split the (normalized) vector into ``m``
+    contiguous subvectors and k-means each subspace independently. Returns
+    ``(m, k_codes, dim/m)``. Same bounded-sample discipline as
+    :func:`train_ivf` — the driver never pulls more than ``max_sample``
+    rows (default ``100 * k_codes``) no matter the table size; at 10^9
+    vectors the index memory is m bytes/vector instead of 4·dim."""
+    if max_sample is None:
+        max_sample = 100 * k_codes
+    rows = (
+        items.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<double>"), F.lit(seed)))
+        .limit(max_sample)
+        .collect()
+    )
+    sample = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack(
+        [
+            _kmeans_centroids(sample[:, j * dsub : (j + 1) * dsub], k_codes, seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """(id, codes array<int>) — nearest codeword per subspace over the
+    NORMALIZED vector (one numpy distance matrix per subspace per Arrow
+    batch). 4·dim bytes/vector become m small ints."""
+    m, _k, dsub = codebooks.shape
+    cb = codebooks  # closure-shipped; small (m*k*dsub floats)
+
+    @F.pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        mat = _normalize_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+        out = np.empty((mat.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]  # (n, dsub)
+            # squared distance to each codeword: argmin over k
+            d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return df.select(
+        F.col(id_col).alias("id"), _encode(F.col(vec_col)).alias(out_col)
+    )
+
+
+def pq_query_luts(
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Exploded integer ADC lookup tables: one row per
+    (query_id, m_idx, code) with ``w = round(scale * <q_sub, codeword>)``.
+    Integer weights make the ADC score an exact integer SUM — reproducible
+    bit-for-bit by any engine over the staged (codes, luts) tables."""
+    m, k_codes, dsub = codebooks.shape
+    cb = codebooks
+
+    @F.pandas_udf("array<int>")
+    def _lut(vecs: pd.Series) -> pd.Series:
+        mat = _normalize_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+        out = []
+        for row in mat:
+            w = np.empty(m * k_codes, dtype=np.int64)
+            for j in range(m):
+                w[j * k_codes : (j + 1) * k_codes] = np.rint(
+                    scale * (cb[j] @ row[j * dsub : (j + 1) * dsub])
+                ).astype(np.int64)
+            out.append(w.tolist())
+        return pd.Series(out)
+
+    flat = queries.select(
+        F.col(id_col).alias("query_id"), _lut(F.col(vec_col)).alias("w")
+    )
+    return flat.select(
+        "query_id", F.posexplode("w").alias("pos", "w")
+    ).select(
+        "query_id",
+        (F.col("pos") / k_codes).cast("int").alias("m_idx"),
+        F.pmod("pos", F.lit(k_codes)).cast("int").alias("code"),
+        F.col("w").cast("long").alias("w"),
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    luts: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k from staged (id, codes) items and exploded
+    query LUTs: score(q, item) = Σ_m lut[q][m][codes[item][m]] — an integer
+    SUM (order-independent, cross-engine exact), then per-query top-k. The
+    join is (item term rows) ⋈ broadcast(luts): no raw vectors move."""
+    terms = codes.select(
+        F.col("id").alias("item_id"), F.posexplode("codes").alias("m_idx", "code")
+    )
+    scored = (
+        terms.join(F.broadcast(luts), ["m_idx", "code"])
+        .where(F.col("item_id") != F.col("query_id"))
+        .groupBy("query_id", "item_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "score", F.col("rank").cast("int").alias("rank"))
     )

@@ -493,26 +493,27 @@ def winnow_near_duplicate_pairs(
     predicates, so an independent SQL engine reproduces the exact same
     pair set — the funnel oracle recomputes it in DuckDB from the staged
     postings."""
-    df_counts = postings.groupBy("fp").agg(F.count("*").alias("_df"))
-    good = postings.join(
-        df_counts.where(F.col("_df") <= max_df).select("fp"), "fp"
+    # Frequency cap and per-id sizes attach via count-over-window instead of
+    # groupBy+join — same rows, two window shuffles instead of three
+    # aggregate+join rounds (n_fp counts AFTER the cap, like the oracle).
+    good = (
+        postings.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
+        .where(F.col("_df") <= max_df)
+        .drop("_df")
+        .withColumn("n_fp", F.count("*").over(Window.partitionBy("id")))
     )
-    sizes = good.groupBy("id").agg(F.count("*").alias("n_fp"))
     a = good.alias("a")
     b = good.alias("b")
-    pairs = (
+    return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_fp").alias("n_fp_a"),
+            F.col("b.n_fp").alias("n_fp_b"),
+        )
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
-    )
-    return (
-        pairs.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
-        .withColumnRenamed("n_fp", "n_fp_a")
-        .join(
-            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_fp", "n_fp_b"),
-            "id_b",
-        )
         .select(
             "id_a",
             "id_b",

@@ -198,36 +198,56 @@ def run_curation_funnel(
     from ocr_platform_spark.staging import stage
 
     spark = docs.sparkSession
-    obs: dict[str, Observation] = {}
 
-    def counted(df: DataFrame, name: str) -> DataFrame:
-        obs[name] = Observation(name)
-        return df.observe(obs[name], F.count(F.lit(1)).alias("n"))
-
-    feats = counted(docs, "input").select(
-        "*",
+    # ONE projection computes every gate expression, ONE observe carries
+    # all gate counters as conditional aggregates, ONE filter applies the
+    # conjunction — same counts as filter-chain-with-a-counter-each (each
+    # stage's count conditions on all gates before it), with a far smaller
+    # plan (one CollectMetrics + one Filter instead of four + three, which
+    # matters for whole-stage-codegen compile time on these wide gate
+    # expressions).
+    gate_cols = [
         TX.quality_score(text_col).alias("_quality"),
         TX.lang_id(text_col).alias("_lang"),
-    )
-    s = counted(feats.where(F.col("_quality") >= min_quality), "quality")
-    s = counted(s.where(F.col("_lang").isin(list(langs))), "lang")
+    ]
+    q_ok = F.col("_quality") >= min_quality
+    l_ok = F.col("_lang").isin(list(langs))
+    keep = q_ok & l_ok
+    gate_counts = [
+        F.count(F.lit(1)).alias("input"),
+        F.count_if(q_ok).alias("quality"),
+        F.count_if(q_ok & l_ok).alias("lang"),
+    ]
+    drop_cols = ["_quality", "_lang"]
     if max_top_bigram_frac is not None:
-        s = counted(
-            s.where(
-                F.coalesce(TX.top_bigram_frac(text_col), F.lit(1.0))
-                <= max_top_bigram_frac
-            ),
-            "repetition",
+        gate_cols.append(
+            F.coalesce(TX.top_bigram_frac(text_col), F.lit(1.0)).alias("_rep")
         )
-    s_exact = counted(
-        dedup.drop_exact_duplicates(s.drop("_quality", "_lang"), id_col, text_col),
-        "exact",
+        r_ok = F.col("_rep") <= max_top_bigram_frac
+        keep = keep & r_ok
+        gate_counts.append(F.count_if(q_ok & l_ok & r_ok).alias("repetition"))
+        drop_cols.append("_rep")
+    o_gates = Observation("gates")
+    o_exact = Observation("exact")
+    s = (
+        docs.select("*", *gate_cols)
+        .observe(o_gates, *gate_counts)
+        .where(keep)
+        .drop(*drop_cols)
     )
-    # the single corpus-pass action: gates + window + write, observes filled
+    s_exact = dedup.drop_exact_duplicates(s, id_col, text_col).observe(
+        o_exact, F.count(F.lit(1)).alias("n")
+    )
+    # the single corpus-pass action: gates + window + write, observes
+    # filled. Written at full parallelism so downstream stages (minhash
+    # signatures, winnow postings) read an already-wide table — the
+    # _spread guard in dedup then never adds a repartition.
+    par = spark.sparkContext.defaultParallelism
     staged_exact = stage(
-        s_exact.select(id_col, text_col), f"{stage_prefix}_exact", partitions=4
+        s_exact.select(id_col, text_col), f"{stage_prefix}_exact", partitions=par
     )
-    counts = {name: int(o.get["n"]) for name, o in obs.items()}
+    counts = {k: int(v) for k, v in o_gates.get.items()}
+    counts["exact"] = int(o_exact.get["n"])
 
     # minhash near-dup over the staged survivors (reads staged bytes, not
     # the corpus); drop set staged for the oracle
@@ -253,7 +273,7 @@ def run_curation_funnel(
         postings = stage(
             winnow_fp_postings(survivors, id_col, text_col),
             f"{stage_prefix}_winnow_fps",
-            partitions=4,
+            partitions=par,
         )
         wpairs = winnow_near_duplicate_pairs(
             postings,

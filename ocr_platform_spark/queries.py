@@ -1352,9 +1352,76 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     run the exact quantized-cosine scoring + top-k from the staged pairs."""
     emb = _t(spark, sf_dir, "embeddings")
     cands = stage(
-        ann.lsh_candidates(emb, emb.where(F.col("vec_id") < 8)), "ann_lsh_cands"
+        ann.lsh_candidates(emb, emb.where(F.col("vec_id") < 8), dim=64),
+        "ann_lsh_cands",
     )
     return ann.quantized_rank_candidates(cands, emb, k=10).orderBy("query_id", "rank")
+
+
+_PQ_SQL = f"""
+    WITH codes AS (SELECT id, codes FROM read_parquet('{staged_glob("pq_codes")}')),
+    terms AS (
+      SELECT id AS item_id, CAST(i - 1 AS INT) AS m_idx, CAST(codes[i] AS INT) AS code
+      FROM (SELECT id, codes, unnest(generate_series(1, len(codes))) AS i FROM codes)
+    ),
+    luts AS (SELECT * FROM read_parquet('{staged_glob("pq_luts")}')),
+    adc AS (
+      SELECT l.query_id, t.item_id, SUM(l.w) AS score
+      FROM terms t JOIN luts l ON l.m_idx = t.m_idx AND l.code = t.code
+      WHERE t.item_id != l.query_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, item_id FROM (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id) AS rn
+        FROM adc) WHERE rn <= 50
+    ),
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT c.query_id, c.item_id,
+             list_sum(list_transform(list_zip(q.v, i.v), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(q.v, x -> x * x)) AS nq,
+             list_sum(list_transform(i.v, x -> x * x)) AS ni
+      FROM short c JOIN qz q ON c.query_id = q.vec_id JOIN qz i ON c.item_id = i.vec_id
+    ),
+    scored AS (
+      SELECT query_id, item_id,
+             CASE WHEN nq > 0 AND ni > 0
+                  THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ni AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM pairs
+    )
+    SELECT query_id, item_id, cosine, CAST(rk AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@q("ann_pq_topk", _PQ_SQL)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the 10^9-vector regime (index = m bytes
+    per vector instead of 4·dim): per-subspace codebooks (train_pq, bounded
+    driver sample), items encoded to m codes, queries carried as INTEGER
+    ADC lookup tables. Shortlist-50 by exact-integer ADC score, then exact
+    quantized-cosine re-rank to top-10. Both the shortlist AND the re-rank
+    are recomputed by the oracle from the staged (codes, luts) tables —
+    the entire search tail is cross-engine exact; codebook training and
+    recall-vs-brute-force are pinned in tests/test_ann.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = ann.train_pq(emb, m=8, k_codes=16)
+    codes = stage(ann.pq_encode(emb, cb), "pq_codes")
+    luts = stage(
+        ann.pq_query_luts(emb.where(F.col("vec_id") < 8), cb), "pq_luts"
+    )
+    short = ann.pq_adc_topk(codes, luts, k=50).select("query_id", "item_id")
+    return ann.quantized_rank_candidates(short, emb, k=10).orderBy("query_id", "rank")
 
 
 @q("ann_ivf_topk", _ann_tail_sql("ann_ivf_cands"))
@@ -1409,7 +1476,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup semantics use the operator default (0.95)."""
     emb = _t(spark, sf_dir, "embeddings")
     cands = stage(
-        ann.embedding_lsh_pairs(emb, id_col="vec_id", vec_col="embedding"),
+        ann.embedding_lsh_pairs(emb, id_col="vec_id", vec_col="embedding", dim=64),
         "emb_dup_cands",
     )
     return ann.quantized_verify_pairs(cands, emb, threshold=0.25).orderBy("id_a", "id_b")
@@ -2432,7 +2499,7 @@ def media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_byte_histogram(media).select("media_id", "embedding"), "media_emb"
     )
     cands = stage(
-        ann.embedding_lsh_pairs(emb, id_col="media_id", vec_col="embedding"),
+        ann.embedding_lsh_pairs(emb, id_col="media_id", vec_col="embedding", dim=256),
         "media_dup_cands",
     )
     return ann.quantized_verify_pairs(

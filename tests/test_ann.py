@@ -112,3 +112,50 @@ def test_train_ivf_driver_sample_is_bounded(spark):
     # default cap: 100 * n_lists, independent of table size
     c3 = ann.train_ivf(df, n_lists=2)
     assert c3.shape == (2, 8)
+
+
+def test_pq_encode_and_adc_shortlist(spark):
+    """PQ codebooks train on a bounded sample; encode emits m codes per
+    vector; the ADC shortlist + exact re-rank recovers a reasonable share
+    of the brute-force top-k (near-random vectors are PQ's worst case, so
+    the bar is recall of the shortlist union, not rank-exactness)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.where(F.col("vec_id") < 8)
+
+    cb = ann.train_pq(emb, m=8, k_codes=16)
+    assert cb.shape == (8, 16, 8)  # dim 64 / m 8
+    cb2 = ann.train_pq(emb, m=8, k_codes=16)
+    assert np.allclose(cb, cb2)  # deterministic training
+
+    codes = ann.pq_encode(emb, cb)
+    row = codes.limit(1).collect()[0]
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
+
+    luts = ann.pq_query_luts(queries, cb)
+    # one LUT row per (query, subspace, code)
+    assert luts.count() == 8 * 8 * 16
+
+    truth = {
+        (r["query_id"], r["item_id"])
+        for r in ann.brute_force_topk(emb, queries, k=5).collect()
+    }
+    short = ann.pq_adc_topk(codes, luts, k=50)
+    s = {(r["query_id"], r["item_id"]) for r in short.collect()}
+    recall = len(s & truth) / len(truth)
+    assert recall >= 0.4, f"shortlist-50 recall {recall}"
+
+    # deterministic end to end
+    again = {(r["query_id"], r["item_id"]) for r in ann.pq_adc_topk(codes, luts, k=50).collect()}
+    assert again == s
+    emb.unpersist()
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    df, _ = _table(spark, n=40, dim=10)
+    import pytest
+
+    with pytest.raises(ValueError):
+        ann.train_pq(df, m=4, k_codes=4)
