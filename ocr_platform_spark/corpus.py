@@ -104,7 +104,19 @@ def _nav_links(rng: random.Random, n: int) -> str:
     return "".join(items)
 
 
-def _build_html(rng: random.Random, lang: str) -> tuple[bytes, str]:
+def _host_blurb(host: str) -> str:
+    """Site-wide license blurb, identical on every page of a host that
+    carries one: plain text, zero links — in-content boilerplate the DOM
+    link-density heuristics can NOT drop, which is exactly the case
+    paragraph-level repeated-span removal exists for."""
+    hrng = random.Random(f"blurb-{host}")
+    return (
+        f"content on {host} is published under the site license "
+        + " ".join(_WORDS[hrng.randrange(len(_WORDS))] for _ in range(12))
+    )
+
+
+def _build_html(rng: random.Random, lang: str, host: str | None = None) -> tuple[bytes, str]:
     """Boilerplate-wrapped page; returns (bytes, expected_main_text)."""
     title = _sentence_words(rng, 3, 6, lang)
     heading = title.capitalize()
@@ -136,6 +148,14 @@ def _build_html(rng: random.Random, lang: str) -> tuple[bytes, str]:
         items = [_sentence_words(rng, 7, 12, lang) for _ in range(rng.randint(2, 4))]
         article.append("<ul>" + "".join(f"<li>{it}</li>" for it in items) + "</ul>")
         expected_parts.extend(items)
+    # ~60% of pages end with the host's site-wide license blurb (decision
+    # from the page rng, CONTENT purely host-deterministic) — repeated
+    # verbatim across the host's pages, kept by extraction, removed only
+    # by corpus-level paragraph dedup.
+    if host is not None and rng.random() < 0.6:
+        blurb = _host_blurb(host)
+        article.append(f"<p>{blurb}</p>")
+        expected_parts.append(blurb)
     body_parts.append("<article>" + "".join(article) + "</article>")
     # link-farm div (dropped by link density despite not being <nav>)
     farm = " ".join(
@@ -298,7 +318,7 @@ def gen_doc(
     warc_ts = _EPOCH + dt.timedelta(seconds=(doc_id * 9973) % (30 * 86400))
     r = rng.random()
     if r < 0.85:
-        html, expected = _build_html(rng, lang)
+        html, expected = _build_html(rng, lang, host)
         kind, err = "html", None
     elif r < 0.95:
         html, expected = _build_pdf(rng, lang)

@@ -545,3 +545,89 @@ def winnow_near_duplicates(
         max_df,
         min_overlap,
     )
+
+
+# --- paragraph-level repeated-span removal -----------------------------------
+#
+# The line/paragraph dedup step of web-corpus curation (RefinedWeb/Gopher
+# style): a paragraph that appears verbatim in many documents is boilerplate
+# (cookie banners, nav footers, license blurbs) and is removed from EVERY
+# document, regardless of which doc "had it first". All plumbing is exact and
+# SQL-expressible: md5 per paragraph, a distinct-doc frequency per hash, and
+# order-preserving reassembly — so an independent engine reproduces the
+# rebuilt text byte-for-byte.
+#
+# Scale shape: explode is map-side; the frequency count is a two-level
+# aggregate on (hash, id) then (hash) — both map-side combinable, no
+# countDistinct memory spike; the repeated set joins back on the hash column
+# (uniform key, AQE can broadcast it when small); reassembly is one groupBy
+# on the doc id. Nothing is all-pairs and nothing collects to the driver.
+
+
+def paragraph_postings(
+    df: DataFrame, id_col: str, text_col: str, min_chars: int = 1
+) -> DataFrame:
+    """(id, idx, para, h) — one row per non-empty paragraph, split on blank
+    lines (``\\n{2,}``), position-preserving. ``limit=-1`` keeps trailing
+    empties so the split matches DuckDB's ``string_split_regex`` before the
+    length filter drops them on both sides."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), r"\n{2,}", -1)).alias("idx", "para"),
+        )
+        .where(F.length("para") >= min_chars)
+        .withColumn("h", F.md5(F.col("para")))
+    )
+
+
+def repeated_paragraphs(postings: DataFrame, min_df: int = 2) -> DataFrame:
+    """(h, n_docs) for paragraph hashes appearing in ≥ ``min_df`` DISTINCT
+    documents. Two-level aggregate: collapse (h, id) first so a paragraph
+    repeated within one doc counts once, then count docs per hash — both
+    levels get map-side partial aggregation."""
+    return (
+        postings.select("h", "id")
+        .groupBy("h", "id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_df)
+    )
+
+
+def strip_repeated_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """(id, text, n_kept, n_dropped) — every document rebuilt with its
+    corpus-repeated paragraphs removed (joined back with a single blank
+    line). Documents whose every paragraph was boilerplate survive with
+    empty text; callers gate on ``n_kept`` if they want them gone."""
+    posts = paragraph_postings(df, id_col, text_col, min_chars)
+    rep = repeated_paragraphs(posts, min_df).select("h", F.lit(True).alias("_rep"))
+    marked = posts.join(rep, "h", "left")
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rep").isNull(), F.struct("idx", "para")
+                            )
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+                "\n\n",
+            ).alias("text"),
+            F.count(F.when(F.col("_rep").isNull(), 1)).alias("n_kept"),
+            F.count(F.when(F.col("_rep").isNotNull(), 1)).alias("n_dropped"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

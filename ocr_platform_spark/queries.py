@@ -1637,6 +1637,53 @@ def extract_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_para_dedup",
+    f"""
+    WITH corpus AS (SELECT url, text FROM read_parquet('{staged_glob("para_corpus")}')),
+    split AS (SELECT url, string_split_regex(text, '\\n{{2,}}') AS ps FROM corpus),
+    paras AS (
+      SELECT url, CAST(i - 1 AS INT) AS idx, ps[i] AS para
+      FROM (SELECT url, ps, unnest(generate_series(1, len(ps))) AS i FROM split)
+      WHERE length(ps[i]) >= 1
+    ),
+    freq AS (
+      SELECT md5(para) AS h FROM paras GROUP BY 1 HAVING COUNT(DISTINCT url) >= 3
+    ),
+    marked AS (
+      SELECT p.url, p.idx, p.para, (f.h IS NOT NULL) AS rep
+      FROM paras p LEFT JOIN freq f ON md5(p.para) = f.h
+    )
+    SELECT url,
+           COALESCE(string_agg(CASE WHEN NOT rep THEN para END, chr(10) || chr(10)
+                               ORDER BY idx), '') AS text,
+           COUNT(CASE WHEN NOT rep THEN 1 END) AS n_kept,
+           COUNT(CASE WHEN rep THEN 1 END) AS n_dropped
+    FROM marked GROUP BY url ORDER BY url
+    """,
+)
+def doc_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level repeated-span removal (RefinedWeb/Gopher line dedup)
+    over the EXTRACTED corpus: site-wide license blurbs survive DOM
+    boilerplate stripping because they are plain in-content text, so the
+    curation layer removes any paragraph appearing verbatim in ≥3 distinct
+    documents and rebuilds every doc's text in original order. The whole
+    pipeline — split, md5 per paragraph, distinct-doc frequency, rebuild —
+    is recomputed by the oracle from the staged extracted text, so the
+    rebuilt corpus is verified byte-for-byte cross-engine."""
+    from ocr_platform_spark.operators.extract import extract_documents
+
+    ext = extract_documents(_synth_docs(spark)).select("url", "text").where(
+        F.col("text").isNotNull()
+    )
+    staged = stage(ext, "para_corpus", partitions=2)
+    return (
+        dedup.strip_repeated_paragraphs(staged, "url", "text", min_df=3)
+        .select("url", "text", "n_kept", "n_dropped")
+        .orderBy("url")
+    )
+
+
+@q(
     "extract_per_host",
     f"""
     SELECT host, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes

@@ -173,3 +173,43 @@ def test_winnow_near_duplicates(spark):
     assert 0.0 < pov < 1.0
     gated = winnow_near_duplicate_pairs(ppost, 2, 64, min(pov + 0.001, 1.0))
     assert gated.count() == 0
+
+
+def test_paragraph_postings_positions_and_filter(spark):
+    df = spark.createDataFrame(
+        [(1, "a\n\nb\n\n\nc"), (2, "a\n\n\n\nd"), (3, "")],
+        "id long, text string",
+    )
+    rows = dedup.paragraph_postings(df, "id", "text").collect()
+    got = {(r["id"], r["idx"], r["para"]) for r in rows}
+    # \n{2,} splits on ANY run of >=2 newlines; empty text yields no postings
+    assert got == {(1, 0, "a"), (1, 1, "b"), (1, 2, "c"), (2, 0, "a"), (2, 1, "d")}
+
+
+def test_repeated_paragraphs_counts_distinct_docs(spark):
+    # "x" appears twice in doc 1 but only in 2 distinct docs
+    df = spark.createDataFrame(
+        [(1, "x\n\nx\n\ny"), (2, "x\n\nz"), (3, "z")],
+        "id long, text string",
+    )
+    posts = dedup.paragraph_postings(df, "id", "text")
+    rep = {r["h"]: r["n_docs"] for r in dedup.repeated_paragraphs(posts, 2).collect()}
+    import hashlib
+
+    hx = hashlib.md5(b"x").hexdigest()
+    hz = hashlib.md5(b"z").hexdigest()
+    assert rep == {hx: 2, hz: 2}
+
+
+def test_strip_repeated_paragraphs_rebuilds_in_order(spark):
+    df = spark.createDataFrame(
+        [(1, "keep1\n\nBOILER\n\nkeep2"), (2, "BOILER\n\nother"), (3, "BOILER")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in dedup.strip_repeated_paragraphs(df, "id", "text", min_df=3).collect()
+    }
+    assert out[1] == ("keep1\n\nkeep2", 2, 1)
+    assert out[2] == ("other", 1, 1)
+    assert out[3] == ("", 0, 1)  # all-boilerplate doc survives with empty text
