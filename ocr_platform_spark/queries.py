@@ -40,6 +40,7 @@ from ocr_platform_spark.operators.select_mapping import (
     map_select_single_vocab,
     score_select_column,
 )
+from ocr_platform_spark.operators.sampling import oracle_bucket_sql
 from ocr_platform_spark.staging import stage, staged_glob
 
 
@@ -1085,6 +1086,120 @@ def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
         dedup.drop_exact_duplicates(d, "doc_id", "text").select("doc_id").orderBy("doc_id")
+    )
+
+
+@q(
+    "doc_decontam",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+            FROM t WHERE len(ts) >= 8)
+    ),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+    tot AS (SELECT doc_id, COUNT(DISTINCT g) AS n_grams
+            FROM g WHERE doc_id % 7 <> 0 GROUP BY 1),
+    hit AS (SELECT gg.doc_id, COUNT(DISTINCT gg.g) AS n_hits
+            FROM g gg JOIN ev USING (g) WHERE gg.doc_id % 7 <> 0 GROUP BY 1)
+    SELECT t.doc_id,
+           COALESCE(tot.n_grams, 0) AS n_grams,
+           COALESCE(hit.n_hits, 0) AS n_hits,
+           COALESCE(hit.n_hits, 0) >= 1 AS contaminated
+    FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+    WHERE t.doc_id % 7 <> 0 ORDER BY t.doc_id
+    """,
+)
+def doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Llama 13-gram rule, n=8 here for the
+    short synthetic docs): docs with ``doc_id % 7 = 0`` play the eval set,
+    the rest are the training corpus; any train doc sharing an exact word
+    8-gram with the eval set is flagged. The eval gram set broadcasts and
+    the corpus is never shuffled (see operators/decontam.py for the 100 TB
+    plan shape). The oracle is staging-free: DuckDB recomputes gram
+    construction, set membership, and per-doc tallies from the raw parquet."""
+    from ocr_platform_spark.operators.decontam import (
+        eval_ngram_set,
+        mark_contaminated,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ev = eval_ngram_set(d.where(F.col("doc_id") % 7 == 0), "text", n=8)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    return mark_contaminated(train, ev, "doc_id", "text", n=8).orderBy("doc_id")
+
+
+@q(
+    "doc_split_assign",
+    f"""
+    WITH b AS (
+      SELECT doc_id, {oracle_bucket_sql("doc_id", 1000)} AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+    """,
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from an md5 bucket
+    of the document key — a pure column expression (no shuffle, no rand()),
+    so the same doc lands in the same split on every run, cluster size, and
+    engine. The oracle recomputes the bucket arithmetic from raw parquet
+    via the dialect-mirrored `oracle_bucket_sql`."""
+    from ocr_platform_spark.operators.sampling import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        assign_split(d, "doc_id")
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "host_downsample",
+    f"""
+    WITH u AS (SELECT * FROM read_parquet('{staged_glob("host_downsample")}')),
+    r AS (
+      SELECT host,
+             row_number() OVER (PARTITION BY host ORDER BY md5(url), url) AS rk
+      FROM u
+    )
+    SELECT host, COUNT(*) AS n_docs,
+           COUNT(CASE WHEN rk <= 5 THEN 1 END) AS n_kept
+    FROM r GROUP BY host ORDER BY host
+    """,
+)
+def host_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level downsampling over the crawl corpus: at most 5 docs per
+    host, drawn by md5(url) order (an unbiased deterministic subsample —
+    the stage that stops mega-hosts from dominating the training mix; the
+    zipf-distributed synth hosts make it bite). The (url, host) projection
+    is staged; BOTH engines rank within host and tally kept-vs-total, so
+    the draw order and the cap are verified cross-engine."""
+    from ocr_platform_spark.operators.partitioning import host_of
+    from ocr_platform_spark.operators.sampling import group_rank
+
+    docs = _synth_docs(spark)
+    staged = stage(
+        docs.select("url", host_of("url").alias("host")), "host_downsample", partitions=4
+    )
+    return (
+        group_rank(staged, "host", "url")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("_rank") <= 5, 1)).alias("n_kept"),
+        )
+        .orderBy("host")
     )
 
 

@@ -1,0 +1,68 @@
+"""Decontamination operator semantics (the catalog query `doc_decontam`
+carries the cross-engine oracle; these pin the operator's edge cases)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_platform_spark.operators.decontam import (
+    decontam_tokens,
+    eval_ngram_set,
+    mark_contaminated,
+    word_ngrams_strict,
+)
+
+
+def test_word_ngrams_strict_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("  x   y  z ",)], "text string"
+    )
+    rows = df.select(
+        word_ngrams_strict(decontam_tokens("text"), 3).alias("g")
+    ).collect()
+    assert rows[0]["g"] == ["a b c", "b c d"]
+    assert rows[1]["g"] == []  # shorter than n -> NO catch-all shingle
+    assert rows[2]["g"] == []
+    assert rows[3]["g"] == ["x y z"]  # empty tokens from space runs dropped
+
+
+def test_mark_contaminated_counts_and_gate(spark):
+    ev = spark.createDataFrame([(1, "the quick brown fox jumps",)], "id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps high"),  # 2 hits of 4 grams
+            (11, "totally unrelated words go here now"),
+            (12, "short doc"),  # 0 grams
+            (13, "QUICK BROWN FOX jumps the quick brown"),  # case-folded hit
+        ],
+        "id long, text string",
+    )
+    grams = eval_ngram_set(ev, "text", n=4)
+    out = {
+        r["id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+        for r in mark_contaminated(corpus, grams, "id", "text", n=4).collect()
+    }
+    assert out[10] == (3, 2, True)
+    assert out[11] == (3, 0, False)
+    assert out[12] == (0, 0, False)
+    assert out[13][1] >= 1 and out[13][2] is True
+    # raising the gate un-flags the single-hit doc but not the double-hit one
+    strict = {
+        r["id"]: r["contaminated"]
+        for r in mark_contaminated(corpus, grams, "id", "text", n=4, min_hits=2).collect()
+    }
+    assert strict[10] is True and strict[13] is False
+
+
+def test_eval_set_broadcasts_and_corpus_not_shuffled_prejoin(spark):
+    """The eval-gram join must be a broadcast hash join: the corpus side
+    reaches the contamination join without an Exchange."""
+    ev = spark.createDataFrame([(1, "a b c d e f g h",)], "id long, text string")
+    corpus = spark.createDataFrame([(2, "a b c d e f g h i")], "id long, text string")
+    plan = (
+        mark_contaminated(corpus, eval_ngram_set(ev, "text", 8), "id", "text", 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

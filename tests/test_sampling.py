@@ -1,0 +1,82 @@
+"""Deterministic sampling / split / per-group cap semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_platform_spark.operators.sampling import (
+    assign_split,
+    cap_per_group,
+    deterministic_sample,
+    group_rank,
+    hash_bucket,
+)
+
+
+def _ids(spark, n=500):
+    return spark.range(n).withColumnRenamed("id", "k")
+
+
+def test_assign_split_partitioning_invariant_and_fractions(spark):
+    d1 = assign_split(_ids(spark).repartition(13), "k").select("k", "split")
+    d2 = assign_split(_ids(spark).coalesce(1), "k").select("k", "split")
+    assert d1.exceptAll(d2).count() == 0 and d2.exceptAll(d1).count() == 0
+    frac = {r["split"]: r["n"] for r in d1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # md5 buckets are uniform: 500 keys land near 400/50/50
+    assert 340 <= frac["train"] <= 460
+    assert 20 <= frac["val"] <= 80 and 20 <= frac["test"] <= 80
+
+
+def test_assign_split_rejects_bad_fractions(spark):
+    with pytest.raises(ValueError):
+        assign_split(_ids(spark), "k", splits=[("a", 0.5), ("b", 0.4)])
+
+
+def test_assign_split_is_narrow(spark):
+    plan = (
+        assign_split(_ids(spark), "k")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure column exprs: split in the scan stage
+
+
+def test_deterministic_sample_stable_and_disjoint_by_salt(spark):
+    a = {r["k"] for r in deterministic_sample(_ids(spark), "k", 0.3).collect()}
+    b = {r["k"] for r in deterministic_sample(_ids(spark), "k", 0.3).collect()}
+    assert a == b  # same rows every run
+    assert 100 <= len(a) <= 200
+    s = {r["k"] for r in deterministic_sample(_ids(spark), "k", 0.3, salt="v2").collect()}
+    assert s != a  # independent draw under a different salt
+
+
+def test_sample_nests_by_fraction(spark):
+    small = {r["k"] for r in deterministic_sample(_ids(spark), "k", 0.1).collect()}
+    big = {r["k"] for r in deterministic_sample(_ids(spark), "k", 0.5).collect()}
+    assert small <= big  # bucket-threshold sampling nests: 10% subset of 50%
+
+
+def test_cap_per_group(spark):
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(20)] + [("c", 0)],
+        "g string, k long",
+    )
+    out = cap_per_group(df, "g", "k", 5)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 5, "b": 5, "c": 1}
+    # the draw is by md5(k) order, not insertion order
+    kept_a = sorted(r["k"] for r in out.where("g = 'a'").collect())
+    assert kept_a != [0, 1, 2, 3, 4]
+    # and deterministic
+    again = sorted(r["k"] for r in cap_per_group(df, "g", "k", 5).where("g='a'").collect())
+    assert kept_a == again
+
+
+def test_group_rank_dense_and_unique(spark):
+    df = spark.createDataFrame([("a", i) for i in range(10)], "g string, k long")
+    ranks = sorted(r["_rank"] for r in group_rank(df, "g", "k").collect())
+    assert ranks == list(range(1, 11))
+
+
+def test_hash_bucket_range(spark):
+    rows = _ids(spark).select(hash_bucket("k", 17).alias("b")).collect()
+    assert all(0 <= r["b"] < 17 for r in rows)
