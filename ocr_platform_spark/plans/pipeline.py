@@ -151,10 +151,12 @@ def run_corpus_build_job(
     max_top_bigram_frac: float | None = 0.5,
     near_dup_threshold: float = 0.5,
     token_budget: int | None = None,
+    para_min_df: int = 3,
     stage_prefix: str = "corpus_build",
 ) -> dict:
     """The engine's end-to-end story as ONE composed job: extract →
-    canonicalize → curate → token budget, committed with lineage.
+    canonicalize → paragraph dedup → curate → token budget, committed with
+    lineage.
 
     1. **Extract** (:func:`run_extraction_job`): raw pages → byte-exact
        main text in a committed snapshot (resume/lineage semantics apply —
@@ -162,11 +164,20 @@ def run_corpus_build_job(
     2. **Canonicalize** (functions/urlfns.canonical_url): duplicate urls
        under canonicalization keep the min url (the pre-content dedup a
        crawl pipeline runs first — tracking params, hosts case, ports).
-    3. **Curate** (plans/curation.run_curation_funnel): the single-pass
+    3. **Paragraph dedup** (operators/dedup.strip_repeated_paragraphs,
+       RefinedWeb/Gopher line dedup): paragraphs appearing verbatim in
+       ≥ ``para_min_df`` docs — site license blurbs, cookie banners that
+       survive DOM boilerplate stripping because they are plain in-content
+       text — are removed from EVERY doc; docs rewritten, emptied docs
+       dropped. Runs BEFORE the gates so quality/repetition score the
+       cleaned text. ``para_min_df=None`` disables. Its counters ride the
+       funnel's single corpus action as ``observe`` metrics — no extra
+       pass.
+    4. **Curate** (plans/curation.run_curation_funnel): the single-pass
        observe-counted funnel — quality/lang/repetition gates fused into
        one scan, exact + MinHash + winnowing dedup — over the EXTRACTED
        text (doc identity = url).
-    4. **Token budget**: BPE-style token counts over the curated survivors;
+    5. **Token budget**: BPE-style token counts over the curated survivors;
        when ``token_budget`` is given, keep documents in url order until
        the running total crosses the budget (deterministic cut).
 
@@ -195,8 +206,27 @@ def run_corpus_build_job(
     n_canon_dups = canon.where(F.col("_rn") > 1).count()
     canon = canon.where(F.col("_rn") == 1).drop("_rn")
 
+    curin = canon.withColumnRenamed("url", "doc_id")
+    o_para = None
+    if para_min_df is not None:
+        from pyspark.sql import Observation
+
+        from ocr_platform_spark.operators.dedup import strip_repeated_paragraphs
+
+        o_para = Observation("para_dedup")
+        curin = (
+            strip_repeated_paragraphs(curin, "doc_id", "text", min_df=para_min_df)
+            .observe(
+                o_para,
+                F.sum("n_dropped").alias("paras_dropped"),
+                F.count_if(F.col("n_kept") == 0).alias("docs_emptied"),
+            )
+            .where(F.col("n_kept") > 0)
+            .select("doc_id", "text")
+        )
+
     report, details = run_curation_funnel(
-        canon.withColumnRenamed("url", "doc_id"),
+        curin,
         id_col="doc_id",
         text_col="text",
         min_quality=min_quality,
@@ -260,6 +290,10 @@ def run_corpus_build_job(
     return {
         "extraction": ext_metrics,
         "canonical_dups_dropped": n_canon_dups,
+        # observation filled by the funnel's single corpus action above
+        "para_dedup": (
+            {k: int(v or 0) for k, v in o_para.get.items()} if o_para else None
+        ),
         "funnel": [tuple(r) for r in report.collect()],
         "kept_docs": totals["n_docs"],
         "kept_tokens": int(totals["n_tokens"] or 0),

@@ -145,6 +145,10 @@ def test_run_corpus_build_job_end_to_end(spark, tmp_path):
         )
     assert res["extraction"]["committed"]
     assert res["canonical_dups_dropped"] == n_dups
+    # the synth corpus plants site-wide license blurbs on ~60% of a host's
+    # pages; hosts with >=3 such pages get them stripped corpus-wide
+    assert res["para_dedup"]["paras_dropped"] > 0
+    assert res["para_dedup"]["docs_emptied"] == 0
     funnel = {stage: n for _no, stage, n in res["funnel"]}
     # monotone funnel over the canonical survivors
     order = ["input", "quality", "lang", "repetition", "exact_dedup",
