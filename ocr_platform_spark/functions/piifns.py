@@ -1,0 +1,82 @@
+"""PII scrubbing for web-corpus curation — pure column expressions.
+
+The classic pre-training redaction pass (C4/Dolma-style): replace email
+addresses, IPv4 addresses, and US-shaped phone numbers with typed
+placeholders, and count what was removed so the curation report can track
+redaction rates per source. Everything is JVM-side ``regexp_replace`` /
+``regexp_extract_all`` — no Python in the loop, and every pattern is
+written in the regex subset Java and RE2 (DuckDB) share (no lookaround, no
+backreferences), so the driver's oracle comparison verifies the redacted
+bytes exactly.
+
+Chain order is part of the contract: **email → IPv4 → phone**, each stage
+matching against the previous stage's output. An email's domain may embed
+an IP (``user@10.0.0.1``) and its local part may embed phone-shaped digit
+runs — redacting emails first means those bytes are gone before the later
+patterns look, making the three counts disjoint and the output independent
+of any single-pattern overlap ambiguity.
+
+The reference has no redaction pass (it stores extracted values verbatim);
+this module is part of the engine's own training-data surface
+(SURVEY §2 "beyond-reference" text ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Conservative, cross-engine-identical patterns. \b is supported by both
+# Java regex and RE2; {m,n} quantifiers and non-capturing groups likewise.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# US-shaped: optional +1 / 1 prefix, (area) or area, then 3-4 split.
+PHONE_RE = r"(?:\+?1[ .\-]?)?\(?\d{3}\)?[ .\-]\d{3}[ .\-]?\d{4}\b"
+
+EMAIL_TOKEN = "<EMAIL>"
+IPV4_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+# (name, pattern, replacement) in chain order.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", EMAIL_RE, EMAIL_TOKEN),
+    ("ipv4", IPV4_RE, IPV4_TOKEN),
+    ("phone", PHONE_RE, PHONE_TOKEN),
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _count(expr: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(expr, F.lit(pattern), F.lit(0))).cast("int")
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redacted text: the full email → IPv4 → phone replacement chain."""
+    x = _c(col)
+    for _name, pattern, token in PII_RULES:
+        x = F.regexp_replace(x, pattern, token)
+    return x
+
+
+def pii_counts(col: Column | str) -> list[tuple[str, Column]]:
+    """``[(rule_name, count_column)]`` — each rule counted against the text
+    as it stood when that rule ran (the chain semantics, so the counts sum
+    to the number of placeholders actually emitted)."""
+    x = _c(col)
+    out: list[tuple[str, Column]] = []
+    for name, pattern, token in PII_RULES:
+        out.append((name, _count(x, pattern)))
+        x = F.regexp_replace(x, pattern, token)
+    return out
+
+
+def has_pii(col: Column | str) -> Column:
+    """True when any rule would fire — the cheap pre-filter: a corpus pass
+    can skip the 3-stage replace chain for the (majority) clean rows."""
+    x = _c(col)
+    pred = F.lit(False)
+    for _name, pattern, _token in PII_RULES:
+        pred = pred | x.rlike(pattern)
+    return pred

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ocr_platform_spark.functions.textfns import bind_once
+
 
 def decontam_tokens(col: Column | str) -> Column:
     """lower + split on single spaces + drop empties — deliberately the
@@ -48,14 +50,23 @@ def word_ngrams_strict(tokens: Column, n: int) -> Column:
     than ``n`` tokens yield an EMPTY array — unlike `textfns.word_shingles`,
     which degrades short texts to a single catch-all shingle. Strictness
     matters here: a 3-word doc must not be flagged for matching a 3-word
-    *prefix* of an eval gram."""
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(tokens, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    *prefix* of an eval gram.
+
+    The token expression is λ-bound (``bind_once``): referenced directly
+    inside the per-gram lambda it would be re-evaluated once PER GRAM after
+    CollapseProject inlines it — measured 8× the runtime of this operator's
+    catalog query at sf0.1."""
+
+    def grams_of(ts: Column) -> Column:
+        return F.when(
+            F.size(ts) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(ts, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokens, grams_of)
 
 
 def eval_ngram_set(

@@ -1204,6 +1204,250 @@ def host_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ingest_path_hygiene",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN '../../etc/' || substr(text, 1, 10)
+          WHEN 1 THEN '/srv/data/uploads/' || substr(text, 1, 10) || '.pdf'
+          WHEN 2 THEN '  report café ' || substr(text, 1, 8) || '..PDF '
+          WHEN 3 THEN 'a\b\' || substr(text, 1, 10) || '.tar.gz'
+          ELSE substr(text, 1, 16) || '_v1.txt'
+        END AS fname
+      FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            trim(regexp_replace(regexp_replace(fname, '[/\\]', ' ', 'g'),
+                                '[^\x00-\x7F]', '', 'g')),
+            '\s+', '_', 'g'),
+          '[^A-Za-z0-9_.\-]', '', 'g'),
+        '^[._]+|[._]+$', '', 'g') AS clean,
+      (NOT regexp_matches(fname, '(^|/)\.\.(/|$)'))
+        AND (NOT starts_with(fname, '/')
+             OR starts_with(fname, '/srv/data/') OR fname = '/srv/data')
+        AS safe
+    FROM raw ORDER BY doc_id
+    """,
+)
+def ingest_path_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 end-to-end: werkzeug-style ``secure_filename`` plus the
+    base-directory containment check from the reference's upload/download
+    routes (``document_routes.py:218``, ``:87-99``), both as pure column
+    expressions over a manifest of adversarial filenames built
+    deterministically from table columns (traversal, absolute-path,
+    unicode + whitespace + separator cases). The oracle rebuilds the full
+    sanitize chain and the containment predicate in DuckDB regex — every
+    rule verified byte-for-byte (NFKD delta documented in
+    functions/pathfns.py)."""
+    from ocr_platform_spark.functions.pathfns import (
+        path_within_base,
+        secure_filename_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t10 = F.substring("text", 1, 10)
+    fname = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("../../etc/"), t10))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("/srv/data/uploads/"), t10, F.lit(".pdf")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("  report café "), F.substring("text", 1, 8), F.lit("..PDF ")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("a\\b\\"), t10, F.lit(".tar.gz")),
+        )
+        .otherwise(F.concat(F.substring("text", 1, 16), F.lit("_v1.txt")))
+    )
+    return (
+        d.select("doc_id", fname.alias("fname"))
+        .select(
+            "doc_id",
+            secure_filename_col("fname").alias("clean"),
+            path_within_base("fname", "/srv/data").alias("safe"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pii_oracle() -> str:
+    from ocr_platform_spark.functions.piifns import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IPV4_RE,
+        IPV4_TOKEN,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    return f"""
+    WITH raw AS (
+      SELECT doc_id,
+        'Contact ' || substr(text, 1, 20)
+        || CASE WHEN doc_id % 3 = 0
+             THEN ' at user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0
+             THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+             THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+        || ' end' AS body
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(body, '{EMAIL_RE}')) AS INT) AS n_email,
+        regexp_replace(body, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS b1
+      FROM raw
+    ),
+    s2 AS (
+      SELECT doc_id, n_email,
+        CAST(len(regexp_extract_all(b1, '{IPV4_RE}')) AS INT) AS n_ipv4,
+        regexp_replace(b1, '{IPV4_RE}', '{IPV4_TOKEN}', 'g') AS b2
+      FROM s1
+    )
+    SELECT doc_id,
+      regexp_replace(b2, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS clean,
+      n_email, n_ipv4,
+      CAST(len(regexp_extract_all(b2, '{PHONE_RE}')) AS INT) AS n_phone
+    FROM s2 ORDER BY doc_id
+    """
+
+
+@q("doc_pii_scrub", _pii_oracle())
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (engine-side training-data surface; the reference has
+    no scrubbing pass — extracted values are stored verbatim,
+    ``ocr_backend/app/services/extraction_service.py``): the chained
+    email → IPv4 → phone ``regexp_replace`` pass from functions/piifns.py
+    plus per-rule counts, over a deterministically constructed body that
+    plants each PII kind on a different doc_id residue (and none on
+    residue-free rows). The oracle replays the identical chain in DuckDB —
+    every pattern is written in the Java∩RE2 regex subset so the redacted
+    bytes hash-match exactly."""
+    from ocr_platform_spark.functions.piifns import pii_counts, scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    body = F.concat(
+        F.lit("Contact "),
+        F.substring("text", 1, 20),
+        F.when(did % 3 == 0, F.concat(F.lit(" at user"), s, F.lit("@example.com"))).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" call 415-555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" ip 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" end"),
+    )
+    counts = pii_counts("body")
+    return (
+        d.select("doc_id", body.alias("body"))
+        .select(
+            "doc_id",
+            scrub_pii("body").alias("clean"),
+            *[c.alias(f"n_{name}") for name, c in counts],
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "doc_c4_line_filter",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+        substr(text, 1, 60) || '.' || chr(10)
+        || 'short line' || chr(10)
+        || 'Please enable JavaScript to view this site.' || chr(10)
+        || CASE WHEN doc_id % 7 = 0 THEN 'css rules { display: none }'
+                ELSE 'cascading styles are described elsewhere.' END || chr(10)
+        || CASE WHEN doc_id % 11 = 0 THEN 'Lorem ipsum dolor sit amet, consectetur.'
+                ELSE 'closing remarks for doc ' || CAST(doc_id AS VARCHAR) || ' end.' END
+        AS body
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, body,
+        list_filter(
+          list_transform(string_split(body, chr(10)), x -> trim(x)),
+          t -> t <> ''
+            AND regexp_matches(t, '[.!?"'']$')
+            AND len(regexp_split_to_array(t, '\s+')) >= 5
+            AND NOT contains(lower(t), 'javascript')
+            AND NOT contains(lower(t), 'cookie')
+        ) AS kept
+      FROM raw
+    )
+    SELECT doc_id,
+      array_to_string(kept, chr(10)) AS clean,
+      CAST(len(string_split(body, chr(10))) AS INT) AS n_lines,
+      CAST(len(kept) AS INT) AS n_kept,
+      (len(kept) >= 3 AND NOT contains(lower(body), 'lorem ipsum')
+        AND NOT contains(body, '{')) AS keep
+    FROM k ORDER BY doc_id
+    """,
+)
+def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line rules (functions/linefns.py) over a deterministically
+    constructed multi-line body: terminal-punctuation + min-word line
+    gates, javascript/cookie line drops, lorem-ipsum / curly-brace page
+    drops. Engine-side training-data surface (no counterpart in the
+    reference); the oracle mirrors every rule in DuckDB list lambdas and
+    verifies the surviving bytes exactly."""
+    from ocr_platform_spark.functions.linefns import (
+        c4_clean_text,
+        kept_lines,
+        page_keep,
+        trimmed_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 60), F.lit(".")),
+        F.lit("short line"),
+        F.lit("Please enable JavaScript to view this site."),
+        F.when(did % 7 == 0, F.lit("css rules { display: none }")).otherwise(
+            F.lit("cascading styles are described elsewhere.")
+        ),
+        F.when(did % 11 == 0, F.lit("Lorem ipsum dolor sit amet, consectetur.")).otherwise(
+            F.concat(F.lit("closing remarks for doc "), did.cast("string"), F.lit(" end."))
+        ),
+    )
+    staged = d.select("doc_id", body.alias("body")).select(
+        "doc_id", "body", kept_lines("body").alias("kept")
+    )
+    return staged.select(
+        "doc_id",
+        c4_clean_text(F.col("kept")).alias("clean"),
+        F.size(trimmed_lines("body")).cast("int").alias("n_lines"),
+        F.size("kept").cast("int").alias("n_kept"),
+        page_keep("body", F.col("kept")).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@q(
     "jaccard_adjacent_docs",
     r"""
     WITH sh AS (

@@ -1,0 +1,55 @@
+"""PII scrub semantics (chain order, counts, pre-filter); the catalog
+query `doc_pii_scrub` carries the byte-exact cross-engine oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_platform_spark.functions.piifns import has_pii, pii_counts, scrub_pii
+
+
+def _run(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    counts = pii_counts("t")
+    rows = df.select(
+        scrub_pii("t").alias("clean"),
+        *[c.alias(n) for n, c in counts],
+        has_pii("t").alias("any"),
+    ).collect()
+    return rows
+
+
+def test_scrub_and_counts(spark):
+    rows = _run(
+        spark,
+        [
+            "write bob@example.com or call 212-555-0199",
+            "hosts 10.0.0.1 and 172.16.254.3",
+            "clean text with numbers 1234 and 3.14",
+        ],
+    )
+    assert rows[0].clean == "write <EMAIL> or call <PHONE>"
+    assert (rows[0].email, rows[0].ipv4, rows[0].phone) == (1, 0, 1)
+    assert rows[1].clean == "hosts <IP> and <IP>"
+    assert (rows[1].email, rows[1].ipv4, rows[1].phone) == (0, 2, 0)
+    assert rows[2].clean == "clean text with numbers 1234 and 3.14"
+    assert (rows[2].email, rows[2].ipv4, rows[2].phone) == (0, 0, 0)
+    assert [r.any for r in rows] == [True, True, False]
+
+
+def test_chain_order_disjoint_counts(spark):
+    # phone-shaped digits inside an email's local part and an IP inside its
+    # domain are consumed by the email stage — later stages never see them.
+    rows = _run(spark, ["a212-555-0199@x.com", "user@10.0.0.1 only-ip (email needs alpha TLD)"])
+    assert rows[0].clean == "<EMAIL>"
+    assert (rows[0].email, rows[0].ipv4, rows[0].phone) == (1, 0, 0)
+    assert rows[1].clean == "user@<IP> only-ip (email needs alpha TLD)"
+    assert (rows[1].email, rows[1].ipv4, rows[1].phone) == (0, 1, 0)
+
+
+def test_bare_10_digits_not_matched(spark):
+    # no separators -> deliberately NOT phone-matched (too many false
+    # positives on ids/timestamps in web text)
+    rows = _run(spark, ["order 4155550134 shipped"])
+    assert rows[0].clean == "order 4155550134 shipped"
+    assert rows[0].phone == 0
