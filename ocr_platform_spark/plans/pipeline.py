@@ -152,6 +152,7 @@ def run_corpus_build_job(
     near_dup_threshold: float = 0.5,
     token_budget: int | None = None,
     para_min_df: int = 3,
+    scrub_pii: bool = False,
     stage_prefix: str = "corpus_build",
 ) -> dict:
     """The engine's end-to-end story as ONE composed job: extract →
@@ -164,6 +165,10 @@ def run_corpus_build_job(
     2. **Canonicalize** (functions/urlfns.canonical_url): duplicate urls
        under canonicalization keep the min url (the pre-content dedup a
        crawl pipeline runs first — tracking params, hosts case, ports).
+    2b. **PII scrub** (``scrub_pii=True``; functions/piifns.py): chained
+       email → IPv4 → phone redaction with per-rule totals observed on the
+       same corpus action — runs BEFORE paragraph dedup so identical
+       redacted boilerplate deduplicates together.
     3. **Paragraph dedup** (operators/dedup.strip_repeated_paragraphs,
        RefinedWeb/Gopher line dedup): paragraphs appearing verbatim in
        ≥ ``para_min_df`` docs — site license blurbs, cookie banners that
@@ -207,6 +212,31 @@ def run_corpus_build_job(
     canon = canon.where(F.col("_rn") == 1).drop("_rn")
 
     curin = canon.withColumnRenamed("url", "doc_id")
+    o_pii = None
+    if scrub_pii:
+        from pyspark.sql import Observation
+
+        from ocr_platform_spark.functions import piifns
+
+        o_pii = Observation("pii")
+        counts = piifns.pii_counts("text")
+        curin = (
+            curin.select(
+                "doc_id", "text", *[c.alias(f"_pii_{n}") for n, c in counts]
+            )
+            .observe(
+                o_pii,
+                *[F.sum(f"_pii_{n}").alias(n) for n, _ in counts],
+            )
+            .select(
+                "doc_id",
+                # has_pii prefilter: the (majority) clean rows skip the
+                # 3-stage replace chain entirely
+                F.when(
+                    piifns.has_pii("text"), piifns.scrub_pii("text")
+                ).otherwise(F.col("text")).alias("text"),
+            )
+        )
     o_para = None
     if para_min_df is not None:
         from pyspark.sql import Observation
@@ -294,6 +324,7 @@ def run_corpus_build_job(
         "para_dedup": (
             {k: int(v or 0) for k, v in o_para.get.items()} if o_para else None
         ),
+        "pii": ({k: int(v or 0) for k, v in o_pii.get.items()} if o_pii else None),
         "funnel": [tuple(r) for r in report.collect()],
         "kept_docs": totals["n_docs"],
         "kept_tokens": int(totals["n_tokens"] or 0),

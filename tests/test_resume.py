@@ -117,6 +117,54 @@ def test_extraction_job_size_tier_probe(spark, tmp_path):
     big.unpersist()
 
 
+def test_corpus_build_pii_scrub(spark, tmp_path):
+    """scrub_pii=True: planted emails/IPs in main content are redacted
+    before paragraph dedup, per-rule totals ride the funnel's single
+    corpus action as observe metrics."""
+    import datetime as dt
+    import unittest.mock as mock
+
+    import ocr_platform_spark.staging as staging
+    from ocr_platform_spark.plans.pipeline import run_corpus_build_job
+
+    docs = documents_df(spark, 40).cache()
+    html = (
+        b"<html><head><title>contact page</title></head><body><article>"
+        b"<h1>Contact heading goes here</h1>"
+        b"<p>please mail bob@example.com with the usual report and copy "
+        b"the team at ops@example.org whenever the nightly job fails</p>"
+        b"<p>the staging box lives at 10.1.2.3 and answers on the usual "
+        b"port for every internal dashboard we operate today</p>"
+        b"</article></body></html>"
+    )
+    extra = spark.createDataFrame(
+        [("https://contact.test/page/1", dt.datetime(2025, 1, 1), html, None, "en")],
+        docs.select("url", "warc_ts", "html", "text", "lang").schema,
+    )
+    inp = docs.unionByName(extra)
+
+    with mock.patch.object(staging, "STAGE_ROOT", str(tmp_path / "stage")):
+        res = run_corpus_build_job(
+            spark, inp, str(tmp_path / "tbl"), run_id="pii1", scrub_pii=True
+        )
+    assert res["pii"] == {"email": 2, "ipv4": 1, "phone": 0}
+    # no raw email survives anywhere in the curated corpus
+    curated = res["curated"]
+    leaked = curated.where(F.col("text").rlike("@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count()
+    assert leaked == 0
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    if "https://contact.test/page/1" in kept:
+        txt = curated.where(F.col("doc_id") == "https://contact.test/page/1").first()["text"]
+        assert "<EMAIL>" in txt and "<IP>" in txt
+
+    with mock.patch.object(staging, "STAGE_ROOT", str(tmp_path / "stage2")):
+        res_off = run_corpus_build_job(
+            spark, inp, str(tmp_path / "tbl2"), run_id="pii0"
+        )
+    assert res_off["pii"] is None
+    docs.unpersist()
+
+
 def test_run_corpus_build_job_end_to_end(spark, tmp_path):
     """The composed flagship: extract → canonical-url dedup → single-pass
     curation funnel → token budget, one call. Canonical dups drop, the
