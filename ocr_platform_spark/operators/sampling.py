@@ -109,3 +109,60 @@ def cap_per_group(
     host-level downsampling stage that stops a crawl's mega-hosts from
     dominating the training mix. Keeps ``_rank``; callers drop it."""
     return group_rank(df, group_col, key_col, salt).where(F.col("_rank") <= k)
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    tokens_col: str,
+    weights_per_mille: dict[str, int],
+    total_tokens: int,
+    n_buckets: int = 1000,
+    salt: str = "",
+) -> DataFrame:
+    """Data-mixing stage (Pile/Dolma shape): sample each group (language,
+    source, domain tier) at the rate that makes the sampled corpus
+    approach the target token mixture.
+
+    ``weights_per_mille`` maps group value → target share in ‰ (must sum
+    to 1000); ``total_tokens`` is the desired corpus size. Each group's
+    keep threshold is ``min(n_buckets, (total_tokens * w * n_buckets) div
+    (1000 * available_tokens))`` — ALL-INTEGER arithmetic (no float
+    rounding to drift between engines; the catalog oracle replays it in
+    DuckDB) — then rows keep iff their md5 bucket clears it. An
+    undersupplied group caps at take-all (delivering less than its target
+    share, the standard mixing behavior); a group absent from the weights
+    is dropped (weight 0).
+
+    Scale shape: one map-side aggregate produces the per-group availability
+    (groups are dimension-sized — languages, sources), the thresholds
+    broadcast-join back, and the sample itself is the same pure narrow
+    bucket filter as :func:`deterministic_sample` — the corpus is read
+    once, nothing wide shuffles."""
+    total_w = sum(weights_per_mille.values())
+    if total_w != 1000:
+        raise ValueError(f"weights must sum to 1000 per mille, got {total_w}")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, int(w)) for g, w in weights_per_mille.items()],
+        f"{group_col} string, _w long",
+    )
+    avail = df.groupBy(group_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("_avail")
+    )
+    thr = avail.join(wdf, group_col).select(
+        group_col,
+        F.least(
+            F.lit(n_buckets).cast("long"),
+            F.expr(
+                f"(CAST({int(total_tokens)} AS BIGINT) * _w * {int(n_buckets)})"
+                f" div (1000 * _avail)"
+            ),
+        ).alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .where(hash_bucket(key_col, n_buckets, salt) < F.col("_thr"))
+        .drop("_thr")
+    )

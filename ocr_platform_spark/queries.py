@@ -1203,6 +1203,69 @@ def host_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {"en": 400, "zh": 150, "es": 150, "de": 150, "fr": 150}
+_MIX_TOTAL_TOKENS = 8000
+
+
+def _mixture_oracle() -> str:
+    values = ", ".join(f"('{g}', {w})" for g, w in _MIX_WEIGHTS.items())
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+          AS n_tokens
+      FROM documents
+    ),
+    avail AS (SELECT lang, SUM(n_tokens) AS avail FROM toks GROUP BY lang),
+    w(lang, w) AS (VALUES {values}),
+    thr AS (
+      SELECT a.lang,
+        least(CAST(1000 AS BIGINT),
+              (CAST({_MIX_TOTAL_TOKENS} AS BIGINT) * w.w * 1000) // (1000 * a.avail))
+          AS thr
+      FROM avail a JOIN w ON a.lang = w.lang
+    )
+    SELECT t.doc_id, t.lang, CAST(t.n_tokens AS INT) AS n_tokens
+    FROM toks t JOIN thr ON t.lang = thr.lang
+    WHERE {oracle_bucket_sql("t.doc_id", 1000, "mix")} < thr.thr
+    ORDER BY t.doc_id
+    """
+
+
+@q("corpus_mixture_sample", _mixture_oracle())
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing stage (operators/sampling.mixture_sample): sample each
+    language at the rate that steers the corpus toward a target token
+    mixture (en 40%, the rest 15% each, 8k-token budget). Thresholds are
+    all-integer — ``(T·w·buckets) div (1000·avail)`` — and the md5 bucket
+    is the cross-engine primitive, so DuckDB recomputes availability,
+    thresholds, and membership exactly. At sf0.001 the budget oversupplies
+    every group (take-all cap); at sf0.01 every group samples
+    proportionally — both branches of the threshold exercise under the
+    driver's two scales. Engine-side training-data surface (no counterpart
+    in the reference)."""
+    from ocr_platform_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    return (
+        mixture_sample(
+            toks,
+            "lang",
+            "doc_id",
+            "n_tokens",
+            _MIX_WEIGHTS,
+            _MIX_TOTAL_TOKENS,
+            salt="mix",
+        )
+        .select("doc_id", "lang", F.col("n_tokens").cast("int").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "ingest_path_hygiene",
     r"""

@@ -80,3 +80,41 @@ def test_group_rank_dense_and_unique(spark):
 def test_hash_bucket_range(spark):
     rows = _ids(spark).select(hash_bucket("k", 17).alias("b")).collect()
     assert all(0 <= r["b"] < 17 for r in rows)
+
+
+def test_mixture_sample(spark):
+    from ocr_platform_spark.operators.sampling import hash_bucket, mixture_sample
+
+    import pyspark.sql.functions as F
+
+    rows = [(f"d{i:04d}", "en" if i % 2 == 0 else ("de" if i % 4 == 1 else "xx"), 10)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, g string, t long")
+
+    # en avail=2000, de avail=1000, xx unweighted -> dropped
+    out = mixture_sample(df, "g", "k", "t", {"en": 600, "de": 400}, 1500)
+    got = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert "xx" not in got
+    # thresholds: en (1500*600*1000)//(1000*2000)=450, de (1500*400*1000)//(1000*1000)=600
+    en_thr, de_thr = 450, 600
+    recomputed = df.withColumn("_b", hash_bucket("k", 1000))
+    exp = {
+        "en": recomputed.where((F.col("g") == "en") & (F.col("_b") < en_thr)).count(),
+        "de": recomputed.where((F.col("g") == "de") & (F.col("_b") < de_thr)).count(),
+    }
+    assert got == exp
+
+    # oversupplied budget -> take-all cap
+    all_kept = mixture_sample(df.where("g <> 'xx'"), "g", "k", "t",
+                              {"en": 600, "de": 400}, 10**9)
+    assert all_kept.count() == 300
+
+    # deterministic: same rows on re-run
+    a = sorted(r["k"] for r in out.select("k").collect())
+    b = sorted(r["k"] for r in mixture_sample(
+        df, "g", "k", "t", {"en": 600, "de": 400}, 1500).select("k").collect())
+    assert a == b
+
+    import pytest
+    with pytest.raises(ValueError):
+        mixture_sample(df, "g", "k", "t", {"en": 700, "de": 400}, 100)
