@@ -1780,6 +1780,59 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.quantized_rank_candidates(cands, emb, k=10).orderBy("query_id", "rank")
 
 
+@q(
+    "ann_lsh_recall",
+    f"""
+    WITH exact AS (
+      SELECT query_id, item_id FROM read_parquet('{staged_glob("ann_recall_exact")}')
+    ),
+    approx AS (
+      SELECT query_id, item_id FROM read_parquet('{staged_glob("ann_recall_lsh")}')
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.item_id) AS INT) AS n_hit,
+           CAST(COUNT(*) AS INT) AS k,
+           round(COUNT(a.item_id) * 1.0 / COUNT(*), 4) AS recall
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id AND a.item_id = e.item_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH scale path against the exact brute-force
+    ground truth — the measurement that justifies shipping an
+    approximation (tests pin a floor; this query REPORTS the number,
+    per query). Both top-k frames are staged, so DuckDB recomputes the
+    per-query hit counts and recall from the same bytes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8)
+    exact = stage(
+        ann.quantized_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=10)
+        .select("query_id", "item_id"),
+        "ann_recall_exact",
+    )
+    approx = stage(
+        ann.quantized_rank_candidates(ann.lsh_candidates(emb, qs, dim=64), emb, k=10)
+        .select("query_id", "item_id"),
+        "ann_recall_lsh",
+    )
+    j = exact.join(approx.withColumn("_hit", F.lit(1)), ["query_id", "item_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count("_hit").cast("int").alias("n_hit"),
+            F.count(F.lit(1)).cast("int").alias("k"),
+        )
+        .select(
+            "query_id",
+            "n_hit",
+            "k",
+            F.round(F.col("n_hit") * 1.0 / F.col("k"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 _PQ_SQL = f"""
     WITH codes AS (SELECT id, codes FROM read_parquet('{staged_glob("pq_codes")}')),
     terms AS (
