@@ -164,3 +164,99 @@ def host_pagerank(
             if metrics_out is not None:
                 metrics_out["iterations_run"] = i + 1
     return ranks.orderBy(F.desc("rank"), "host")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 6,
+    early_exit: bool = False,
+    checkpoint_dir: str | None = None,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """(id, comp) — connected components of the undirected pair graph by
+    iterated min-label propagation; ``comp`` is the smallest node id
+    reachable within ``iterations`` hops (= the true component id once the
+    iteration count covers the graph diameter).
+
+    This is the step after every near-dup pass: MinHash/SimHash emit PAIRS,
+    but survivor selection needs CLUSTERS (A~B, B~C must collapse to one
+    keeper even when A~C was never a candidate). Min-label propagation is
+    the classic Spark shape for it:
+
+        label(v) ← min(label(v), min over neighbours label(u))
+
+    one join + one aggregate per iteration, exactly the PageRank loop above
+    — labels only ever decrease, so the recurrence is monotone and replaying
+    it for a FIXED iteration count is bit-deterministic in any engine. The
+    catalog oracle (queries.py ``doc_dedup_clusters``) does precisely that
+    with a DuckDB recursive CTE over the same staged pairs.
+
+    Scale shape at 10^9 nodes: near-dup graphs are a forest of tiny
+    clusters (diameter rarely above a few hops — bounded by the LSH band
+    structure), so a fixed small iteration count converges; ``early_exit``
+    adds a changed-label count per iteration and stops at fixpoint (leave
+    it off for fixed-replay oracles). Each iteration shuffles on the node
+    id only (two longs per row); lineage is truncated per iteration via
+    ``localCheckpoint``, or durable parquet when ``checkpoint_dir`` is
+    given (the executor-loss-safe variant, same answer — mirrors
+    host_pagerank). For adversarial graphs with long chains, swap in
+    alternating large-star/small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same join+agg primitive,
+    logarithmic round count; not needed for the bounded-diameter dedup
+    workload this serves.
+    """
+    spark = pairs.sparkSession
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    # symmetrized edges + a self-loop per node: min over (neighbours ∪ self)
+    # in ONE aggregate, so a node with no smaller neighbour keeps its label
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .unionByName(nodes.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+    )
+    labels = nodes.select("id", F.col("id").alias("comp"))
+    if metrics_out is not None:
+        metrics_out.update({"iterations_run": 0, "converged": False})
+
+    def _truncate(df: DataFrame, it: int) -> DataFrame:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/labels-{it:04d}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    for i in range(iterations):
+        new_labels = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("comp"))
+            .withColumnRenamed("src", "id")
+        )
+        if early_exit:
+            new_labels = _truncate(new_labels, i + 1)
+            changed = (
+                labels.alias("o")
+                .join(new_labels.alias("n"), "id")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels = new_labels
+            if metrics_out is not None:
+                metrics_out["iterations_run"] = i + 1
+            if changed == 0:
+                if metrics_out is not None:
+                    metrics_out["converged"] = True
+                break
+        else:
+            labels = new_labels
+            if (i + 1) % 3 == 0 or i == iterations - 1:
+                labels = _truncate(labels, i + 1)
+            if metrics_out is not None:
+                metrics_out["iterations_run"] = i + 1
+    return labels

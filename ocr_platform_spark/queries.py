@@ -1640,6 +1640,73 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_ITER = 6
+
+
+@q(
+    "doc_dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    p AS (SELECT * FROM read_parquet('{staged_glob("cc_pairs")}')),
+    n AS (SELECT DISTINCT id FROM
+          (SELECT id_a AS id FROM p UNION ALL SELECT id_b AS id FROM p)),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p
+      UNION ALL SELECT id, id FROM n
+    ),
+    lab AS (
+      SELECT 0 AS it, id, id AS comp FROM n
+      UNION ALL
+      SELECT l.it + 1, e.src AS id, MIN(l.comp) AS comp
+      FROM lab l JOIN e ON e.dst = l.id
+      WHERE l.it < {_CC_ITER}
+      GROUP BY l.it, e.src
+    ),
+    fin AS (SELECT id, comp FROM lab WHERE it = {_CC_ITER})
+    SELECT f.id AS doc_id, f.comp AS cluster_id,
+           CAST(s.n AS BIGINT) AS cluster_size,
+           f.id = f.comp AS is_survivor
+    FROM fin f JOIN (SELECT comp, COUNT(*) AS n FROM fin GROUP BY comp) s
+      ON f.comp = s.comp
+    ORDER BY cluster_id, doc_id
+    """,
+)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): MinHash/LSH pairs at Jaccard
+    ≥ 0.5 → connected components by min-label propagation → one survivor
+    (the min doc_id) per component. This is the transitive-closure step a
+    real dedup pass needs — A~B and B~C collapse to one keeper even though
+    A~C was never an LSH candidate.
+
+    Cross-engine EXACT like ``host_pagerank``: the propagation recurrence
+    runs a fixed {_CC_ITER} iterations on both engines (labels are monotone
+    non-increasing integers → bit-deterministic), DuckDB replaying it as a
+    recursive CTE over the same staged pair list. Pair *generation* rides
+    the already-oracled minhash pipeline (`minhash_near_dups`)."""
+    from ocr_platform_spark.operators.linkgraph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = stage(
+        dedup.minhash_near_duplicates(d, "doc_id", "text", threshold=0.5).select(
+            "id_a", "id_b"
+        ),
+        "cc_pairs",
+    )
+    comp = connected_components(pairs, iterations=_CC_ITER)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("comp")).alias("is_survivor"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
 @q(
     "simhash_near_dups",
     f"""

@@ -160,3 +160,77 @@ def test_host_pagerank_early_exit_and_table_checkpoints(spark, tmp_path):
         for r in host_pagerank(edges, iterations=m3["iterations_run"]).collect()
     ]
     assert conv == fixed
+
+
+# --- connected components -------------------------------------------------
+
+
+def _union_find_components(pairs):
+    """Reference: plain union-find over the pair list (min id as root)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from ocr_platform_spark.operators.linkgraph import connected_components
+
+    rnd = random.Random(7)
+    # forest of chains/triangles/sing-pairs, the near-dup graph shape
+    pairs = set()
+    for base in range(0, 400, 10):
+        nodes = [base + i for i in range(rnd.randint(2, 5))]
+        for a, b in zip(nodes, nodes[1:]):  # chain
+            pairs.add((a, b))
+        if rnd.random() < 0.3 and len(nodes) >= 3:  # extra chord
+            pairs.add((nodes[0], nodes[-1]))
+    pairs = sorted(pairs)
+    expected = _union_find_components(pairs)
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(df, iterations=6).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_early_exit_and_checkpoint_dir(spark, tmp_path):
+    from ocr_platform_spark.operators.linkgraph import connected_components
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    base = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert base == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    m = {}
+    ee = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            df, iterations=10, early_exit=True, metrics_out=m
+        ).collect()
+    }
+    assert ee == base
+    assert m["converged"] and m["iterations_run"] < 10
+
+    ck = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            df, checkpoint_dir=str(tmp_path / "cc")
+        ).collect()
+    }
+    assert ck == base
