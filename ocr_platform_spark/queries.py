@@ -3494,6 +3494,62 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_lm_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(words) - 1, 1)),
+               i -> array_to_string(words[i:i+1], ' '))) AS bigram
+      FROM t
+    ),
+    ref AS (
+      SELECT bigram, COUNT(*) AS c FROM g WHERE doc_id % 5 = 0
+      GROUP BY bigram HAVING COUNT(*) >= 2
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_bigrams,
+           COUNT(CASE WHEN ref.c IS NULL THEN 1 END) AS n_oov,
+           CAST(COALESCE(SUM(CASE WHEN ref.c IS NOT NULL
+                                  THEN length(bin(ref.c)) END), 0) AS BIGINT)
+             AS bits_total,
+           CAST(COALESCE(SUM(CASE WHEN ref.c IS NOT NULL
+                                  THEN length(bin(ref.c)) END), 0) AS DOUBLE)
+             / COUNT(*) AS bits_per_gram,
+           (COALESCE(SUM(CASE WHEN ref.c IS NOT NULL
+                               THEN length(bin(ref.c)) END), 0) * 1 >= COUNT(*) * 3)
+             AND (COUNT(CASE WHEN ref.c IS NULL THEN 1 END) * 100 <= COUNT(*) * 10)
+             AS lm_keep
+    FROM g LEFT JOIN ref USING (bigram)
+    WHERE g.doc_id % 5 <> 0
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (operators/lmscore.py): bigram counts
+    trained on the reference slice (``doc_id % 5 = 0`` plays the clean
+    corpus), every other document scored by the integer bit-length
+    surrogate of its grams' reference counts, head-bucket keep decided by
+    all-integer threshold comparisons. The oracle retrains the count table
+    and rescores from the raw parquet — no staging, fully cross-engine
+    exact (the only double is one final exact-int division per row)."""
+    from ocr_platform_spark.operators.lmscore import lm_score, reference_bigram_counts
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 5 == 0)
+    counts = reference_bigram_counts(ref, "doc_id", "text", min_count=2)
+    return lm_score(
+        d.where(F.col("doc_id") % 5 != 0), counts, "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+@q(
     "corpus_top_bigrams",
     r"""
     WITH grams AS (

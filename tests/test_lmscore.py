@@ -1,0 +1,60 @@
+"""CCNet-style LM quality gate (operators/lmscore.py): integer bit-length
+scoring semantics on a handcrafted corpus."""
+
+from ocr_platform_spark.operators.lmscore import (
+    doc_bigrams,
+    lm_score,
+    reference_bigram_counts,
+)
+
+
+def test_reference_counts_pruned(spark):
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog ran")],
+        "doc_id long, text string",
+    )
+    counts = {
+        r["bigram"]: r["c"]
+        for r in reference_bigram_counts(ref, "doc_id", "text", min_count=2).collect()
+    }
+    # "the cat" appears in docs 1 and 2; every other bigram once -> pruned
+    assert counts == {"the cat": 2}
+
+
+def test_lm_score_bits_and_keep(spark):
+    ref = spark.createDataFrame(
+        # "the cat" x4 (bits=3), "cat sat" x2 (bits=2)
+        [(i, "the cat sat") for i in range(2)] + [(i + 2, "the cat") for i in range(2)],
+        "doc_id long, text string",
+    )
+    counts = reference_bigram_counts(ref, "doc_id", "text", min_count=2)
+    docs = spark.createDataFrame(
+        [
+            (100, "the cat sat"),      # grams: the cat(4->3b), cat sat(2->2b)
+            (101, "zx qy"),            # one OOV gram
+            (102, "the cat the cat"),  # the cat x2, cat the (oov)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in lm_score(
+            docs, counts, "doc_id", "text", keep_bits_num=2, max_oov_pct=40
+        ).collect()
+    }
+    r0 = got[100]
+    assert (r0["n_bigrams"], r0["n_oov"], r0["bits_total"]) == (2, 0, 5)
+    assert r0["bits_per_gram"] == 2.5 and r0["lm_keep"]
+    r1 = got[101]
+    assert (r1["n_bigrams"], r1["n_oov"], r1["bits_total"]) == (1, 1, 0)
+    assert not r1["lm_keep"]  # all-OOV fails both gates
+    r2 = got[102]
+    # grams: "the cat","cat the","the cat" -> 2 known (3 bits each), 1 oov
+    assert (r2["n_bigrams"], r2["n_oov"], r2["bits_total"]) == (3, 1, 6)
+    assert r2["lm_keep"]  # 6 >= 3*2 and 1*100 <= 3*40
+
+
+def test_single_word_doc_yields_one_gram(spark):
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    rows = doc_bigrams(docs, "doc_id", "text").collect()
+    assert [(r["id"], r["bigram"]) for r in rows] == [(1, "hello")]
