@@ -65,6 +65,8 @@ HEADLINE = [
     "ann_pq_topk",
     "doc_para_dedup",
     "doc_decontam",
+    "doc_dedup_clusters",
+    "doc_lm_score",
 ]
 
 

@@ -3494,6 +3494,39 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_shard_manifest",
+    f"""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             {oracle_bucket_sql('doc_id', 16)} AS shard_id
+      FROM documents
+    )
+    SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
+    FROM b GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-sink write audit (sources/shards.py): the documents table is
+    physically written as 16 md5-bucketed shard directories, and the
+    manifest the sink computes FROM THE WRITTEN FILES is compared against
+    DuckDB recomputing the assignment from the raw table — proving every
+    row landed exactly once in its deterministic shard. The oracle is the
+    sink check, not just the bucket math (the bucket expression itself is
+    the already-oracled sampling dialect pair)."""
+    import os as _os
+
+    from ocr_platform_spark.sources.shards import write_sharded
+    from ocr_platform_spark.staging import STAGE_ROOT
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return write_sharded(
+        d, _os.path.join(STAGE_ROOT, "shard_sink"), "doc_id", 16
+    )
+
+
+@q(
     "doc_lm_score",
     r"""
     WITH t AS (
