@@ -3494,6 +3494,150 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_length_deciles",
+    r"""
+    WITH h AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY n_chars),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+             (SELECT SUM(c) FROM h) AS n
+      FROM h
+    ),
+    d AS (SELECT unnest(generate_series(1, 10)) AS decile)
+    SELECT d.decile, CAST(MIN(cum.v) AS BIGINT) AS value
+    FROM d JOIN cum ON cum.cum * 10 >= cum.n * d.decile
+    GROUP BY d.decile ORDER BY d.decile
+    """,
+)
+def corpus_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT document-length deciles at corpus scale — without the global
+    sort that makes naive exact quantiles a single-partition job. The trick
+    is the integer domain: aggregate counts BY VALUE (the histogram — one
+    map-side-combinable shuffle of distinct-value size, not corpus size),
+    cumulative-sum over that tiny value table, and decile k is the smallest
+    value whose running count reaches rank ceil(n·k/10) — expressed as the
+    all-integer ``cum*10 ≥ n*k``. Distributed where it's big, exact where
+    approx_percentile would hand back engine-specific sketch values (the
+    same exact-twin discipline as host_cardinality_exact)."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.groupBy(F.col("n_chars").alias("v")).agg(F.count("*").alias("c"))
+    # the window runs over the distinct-VALUE table (tiny), never the corpus
+    cum = h.select(
+        "v", F.sum("c").over(Window.orderBy("v")).alias("cum")
+    ).crossJoin(F.broadcast(h.agg(F.sum("c").alias("n"))))
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    return (
+        F.broadcast(deciles)
+        .join(cum, cum.cum * 10 >= F.col("n") * F.col("decile"))
+        .groupBy("decile")
+        .agg(F.min("v").alias("value"))
+        .orderBy("decile")
+    )
+
+
+@q(
+    "host_quality_rollup",
+    r"""
+    WITH c AS (
+      SELECT doc_id, lang,
+        CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS toks,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|that|with)\b')) AS DOUBLE) AS stops,
+        CAST(length(text) - length(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE) AS punct
+      FROM documents
+    ),
+    d AS (
+      SELECT 'site-' || CAST(doc_id % 40 AS VARCHAR) AS host, lang,
+        CAST(round(round(
+          least(toks / 100.0, 1.0) * 0.4
+          + least((CASE WHEN toks > 0 THEN stops / toks ELSE 0.0 END) * 5.0, 1.0) * 0.3
+          + (1.0 - least((CASE WHEN toks > 0 THEN punct / toks ELSE 1.0 END) * 2.0, 1.0)) * 0.3,
+          4) * 1000) AS BIGINT) AS q_x1000
+      FROM c
+    )
+    SELECT host,
+           COUNT(*) AS n_docs,
+           CAST(SUM(q_x1000) AS BIGINT) // COUNT(*) AS mean_quality_x1000,
+           COUNT(CASE WHEN q_x1000 < 300 THEN 1 END) AS n_low_quality,
+           COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+           (COUNT(CASE WHEN q_x1000 < 300 THEN 1 END) * 3 >= COUNT(*))
+             OR (COUNT(CASE WHEN lang = 'en' THEN 1 END) * 2 < COUNT(*))
+             AS host_flagged
+    FROM d GROUP BY host ORDER BY host
+    """,
+)
+def host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level quality profile — the aggregation behind derived domain
+    blocklists (UT1/RefinedWeb curate at the DOMAIN, not just the page):
+    per-host doc count, mean quality (quality quantized to integer
+    milli-units BEFORE summing, so the rollup is order-independent and
+    cross-engine exact), low-quality share, language mix, and an
+    all-integer spam flag (≥⅓ low-quality docs, or minority-English).
+    Hosts here are the deterministic doc_id%40 assignment (the documents
+    table carries no url; the real-url variant is host_link_graph's
+    substrate). One hash aggregate on host — the 10^8-host scale shape."""
+    d = _t(spark, sf_dir, "documents")
+    q1000 = F.round(TX.quality_score("text") * 1000).cast("long")
+    per_doc = d.select(
+        F.concat(F.lit("site-"), (F.col("doc_id") % 40).cast("string")).alias("host"),
+        "lang",
+        q1000.alias("q_x1000"),
+    )
+    n_low = F.count(F.when(F.col("q_x1000") < 300, 1))
+    n_en = F.count(F.when(F.col("lang") == "en", 1))
+    return (
+        per_doc.groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("sum(q_x1000) div count(*)").alias("mean_quality_x1000"),
+            n_low.alias("n_low_quality"),
+            n_en.alias("n_en"),
+            ((n_low * 3 >= F.count("*")) | (n_en * 2 < F.count("*"))).alias(
+                "host_flagged"
+            ),
+        )
+        .orderBy("host")
+    )
+
+
+@q(
+    "doc_compression_signal",
+    f"""
+    WITH s AS (SELECT * FROM read_parquet('{staged_glob("compress_sig")}')),
+    v AS (
+      SELECT id, n_bytes, z_bytes,
+             CASE WHEN n_bytes > 0 THEN z_bytes * 1000 // n_bytes
+                  ELSE 0 END AS ratio_x1000
+      FROM s
+    )
+    SELECT id AS doc_id, n_bytes, z_bytes, ratio_x1000,
+           ratio_x1000 < 430 AS too_repetitive,
+           ratio_x1000 > 750 AS too_random,
+           ratio_x1000 >= 430 AND ratio_x1000 <= 750 AS compression_keep
+    FROM v ORDER BY doc_id
+    """,
+)
+def doc_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-ratio quality gate (functions/compressfns.py): the Arrow-
+    batched zlib kernel stages per-doc (uncompressed, compressed) byte
+    counts; BOTH engines derive the integer ratio and the keep band from
+    those same integers (floor division — no floats anywhere). The zlib
+    kernel itself is pinned by tests/test_compressfns.py against direct
+    zlib calls in the same interpreter."""
+    from ocr_platform_spark.functions.compressfns import (
+        compression_signal,
+        compression_verdict,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sig = stage(compression_signal(d, "doc_id", "text"), "compress_sig", partitions=8)
+    return (
+        compression_verdict(sig, min_ratio_x1000=430, max_ratio_x1000=750)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "corpus_shard_manifest",
     f"""
     WITH b AS (

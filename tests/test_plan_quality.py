@@ -141,3 +141,28 @@ def test_dimension_versions_broadcast(spark):
     plan = _formatted(CATALOG["dimension_as_of_lookup"].fn(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_lm_score_stays_jvm_side(spark):
+    # the LM gate is pure built-ins — a BatchEvalPython here would mean the
+    # bit-length surrogate silently fell off the codegen path
+    plan = _formatted(CATALOG["doc_lm_score"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_host_quality_rollup_single_aggregate_no_join(spark):
+    plan = _formatted(CATALOG["host_quality_rollup"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan  # one scan, one hash aggregate — no reshuffle of text
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read and "n_chars" not in read  # pruned to what the gates need
+
+
+def test_compression_signal_is_arrow_batched(spark):
+    from ocr_platform_spark.functions.compressfns import compression_signal
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(compression_signal(d, "doc_id", "text"))
+    # pandas UDF = ArrowEvalPython (vectorized), never row-at-a-time Python
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
