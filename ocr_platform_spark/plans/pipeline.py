@@ -153,6 +153,11 @@ def run_corpus_build_job(
     token_budget: int | None = None,
     para_min_df: int = 3,
     scrub_pii: bool = False,
+    compression_band: tuple[int, int] | None = None,
+    lm_counts: DataFrame | None = None,
+    lm_keep_bits: int = 3,
+    lm_max_oov_pct: int = 10,
+    shard_output: tuple[str, int] | None = None,
     stage_prefix: str = "corpus_build",
 ) -> dict:
     """The engine's end-to-end story as ONE composed job: extract →
@@ -178,6 +183,12 @@ def run_corpus_build_job(
        cleaned text. ``para_min_df=None`` disables. Its counters ride the
        funnel's single corpus action as ``observe`` metrics — no extra
        pass.
+    3b. **Compression gate** (``compression_band=(lo, hi)``;
+       functions/compressfns.py): deflate-ratio band filter over the
+       cleaned text, Arrow-batched, kept/in counts observed.
+    3c. **LM gate** (``lm_counts=<reference bigram counts>``;
+       operators/lmscore.py): CCNet head-bucket keep against a pretrained
+       reference count table, applied as a left-semi join on the keep set.
     4. **Curate** (plans/curation.run_curation_funnel): the single-pass
        observe-counted funnel — quality/lang/repetition gates fused into
        one scan, exact + MinHash + winnowing dedup — over the EXTRACTED
@@ -185,6 +196,10 @@ def run_corpus_build_job(
     5. **Token budget**: BPE-style token counts over the curated survivors;
        when ``token_budget`` is given, keep documents in url order until
        the running total crosses the budget (deterministic cut).
+    6. **Shard sink** (``shard_output=(path, n_shards)``;
+       sources/shards.py): the final corpus written as md5-bucketed shard
+       directories with a write-audit manifest; manifest totals returned
+       so callers can cross-check the survivor count against the bytes.
 
     Returns the funnel report rows plus run metrics (extraction metrics,
     canonical-dup count, token totals, kept-doc count). The heavy text
@@ -255,6 +270,63 @@ def run_corpus_build_job(
             .select("doc_id", "text")
         )
 
+    o_comp = None
+    if compression_band is not None:
+        # Deflate-ratio gate (functions/compressfns.py) over the cleaned
+        # text — its own Arrow-batched pass (zlib can't fuse into the
+        # funnel's pure-expression gate scan; CCNet/RefinedWeb run their
+        # model-based signals as separate stages for the same reason).
+        from pyspark.sql import Observation
+
+        from ocr_platform_spark.functions.compressfns import deflate_size, utf8_size
+
+        lo, hi = compression_band
+        o_comp = Observation("compression")
+        ratio = F.when(
+            utf8_size("text") > 0,
+            F.expr("_z * 1000 div _n"),
+        ).otherwise(F.lit(0))
+        curin = (
+            curin.select(
+                "doc_id",
+                "text",
+                utf8_size("text").alias("_n"),
+                deflate_size(F.col("text")).alias("_z"),
+            )
+            .select("doc_id", "text", ratio.cast("long").alias("_ratio"))
+            .observe(
+                o_comp,
+                F.count(F.lit(1)).alias("n_in"),
+                F.count_if(
+                    (F.col("_ratio") >= lo) & (F.col("_ratio") <= hi)
+                ).alias("n_kept"),
+            )
+            .where((F.col("_ratio") >= lo) & (F.col("_ratio") <= hi))
+            .drop("_ratio")
+        )
+    lm_metrics = None
+    if lm_counts is not None:
+        # CCNet head-bucket gate against a PRETRAINED reference count table
+        # (operators/lmscore.py) — the deployment shape: the LM comes from
+        # a previous clean corpus, this crawl is only scored. The keep set
+        # is doc-id-sized; the corpus is left-semi-joined against it.
+        from ocr_platform_spark.operators.lmscore import lm_score
+
+        keeps = (
+            lm_score(
+                curin,
+                lm_counts,
+                "doc_id",
+                "text",
+                keep_bits_num=lm_keep_bits,
+                max_oov_pct=lm_max_oov_pct,
+            )
+            .where("lm_keep")
+            .select("doc_id")
+        )
+        lm_metrics = {"kept": keeps.count()}
+        curin = curin.join(keeps, "doc_id", "left_semi")
+
     report, details = run_curation_funnel(
         curin,
         id_col="doc_id",
@@ -317,6 +389,26 @@ def run_corpus_build_job(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
     ).first()
 
+    shard_metrics = None
+    if shard_output is not None:
+        # final corpus lands as fixed md5-bucketed shards + write-audit
+        # manifest (sources/shards.py); the manifest totals double-check
+        # the budget cut's survivor count against the written bytes
+        from ocr_platform_spark.sources.shards import write_sharded
+
+        spath, n_shards = shard_output
+        manifest = write_sharded(
+            counted, spath, "doc_id", n_shards, sort_col="doc_id"
+        )
+        m = manifest.agg(
+            F.count("*").alias("shards"), F.sum("n_docs").alias("docs")
+        ).first()
+        shard_metrics = {
+            "path": spath,
+            "n_shards": int(m["shards"]),
+            "n_docs_written": int(m["docs"] or 0),
+        }
+
     return {
         "extraction": ext_metrics,
         "canonical_dups_dropped": n_canon_dups,
@@ -325,6 +417,11 @@ def run_corpus_build_job(
             {k: int(v or 0) for k, v in o_para.get.items()} if o_para else None
         ),
         "pii": ({k: int(v or 0) for k, v in o_pii.get.items()} if o_pii else None),
+        "compression": (
+            {k: int(v or 0) for k, v in o_comp.get.items()} if o_comp else None
+        ),
+        "lm_gate": lm_metrics,
+        "shards": shard_metrics,
         "funnel": [tuple(r) for r in report.collect()],
         "kept_docs": totals["n_docs"],
         "kept_tokens": int(totals["n_tokens"] or 0),

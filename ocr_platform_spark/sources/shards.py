@@ -63,7 +63,10 @@ def write_sharded(
     out.write.mode("overwrite").partitionBy("shard_id").parquet(path)
 
     spark = df.sparkSession
-    written = spark.read.parquet(path)
+    # explicit schema: an empty corpus writes a directory with no data
+    # files, where schema inference would fail — the audit must still
+    # return an (empty) manifest rather than crash the composed job
+    written = spark.read.schema(out.schema).parquet(path)
     aggs = [
         F.count("*").alias("n_docs"),
         F.min(key_col).alias("min_key"),

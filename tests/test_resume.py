@@ -230,3 +230,66 @@ def test_run_corpus_build_job_end_to_end(spark, tmp_path):
     assert got == sorted(expect)
     assert res_b["kept_docs"] == len(expect)
     docs.unpersist()
+
+
+def test_corpus_build_compression_lm_and_shard_stages(spark, tmp_path):
+    """The optional compression gate, pretrained-LM gate, and shard sink
+    compose into the corpus-build job: drop counts are observed, the LM
+    keep set semi-joins, and the shard manifest's totals equal the final
+    survivor count (write audit inside the composed job)."""
+    import unittest.mock as mock
+
+    import ocr_platform_spark.staging as staging
+    from ocr_platform_spark.operators.lmscore import reference_bigram_counts
+    from ocr_platform_spark.plans.pipeline import run_corpus_build_job
+
+    docs = documents_df(spark, 80).cache()
+    staging_root = str(tmp_path / "stage")
+
+    # baseline: no optional stages
+    with mock.patch.object(staging, "STAGE_ROOT", staging_root):
+        base = run_corpus_build_job(
+            spark, docs, str(tmp_path / "tbl"), run_id="cl0"
+        )
+    assert base["compression"] is None and base["lm_gate"] is None
+    assert base["shards"] is None
+
+    # LM reference: train UNPRUNED (min_count=1) on the survivors
+    # themselves — every survivor's gram is then in-vocabulary with count
+    # >= 1 (>= 1 bit), so keep_bits_num=1 provably keeps the reference
+    # docs while still exercising the full score-and-semi-join path
+    ref = base["curated"].select("doc_id", "text")
+    counts = reference_bigram_counts(ref, "doc_id", "text", min_count=1)
+
+    shard_path = str(tmp_path / "shards")
+    with mock.patch.object(staging, "STAGE_ROOT", staging_root):
+        res = run_corpus_build_job(
+            spark,
+            docs,
+            str(tmp_path / "tbl"),
+            run_id="cl0",
+            compression_band=(1, 2000),   # wide-open band: counts observed, nothing dropped
+            lm_counts=counts,
+            lm_keep_bits=1,               # permissive: every in-vocab doc passes
+            lm_max_oov_pct=100,
+            shard_output=(shard_path, 4),
+        )
+    comp = res["compression"]
+    assert comp["n_in"] >= comp["n_kept"] > 0
+    assert res["lm_gate"]["kept"] > 0
+    assert res["shards"]["n_docs_written"] == res["kept_docs"] > 0
+    assert 1 <= res["shards"]["n_shards"] <= 4
+    # written shards are readable and carry the final text + token counts
+    written = spark.read.parquet(shard_path)
+    assert written.count() == res["kept_docs"]
+    assert {"doc_id", "text", "n_tokens", "shard_id"} <= set(written.columns)
+
+    # a tight band must actually drop documents and shrink the funnel input
+    with mock.patch.object(staging, "STAGE_ROOT", staging_root):
+        tight = run_corpus_build_job(
+            spark, docs, str(tmp_path / "tbl"), run_id="cl0",
+            compression_band=(1, 450),
+        )
+    assert tight["compression"]["n_kept"] < tight["compression"]["n_in"]
+    assert tight["kept_docs"] <= res["kept_docs"]
+    docs.unpersist()

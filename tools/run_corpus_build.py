@@ -1,0 +1,91 @@
+"""spark-submit entry point for the full corpus-build pipeline.
+
+Usage (local sandbox):
+    python tools/run_corpus_build.py --input /path/raw-pages-parquet \\
+        --table /path/extracted-table --output /path/corpus-shards \\
+        [--token-budget 1000000] [--n-shards 64] [--scrub-pii] \\
+        [--compression-band 200:900] [--lm-counts /path/ref-counts-parquet]
+
+Usage (cluster — the north rule's ship story):
+    spark-submit --py-files ocr_platform_spark.zip tools/run_corpus_build.py \\
+        --input s3://bucket/crawl --table s3://bucket/extracted \\
+        --output s3://bucket/corpus --master yarn
+
+The engine's end-to-end story as one job (plans/pipeline.py
+run_corpus_build_job): extract (resumable, lineage-committed) →
+canonical-url dedup → optional PII scrub → paragraph dedup → optional
+compression + pretrained-LM gates → single-pass curation funnel →
+token-budget cut → sharded sink with write-audit manifest. Prints the run
+metrics (funnel rows, per-stage observations, shard manifest totals) as
+one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="raw pages parquet dir")
+    ap.add_argument("--table", required=True, help="extraction snapshot table path")
+    ap.add_argument("--output", default=None, help="sharded corpus output dir")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--min-quality", type=float, default=0.1)
+    ap.add_argument("--langs", default="en", help="comma-separated kept languages")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.5)
+    ap.add_argument("--token-budget", type=int, default=None)
+    ap.add_argument("--para-min-df", type=int, default=3)
+    ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument(
+        "--compression-band",
+        default=None,
+        help="lo:hi deflate-ratio band in x1000 units, e.g. 200:900",
+    )
+    ap.add_argument(
+        "--lm-counts",
+        default=None,
+        help="parquet dir of pretrained (bigram, c) reference counts",
+    )
+    ap.add_argument("--n-shards", type=int, default=64)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from ocr_platform_spark.plans.pipeline import run_corpus_build_job
+    from ocr_platform_spark.session import get_spark
+
+    spark = get_spark(master=args.master, app_name="corpus-build")
+    docs = spark.read.parquet(args.input)
+    band = None
+    if args.compression_band:
+        lo, hi = args.compression_band.split(":", 1)
+        band = (int(lo), int(hi))
+    lm_counts = spark.read.parquet(args.lm_counts) if args.lm_counts else None
+
+    res = run_corpus_build_job(
+        spark,
+        docs,
+        args.table,
+        run_id=args.run_id,
+        min_quality=args.min_quality,
+        langs=tuple(args.langs.split(",")),
+        near_dup_threshold=args.near_dup_threshold,
+        token_budget=args.token_budget,
+        para_min_df=args.para_min_df,
+        scrub_pii=args.scrub_pii,
+        compression_band=band,
+        lm_counts=lm_counts,
+        shard_output=(args.output, args.n_shards) if args.output else None,
+    )
+    res.pop("curated", None)  # DataFrame handle, not JSON
+    print(json.dumps(res, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
