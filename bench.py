@@ -67,6 +67,7 @@ HEADLINE = [
     "doc_decontam",
     "doc_dedup_clusters",
     "doc_lm_score",
+    "doc_repeated_spans",
 ]
 
 

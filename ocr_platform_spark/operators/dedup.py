@@ -631,3 +631,78 @@ def strip_repeated_paragraphs(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+# --- ExactSubstr-style repeated-span marking ------------------------------
+# (Lee et al., "Deduplicating Training Data Makes Language Models Better":
+# mark every maximal span whose k-char substrings also occur in other
+# documents — the finer-grained sibling of the paragraph dedup above, for
+# boilerplate that is not paragraph-aligned: inlined license headers,
+# navigation fragments, templated sentence stems.)
+
+
+def char_gram_postings(
+    df: DataFrame, id_col: str, text_col: str, k: int = 30
+) -> DataFrame:
+    """(id, pos, h) — one row per character k-gram of the RAW text (0-based
+    offset, xxhash64). Raw, not normalized: span offsets must index into
+    the original string so callers can cut or mask the bytes. Texts
+    shorter than ``k`` yield a single gram of what's there (position 0).
+    Map-side only — explode of a per-row array."""
+    from ocr_platform_spark.functions.textfns import char_kgram_hashes
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(char_kgram_hashes(F.col(text_col), k, normalized=True)).alias(
+            "pos", "h"
+        ),
+    )
+
+
+def repeated_spans(
+    postings: DataFrame, k: int = 30, min_df: int = 2
+) -> DataFrame:
+    """(id, span_start, span_end) — maximal merged spans of positions whose
+    k-gram hash occurs in ≥ ``min_df`` DISTINCT documents; ``span_end``
+    exclusive. Two windows do the merging (gaps-and-islands): a position
+    opens a new span iff it starts past the furthest end seen so far.
+
+    Scale shape: the repeated-hash filter is the paragraph-dedup two-level
+    aggregate (map-side combinable, no countDistinct spike); the island
+    windows partition BY DOCUMENT — position lists are doc-sized, so the
+    sort is local and bounded. 64-bit xxhash collisions can in principle
+    mark a non-repeated gram (~n²/2⁶⁵); the marking is advisory, exact
+    byte equality checks belong to the caller that cuts text.
+
+    Cross-engine exact: everything after the postings is integer window
+    arithmetic — the catalog oracle (queries.py ``doc_repeated_spans``)
+    replays it in DuckDB over the same staged postings."""
+    rep = (
+        postings.select("h", "id")
+        .groupBy("h", "id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_df)
+        .select("h")
+    )
+    marked = postings.join(rep, "h", "left_semi").select("id", "pos")
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + k).over(w_prev)
+    is_new = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    islands = marked.withColumn("_island", F.sum(is_new).over(w_run))
+    return (
+        islands.groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .drop("_island")
+    )

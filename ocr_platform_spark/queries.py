@@ -1640,6 +1640,56 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "doc_repeated_spans",
+    f"""
+    WITH p AS (SELECT * FROM read_parquet('{staged_glob("span_postings")}')),
+    rep AS (
+      SELECT h FROM (SELECT h, id FROM p GROUP BY h, id)
+      GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    m AS (SELECT p.id, p.pos FROM p JOIN rep USING (h)),
+    pe AS (
+      SELECT id, pos,
+             MAX(pos + 30) OVER (
+               PARTITION BY id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM m
+    ),
+    i AS (
+      SELECT id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM pe
+    )
+    SELECT id AS doc_id, MIN(pos) AS span_start, MAX(pos) + 30 AS span_end
+    FROM i GROUP BY id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span marking (Lee et al. 2022, the
+    finer-grained sibling of paragraph dedup): every maximal span whose
+    30-char substrings all occur in ≥2 distinct documents. The xxhash64
+    positional postings are staged; BOTH engines run the identical
+    integer pipeline from there — distinct-doc hash filter, then
+    gaps-and-islands span merging with two window functions. See
+    operators/dedup.repeated_spans for the 10^12-row shape notes."""
+    d = _t(spark, sf_dir, "documents")
+    posts = stage(
+        dedup.char_gram_postings(d, "doc_id", "text", k=30),
+        "span_postings",
+        partitions=8,
+    )
+    return (
+        dedup.repeated_spans(posts, k=30, min_df=2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")
+    )
+
+
 _CC_ITER = 6
 
 

@@ -213,3 +213,59 @@ def test_strip_repeated_paragraphs_rebuilds_in_order(spark):
     assert out[1] == ("keep1\n\nkeep2", 2, 1)
     assert out[2] == ("other", 1, 1)
     assert out[3] == ("", 0, 1)  # all-boilerplate doc survives with empty text
+
+
+# --- ExactSubstr-style repeated spans -------------------------------------
+
+
+def _brute_repeated_spans(texts, k=10, min_df=2):
+    """Reference: mark positions whose k-gram substring occurs in >= min_df
+    distinct docs, merge overlapping/adjacent intervals."""
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for did, t in texts:
+        grams = [t[i : i + k] for i in range(max(len(t) - k + 1, 1))]
+        for g in grams:
+            gram_docs[g].add(did)
+    out = {}
+    for did, t in texts:
+        grams = [t[i : i + k] for i in range(max(len(t) - k + 1, 1))]
+        marked = [i for i, g in enumerate(grams) if len(gram_docs[g]) >= min_df]
+        spans = []
+        for p in marked:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+            else:
+                spans.append([p, p + k])
+        out[did] = [tuple(s) for s in spans]
+    return out
+
+
+def test_repeated_spans_match_bruteforce(spark):
+    from ocr_platform_spark.operators.dedup import char_gram_postings, repeated_spans
+
+    blurb = "All rights reserved worldwide by the site operator."
+    texts = [
+        (1, f"Unique opening sentence one. {blurb} And a unique tail here."),
+        (2, f"{blurb} Totally different body text follows in document two."),
+        (3, "No shared content in this document at all, nothing repeated."),
+        (4, f"Another page carrying {blurb} twice, yes: {blurb} End."),
+        (5, "short"),  # < k chars: single gram, unique
+    ]
+    expected = _brute_repeated_spans(texts, k=10, min_df=2)
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    posts = char_gram_postings(df, "doc_id", "text", k=10)
+    got = {}
+    for r in repeated_spans(posts, k=10, min_df=2).collect():
+        got.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+    for did in got:
+        got[did].sort()
+    expected_nonempty = {d: s for d, s in expected.items() if s}
+    assert got == expected_nonempty
+    assert 5 not in got  # sub-k doc: single unique gram, unmarked
+    # the planted blurb region is covered in every carrier doc
+    by_id = dict(texts)
+    for did in (1, 2, 4):
+        covered = [by_id[did][a:b] for a, b in got[did]]
+        assert any(blurb in c for c in covered)
