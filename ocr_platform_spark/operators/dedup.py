@@ -706,3 +706,88 @@ def repeated_spans(
         )
         .drop("_island")
     )
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 30,
+    min_df: int = 2,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """(id, text, n_spans_cut, n_chars_cut) — every document rebuilt with
+    its cross-document repeated spans REMOVED (the cut phase of ExactSubstr
+    dedup; :func:`repeated_spans` is the mark phase). Pass ``postings`` to
+    reuse an already-staged gram table.
+
+    The surgery is deliberately RELATIONAL, not a per-row lambda: kept
+    segments are the complement intervals of the spans (one window ``lag``
+    per doc + the tail segment), each segment a ``substring`` slice, and
+    the document is ``concat_ws`` of its segments in offset order. Both
+    engines run the identical plan over the same staged postings, so the
+    rebuilt text is byte-exact cross-engine (the same discipline as
+    paragraph dedup, at arbitrary character offsets). Scale shape: windows
+    partition by doc id over span lists (doc-sized, bounded); the only
+    corpus-wide shuffles are the posting aggregate and the final per-doc
+    regroup."""
+    if postings is None:
+        postings = char_gram_postings(df, id_col, text_col, k)
+    spans = repeated_spans(postings, k=k, min_df=min_df)
+    w = Window.partitionBy("id").orderBy("span_start")
+    # segment BEFORE each span: [previous span's end, this span's start)
+    pre = spans.select(
+        "id",
+        F.coalesce(F.lag("span_end").over(w), F.lit(0)).alias("seg_start"),
+        F.col("span_start").alias("seg_end"),
+    )
+    # tail segment: [last span's end, end-of-text) — seg_end joined below
+    tail = spans.groupBy("id").agg(F.max("span_end").alias("seg_start"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        F.length(text_col).alias("_len"),
+    )
+    segs = pre.unionByName(
+        tail.join(base.select("id", F.col("_len").alias("seg_end")), "id")
+    )
+    cut_stats = spans.groupBy("id").agg(
+        F.count("*").alias("n_spans_cut"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("n_chars_cut"),
+    )
+    rebuilt = (
+        segs.join(base, "id")
+        .select(
+            "id",
+            "seg_start",
+            # length clamped at 0: a sub-k doc's span can end past the text,
+            # making the tail segment negative-length — where Spark's
+            # substring returns '' but DuckDB's substr reaches BACKWARD
+            F.substring(
+                F.col("_text"),
+                F.col("seg_start") + 1,
+                F.greatest(F.col("seg_end") - F.col("seg_start"), F.lit(0)),
+            ).alias("_seg"),
+        )
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_start", "_seg"))),
+                    lambda x: x["_seg"],
+                ),
+            ).alias("text")
+        )
+    )
+    return (
+        base.join(rebuilt.withColumnRenamed("text", "_cut"), "id", "left")
+        .join(cut_stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            # spanless docs: pass the original text through untouched
+            F.coalesce("_cut", "_text").alias("text"),
+            F.coalesce("n_spans_cut", F.lit(0)).alias("n_spans_cut"),
+            F.coalesce("n_chars_cut", F.lit(0)).cast("long").alias("n_chars_cut"),
+        )
+    )

@@ -1690,6 +1690,86 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "doc_strip_spans",
+    f"""
+    WITH p AS (SELECT * FROM read_parquet('{staged_glob("cut_postings")}')),
+    rep AS (
+      SELECT h FROM (SELECT h, id FROM p GROUP BY h, id)
+      GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    m AS (SELECT p.id, p.pos FROM p JOIN rep USING (h)),
+    pe AS (
+      SELECT id, pos,
+             MAX(pos + 30) OVER (
+               PARTITION BY id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM m
+    ),
+    i AS (
+      SELECT id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM pe
+    ),
+    spans AS (
+      SELECT id, MIN(pos) AS span_start, MAX(pos) + 30 AS span_end
+      FROM i GROUP BY id, island
+    ),
+    segs AS (
+      SELECT id,
+             COALESCE(LAG(span_end) OVER (PARTITION BY id ORDER BY span_start), 0)
+               AS seg_start,
+             span_start AS seg_end
+      FROM spans
+      UNION ALL
+      SELECT s.id, MAX(s.span_end), length(d.text)
+      FROM spans s JOIN documents d ON s.id = d.doc_id
+      GROUP BY s.id, length(d.text)
+    ),
+    stats AS (
+      SELECT id, COUNT(*) AS n_spans_cut,
+             SUM(span_end - span_start) AS n_chars_cut
+      FROM spans GROUP BY id
+    ),
+    rebuilt AS (
+      SELECT segs.id,
+             string_agg(
+               substr(d.text, seg_start + 1, greatest(seg_end - seg_start, 0)),
+               '' ORDER BY seg_start) AS cut
+      FROM segs JOIN documents d ON segs.id = d.doc_id
+      GROUP BY segs.id
+    )
+    SELECT d.doc_id, COALESCE(r.cut, d.text) AS text,
+           COALESCE(st.n_spans_cut, 0) AS n_spans_cut,
+           CAST(COALESCE(st.n_chars_cut, 0) AS BIGINT) AS n_chars_cut
+    FROM documents d
+    LEFT JOIN rebuilt r ON d.doc_id = r.id
+    LEFT JOIN stats st ON d.doc_id = st.id
+    ORDER BY d.doc_id
+    """,
+)
+def doc_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT phase of ExactSubstr dedup: documents rebuilt with their
+    cross-doc repeated 30-char spans removed. Byte-exact cross-engine text
+    surgery at arbitrary character offsets — both engines derive the spans
+    from the same staged postings, take the complement segments via one
+    window ``lag`` + a tail row, slice with the SAME clamped substring
+    semantics (DuckDB's negative-length substr reaches backward; both
+    sides clamp at 0), and concatenate in offset order."""
+    d = _t(spark, sf_dir, "documents")
+    posts = stage(
+        dedup.char_gram_postings(d, "doc_id", "text", k=30),
+        "cut_postings",
+        partitions=8,
+    )
+    return dedup.strip_repeated_spans(
+        d, "doc_id", "text", k=30, min_df=2, postings=posts
+    ).orderBy("doc_id")
+
+
 _CC_ITER = 6
 
 

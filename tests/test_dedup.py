@@ -269,3 +269,33 @@ def test_repeated_spans_match_bruteforce(spark):
     for did in (1, 2, 4):
         covered = [by_id[did][a:b] for a, b in got[did]]
         assert any(blurb in c for c in covered)
+
+
+def test_strip_repeated_spans_surgery(spark):
+    from ocr_platform_spark.operators.dedup import strip_repeated_spans
+
+    blurb = "All rights reserved worldwide by the site operator."
+    texts = [
+        (1, f"Unique opening sentence one. {blurb} And a unique tail here."),
+        (2, f"{blurb} Totally different body text follows in document two."),
+        (3, "No shared fragments here, guaranteed: zq xv jk wp mn bt."),
+        (4, blurb),  # doc that IS the blurb: cut to empty
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in strip_repeated_spans(df, "doc_id", "text", k=20, min_df=2).collect()
+    }
+    assert len(got) == 4
+    for did, original in texts:
+        r = got[did]
+        assert blurb not in r["text"]
+        # stats are consistent with the actual cut (span_end can overrun
+        # the text by < k chars only for sub-k docs; none here)
+        assert len(original) - len(r["text"]) == r["n_chars_cut"]
+        assert (r["n_spans_cut"] > 0) == (r["n_chars_cut"] > 0)
+    assert got[3]["n_spans_cut"] == 0 and got[3]["text"] == texts[2][1]
+    assert got[4]["text"] == ""
+    # kept text is the literal complement of the cut for a carrier doc
+    assert got[1]["text"].startswith("Unique opening sentence one.")
+    assert got[1]["text"].endswith("And a unique tail here.")
