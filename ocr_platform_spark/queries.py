@@ -3768,6 +3768,52 @@ def doc_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_pack_sequences",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {oracle_bucket_sql('doc_id', 8)} AS shard_id,
+             CAST(n_chars AS BIGINT) AS w
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, shard_id, w,
+             row_number() OVER (PARTITION BY shard_id ORDER BY doc_id) AS rn
+      FROM base
+    ),
+    pack AS (
+      SELECT shard_id, rn, doc_id, w,
+             CAST(1 AS BIGINT) AS seq_id, w AS fill_after
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.shard_id, t.rn, t.doc_id, t.w,
+             CASE WHEN p.fill_after + t.w <= 4000 THEN p.seq_id
+                  ELSE p.seq_id + 1 END,
+             CASE WHEN p.fill_after + t.w <= 4000 THEN p.fill_after + t.w
+                  ELSE t.w END
+      FROM pack p JOIN t ON t.shard_id = p.shard_id AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, shard_id, seq_id, fill_after
+    FROM pack ORDER BY shard_id, doc_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): greedy first-fit-in-order
+    assignment of whole documents to ≤4000-weight sequences, packed
+    independently within each of 8 md5 shards — the distributed shape real
+    training-prep uses (pack per output file, no cross-shard state). The
+    order-dependent greedy recurrence is replayed bit-for-bit by DuckDB as
+    a recursive CTE stepping one rank per iteration with every shard
+    advancing in parallel — the same oracle family as host_pagerank and
+    doc_dedup_clusters, extended to order-dependent per-group state."""
+    from ocr_platform_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, "doc_id", "n_chars", budget=4000, n_shards=8
+    ).orderBy("shard_id", "doc_id")
+
+
+@q(
     "corpus_shard_manifest",
     f"""
     WITH b AS (
