@@ -83,3 +83,53 @@ def extract_links(src_url: str, data: bytes) -> list[str]:
         if resolved is not None:
             out.append(resolved)
     return out
+
+
+_A_CLOSE_RE = re.compile(r"</a\s*>", re.I)
+_TAG_STRIP_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+_MAX_ANCHOR_CHARS = 200
+
+
+def _tag_end(raw: str, i: int) -> int:
+    """Index of the '>' closing the tag whose attributes start at ``i``,
+    quote-aware (a '>' inside a quoted attribute value does not close the
+    tag); ``len(raw)`` if unterminated."""
+    n = len(raw)
+    inq: str | None = None
+    while i < n:
+        c = raw[i]
+        if inq is not None:
+            if c == inq:
+                inq = None
+        elif c in "\"'":
+            inq = c
+        elif c == ">":
+            return i
+        i += 1
+    return n
+
+
+def extract_links_with_anchors(src_url: str, data: bytes) -> list[tuple[str, str]]:
+    """(resolved_url, anchor_text) per outlink, document order.
+
+    Anchor text = the content between the ``<a ...>`` tag's quote-aware
+    closing '>' and the first following ``</a>``, inner tags stripped,
+    whitespace collapsed, truncated to {max} chars. A missing ``</a>``
+    (truncated page) yields an empty anchor rather than swallowing the
+    rest of the document.""".format(max=_MAX_ANCHOR_CHARS)
+    if not data:
+        return []
+    raw = decode_html(data)
+    out: list[tuple[str, str]] = []
+    for m in _ANCHOR_RE.finditer(raw):
+        href = m.group(1) or m.group(2) or m.group(3) or ""
+        resolved = resolve_href(src_url, href)
+        if resolved is None:
+            continue
+        gt = _tag_end(raw, m.end())
+        close = _A_CLOSE_RE.search(raw, gt + 1)
+        inner = raw[gt + 1 : close.start()] if close else ""
+        anchor = _WS_RE.sub(" ", _TAG_STRIP_RE.sub(" ", inner)).strip()
+        out.append((resolved, anchor[:_MAX_ANCHOR_CHARS]))
+    return out

@@ -260,3 +260,34 @@ def connected_components(
             if metrics_out is not None:
                 metrics_out["iterations_run"] = i + 1
     return labels
+
+
+_ANCHOR_EDGES_DDL = "src_url string, dst_url string, anchor string"
+
+
+def extract_outlink_anchors(docs: DataFrame) -> DataFrame:
+    """documents(url, html, ...) → (src_url, dst_url, anchor) — one row per
+    resolved outlink with its anchor text (kernels/links.py), Arrow-batched
+    and column-pruned like :func:`extract_outlinks`. Anchor text is the
+    classic off-page relevance/quality signal: what OTHER pages call a
+    target (search ranking, spam phrase detection, title synthesis)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_platform_spark.kernels.links import (  # executor import
+            extract_links_with_anchors,
+        )
+
+        for pdf in batches:
+            src: list[str] = []
+            dst: list[str] = []
+            anchor: list[str] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for link, a in extract_links_with_anchors(
+                    url, bytes(html) if html is not None else b""
+                ):
+                    src.append(url)
+                    dst.append(link)
+                    anchor.append(a)
+            yield pd.DataFrame({"src_url": src, "dst_url": dst, "anchor": anchor})
+
+    return docs.select("url", "html").mapInPandas(kernel, _ANCHOR_EDGES_DDL)

@@ -3441,6 +3441,65 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(edges, iterations=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE)
 
 
+@q(
+    "host_anchor_texts",
+    f"""
+    WITH e AS (
+      SELECT regexp_extract(dst_url, '^https?://([^/?#]+)', 1) AS dst_host, anchor
+      FROM read_parquet('{staged_glob("anchor_edges")}')
+    ),
+    per AS (SELECT dst_host, anchor, COUNT(*) AS n FROM e GROUP BY dst_host, anchor),
+    top AS (
+      SELECT dst_host, anchor AS top_anchor, CAST(n AS BIGINT) AS top_anchor_n,
+             row_number() OVER (PARTITION BY dst_host ORDER BY n DESC, anchor) AS rn
+      FROM per
+    ),
+    stats AS (
+      SELECT dst_host, COUNT(*) AS n_links,
+             COUNT(DISTINCT anchor) AS n_anchors
+      FROM e GROUP BY dst_host
+    )
+    SELECT s.dst_host, s.n_links, s.n_anchors, t.top_anchor, t.top_anchor_n
+    FROM stats s JOIN top t ON s.dst_host = t.dst_host AND t.rn = 1
+    ORDER BY s.dst_host
+    """,
+)
+def host_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per target host — the off-page signal
+    (what OTHER pages call a site: search relevance, spam phrase
+    detection). The quote-aware anchor kernel
+    (kernels/links.extract_links_with_anchors) stages (dst_url, anchor);
+    both engines derive the host, count links and distinct anchors, and
+    pick the deterministic top anchor (count desc, text asc) per host.
+    Host-partitioned window — host-dimension-sized, never corpus-wide."""
+    from ocr_platform_spark.operators.linkgraph import extract_outlink_anchors
+
+    edges = stage(
+        extract_outlink_anchors(_synth_docs(spark)).select("dst_url", "anchor"),
+        "anchor_edges",
+        partitions=4,
+    )
+    from ocr_platform_spark.operators.partitioning import host_of
+
+    e = edges.select(host_of("dst_url").alias("dst_host"), "anchor")
+    per = e.groupBy("dst_host", "anchor").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), "anchor")
+    top = (
+        per.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "dst_host",
+            F.col("anchor").alias("top_anchor"),
+            F.col("n").alias("top_anchor_n"),
+        )
+    )
+    stats = e.groupBy("dst_host").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("anchor").alias("n_anchors"),
+    )
+    return stats.join(top, "dst_host").orderBy("dst_host")
+
+
 def _noisy_url_sql() -> str:
     base = "'//Site-' || CAST(doc_id % 40 AS VARCHAR) || '.Example.org'"
     return f"""

@@ -234,3 +234,46 @@ def test_connected_components_early_exit_and_checkpoint_dir(spark, tmp_path):
         ).collect()
     }
     assert ck == base
+
+
+def test_extract_links_with_anchors_kernel():
+    from ocr_platform_spark.kernels.links import extract_links_with_anchors
+
+    html = (
+        b'<html><body>'
+        b'<a href="/a">Plain text</a>'
+        b'<a title="x > y" href="/b"><b>Bold</b> and <i>nested</i></a>'
+        b'<a href="/c">spread\n  over   lines</a>'
+        b'<a href="#frag">skipped fragment link</a>'
+        b'<a href="/d" data-x="v">'  # no closing </a> (truncated page)
+        b"</body></html>"
+    )
+    got = extract_links_with_anchors("https://h.test/p/q", html)
+    by_url = {u: a for u, a in got}
+    assert by_url["https://h.test/a"] == "Plain text"
+    # quoted '>' before href doesn't end the scan; inner tags stripped
+    assert by_url["https://h.test/b"] == "Bold and nested"
+    assert by_url["https://h.test/c"] == "spread over lines"
+    assert "https://h.test/p/q" not in by_url  # fragment link dropped
+    # unterminated anchor: link kept, anchor empty (not rest-of-document)
+    assert by_url["https://h.test/d"] == ""
+    # parity: same URLs in the same order as the anchor-less kernel
+    from ocr_platform_spark.kernels.links import extract_links
+
+    assert [u for u, _a in got] == extract_links("https://h.test/p/q", html)
+
+
+def test_extract_outlink_anchors_operator(spark):
+    import datetime as dt
+
+    from ocr_platform_spark.operators.linkgraph import extract_outlink_anchors
+
+    html = b'<html><body><a href="https://t.test/x">Click here</a></body></html>'
+    docs = spark.createDataFrame(
+        [("https://s.test/", dt.datetime(2025, 1, 1), html, None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    rows = extract_outlink_anchors(docs).collect()
+    assert [(r["src_url"], r["dst_url"], r["anchor"]) for r in rows] == [
+        ("https://s.test/", "https://t.test/x", "Click here")
+    ]
