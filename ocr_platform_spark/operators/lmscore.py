@@ -103,3 +103,94 @@ def lm_score(
             & (F.col("n_oov") * 100 <= F.col("n_bigrams") * max_oov_pct)
         ).alias("lm_keep"),
     )
+
+
+def lm_score_map_side(
+    docs: DataFrame,
+    counts: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    keep_bits_num: int = 3,
+    keep_bits_den: int = 1,
+    max_oov_pct: int = 10,
+) -> DataFrame:
+    """Map-side twin of :func:`lm_score`: the pruned count table is
+    COLLECTED and BROADCAST to the workers, and each document is scored in
+    one Arrow-batched pass — no bigram explode, no count-table shuffle, no
+    per-doc regroup. This is the CCNet deployment shape (the model ships
+    to the workers; the corpus never reshuffles) and the right plan
+    whenever the pruned vocabulary fits an executor (the Zipf head after
+    ``min_count`` pruning; at 10^12-doc scale keep the relational twin for
+    unprunable tail vocabularies).
+
+    Output and semantics are IDENTICAL to :func:`lm_score` — the Python
+    tokenizer mirrors ``word_shingles`` exactly (Java-\\s whitespace class,
+    single-space split, <n-word docs yield one shingle) and the pytest
+    differential pins the two plans row-for-row."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    spark = docs.sparkSession
+    # vocabulary-sized collect (the pruned Zipf head) — same bound as the
+    # fuzzy mapper's vocabulary broadcast
+    table = {r["bigram"]: int(r["c"]) for r in counts.collect()}
+    bc = spark.sparkContext.broadcast(table)
+    # Java \s (ASCII whitespace), NOT Python's unicode-aware \s — the
+    # normalizer must match functions/textfns.normalized_text exactly
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+    out_type = StructType(
+        [
+            StructField("n_bigrams", LongType()),
+            StructField("n_oov", LongType()),
+            StructField("bits_total", LongType()),
+        ]
+    )
+
+    def _score(texts):
+        t = bc.value
+        rows = []
+        for txt in texts:
+            norm = ws.sub(" ", (txt or "").lower()).strip(" ")
+            words = norm.split(" ")
+            n_gr = max(len(words) - (n - 1), 1)
+            n_oov = 0
+            bits = 0
+            for i in range(n_gr):
+                g = " ".join(words[i : i + n])
+                c = t.get(g)
+                if c is None:
+                    n_oov += 1
+                else:
+                    bits += c.bit_length()
+            rows.append((n_gr, n_oov, bits))
+        return pd.DataFrame(rows, columns=["n_bigrams", "n_oov", "bits_total"])
+
+    # real annotation objects (not PEP-563 strings — `from __future__
+    # import annotations` is module-wide and breaks pandas_udf's
+    # Series→DataFrame type-hint inference)
+    _score.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    score = pandas_udf(out_type)(_score)
+
+    scored = docs.select(
+        F.col(id_col).alias("id"), score(F.col(text_col)).alias("_s")
+    ).select("id", "_s.n_bigrams", "_s.n_oov", "_s.bits_total")
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "n_oov",
+        "bits_total",
+        (F.col("bits_total").cast("double") / F.col("n_bigrams")).alias("bits_per_gram"),
+        (
+            (F.col("bits_total") * keep_bits_den >= F.col("n_bigrams") * keep_bits_num)
+            & (F.col("n_oov") * 100 <= F.col("n_bigrams") * max_oov_pct)
+        ).alias("lm_keep"),
+    )

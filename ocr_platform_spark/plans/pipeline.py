@@ -308,12 +308,15 @@ def run_corpus_build_job(
     if lm_counts is not None:
         # CCNet head-bucket gate against a PRETRAINED reference count table
         # (operators/lmscore.py) — the deployment shape: the LM comes from
-        # a previous clean corpus, this crawl is only scored. The keep set
-        # is doc-id-sized; the corpus is left-semi-joined against it.
-        from ocr_platform_spark.operators.lmscore import lm_score
+        # a previous clean corpus, this crawl is only scored. The map-side
+        # scorer broadcasts the pruned vocabulary and scores each doc in
+        # one Arrow pass (no bigram explode / count shuffle / regroup;
+        # pinned equal to the relational twin in tests/test_lmscore.py).
+        # The keep set is doc-id-sized; the corpus left-semi-joins it.
+        from ocr_platform_spark.operators.lmscore import lm_score_map_side
 
         keeps = (
-            lm_score(
+            lm_score_map_side(
                 curin,
                 lm_counts,
                 "doc_id",

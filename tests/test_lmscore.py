@@ -58,3 +58,32 @@ def test_single_word_doc_yields_one_gram(spark):
     docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     rows = doc_bigrams(docs, "doc_id", "text").collect()
     assert [(r["id"], r["bigram"]) for r in rows] == [(1, "hello")]
+
+
+def test_map_side_scorer_matches_relational(spark):
+    """lm_score_map_side (broadcast vocabulary, Arrow-batched, zero
+    shuffles) must reproduce lm_score row-for-row — including whitespace
+    normalization, short docs, empty/null text, and OOV accounting."""
+    from ocr_platform_spark.operators.lmscore import lm_score_map_side
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * (i % 3 + 1)) for i in range(6)]
+        + [(10, "dogs bark loudly at night"), (11, "dogs bark loudly at night")],
+        "doc_id long, text string",
+    )
+    counts = reference_bigram_counts(ref, "doc_id", "text", min_count=2)
+    docs = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),
+            (101, "dogs  bark\tloudly\nat night"),   # messy whitespace
+            (102, "completely out of vocabulary text"),
+            (103, "single"),
+            (104, ""),
+            (105, None),
+            (106, "THE CAT SAT"),                     # case folding
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, lm_score(docs, counts, "doc_id", "text").collect()))
+    b = sorted(map(tuple, lm_score_map_side(docs, counts, "doc_id", "text").collect()))
+    assert a == b
