@@ -153,6 +153,7 @@ def run_corpus_build_job(
     token_budget: int | None = None,
     para_min_df: int = 3,
     scrub_pii: bool = False,
+    honor_noindex: bool = False,
     compression_band: tuple[int, int] | None = None,
     lm_counts: DataFrame | None = None,
     lm_keep_bits: int = 3,
@@ -211,6 +212,13 @@ def run_corpus_build_job(
     from ocr_platform_spark.functions.urlfns import canonical_url
     from ocr_platform_spark.plans.curation import run_curation_funnel
 
+    if honor_noindex:
+        # polite-corpus gate (operators/robots.py): pages carrying a robots
+        # noindex meta never enter the snapshot — a fused Arrow predicate
+        # on the same scan the extraction kernel reads, no join/second pass
+        from ocr_platform_spark.operators.robots import drop_noindex
+
+        docs = drop_noindex(docs)
     ext_metrics = run_extraction_job(spark, docs, table_path, run_id=run_id)
     table = SnapshotTable(table_path)
     extracted = table.read_data(spark).where(

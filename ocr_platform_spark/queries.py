@@ -3442,6 +3442,42 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_robots_rollup",
+    f"""
+    SELECT noindex, nofollow, COUNT(*) AS n_docs
+    FROM read_parquet('{staged_glob("robots_flags")}')
+    GROUP BY noindex, nofollow
+    ORDER BY noindex, nofollow
+    """,
+)
+def doc_robots_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots meta-directive census (kernels/robots.py): a deterministic
+    third of the synth pages get a ``<meta name=robots>`` tag injected
+    (rotating noindex / nofollow,noindex / none variants, single- and
+    double-quoted), the Arrow kernel parses flags per url, and the staged
+    flag table is rolled up by both engines. Parser edge cases (quote
+    styles, attribute order, bot-specific metas ignored, multiple tags
+    OR-ing) are pinned in tests/test_robots.py."""
+    from ocr_platform_spark.operators.robots import meta_robots_flags
+
+    docs = _synth_docs(spark)
+    variant = F.pmod(F.xxhash64("url"), F.lit(9))
+    tag = (
+        F.when(variant == 0, F.lit(b'<meta name="robots" content="noindex">'))
+        .when(variant == 1, F.lit(b"<meta content='nofollow, noindex' name='robots'>"))
+        .when(variant == 2, F.lit(b'<meta name="ROBOTS" content="none">'))
+        .otherwise(F.lit(b""))
+    )
+    tagged = docs.withColumn("html", F.concat(tag, F.col("html")))
+    flags = stage(meta_robots_flags(tagged), "robots_flags", partitions=4)
+    return (
+        flags.groupBy("noindex", "nofollow")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("noindex", "nofollow")
+    )
+
+
+@q(
     "host_anchor_texts",
     f"""
     WITH e AS (

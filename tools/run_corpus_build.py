@@ -42,6 +42,7 @@ def main() -> int:
     ap.add_argument("--token-budget", type=int, default=None)
     ap.add_argument("--para-min-df", type=int, default=3)
     ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--honor-noindex", action="store_true")
     ap.add_argument(
         "--compression-band",
         default=None,
@@ -78,6 +79,7 @@ def main() -> int:
         token_budget=args.token_budget,
         para_min_df=args.para_min_df,
         scrub_pii=args.scrub_pii,
+        honor_noindex=args.honor_noindex,
         compression_band=band,
         lm_counts=lm_counts,
         shard_output=(args.output, args.n_shards) if args.output else None,
