@@ -653,3 +653,78 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "item_id", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+DEFAULT_LSH_LADDER: tuple[tuple[int, int], ...] = (
+    (1, 0),
+    (2, 0),
+    (2, 2),
+    (4, 2),
+    (4, 4),
+    (8, 4),
+)
+
+
+def tune_lsh(
+    items: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    recall_target: float = 0.9,
+    ladder: tuple[tuple[int, int], ...] = DEFAULT_LSH_LADDER,
+    n_planes: int = 8,
+    seed: int = 13,
+) -> dict:
+    """Pick the cheapest ``(n_tables, multiprobe)`` on ``ladder`` whose
+    measured recall@k against the exact ground truth reaches
+    ``recall_target`` — the tuning job a deployment runs ONCE on a query
+    sample before shipping the approximate path (same one-off-job family
+    as ``train_ivf``).
+
+    ``queries`` should be a bounded sample (the recall estimate needs tens
+    of queries, not the corpus). The exact top-k is computed once; each
+    ladder rung costs one LSH candidate+rank job plus one tiny join-agg.
+    Returns ``{"n_tables", "multiprobe", "recall", "achieved", "trail"}``
+    where ``trail`` records every rung measured (nothing hidden — if no
+    rung reaches the target, the best one is returned with ``achieved:
+    False``)."""
+    exact = (
+        quantized_topk(items, queries, id_col=id_col, vec_col=vec_col, k=k)
+        .select("query_id", "item_id")
+        .localCheckpoint(eager=True)  # ground truth computed once, reused per rung
+    )
+    n_exact = exact.count()
+    trail: list[dict] = []
+    best: dict | None = None
+    for n_tables, multiprobe in ladder:
+        approx = quantized_rank_candidates(
+            lsh_candidates(
+                items,
+                queries,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_planes=n_planes,
+                n_tables=n_tables,
+                seed=seed,
+                multiprobe=multiprobe,
+                dim=dim,
+            ),
+            items,
+            k=k,
+        ).select("query_id", "item_id")
+        n_hit = exact.join(approx, ["query_id", "item_id"], "left_semi").count()
+        recall = (n_hit / n_exact) if n_exact else 1.0
+        rung = {
+            "n_tables": n_tables,
+            "multiprobe": multiprobe,
+            "recall": round(recall, 4),
+        }
+        trail.append(rung)
+        if best is None or rung["recall"] > best["recall"]:
+            best = rung
+        if recall >= recall_target:
+            return {**rung, "achieved": True, "trail": trail}
+    assert best is not None
+    return {**best, "achieved": False, "trail": trail}

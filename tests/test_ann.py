@@ -159,3 +159,34 @@ def test_pq_train_rejects_indivisible_dim(spark):
 
     with pytest.raises(ValueError):
         ann.train_pq(df, m=4, k_codes=4)
+
+
+def test_tune_lsh_hits_target_and_records_trail(spark):
+    from ocr_platform_spark.operators.ann import tune_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where("vec_id < 6")
+    res = tune_lsh(emb, qs, dim=64, k=5, recall_target=0.6)
+    assert res["trail"], "every measured rung is recorded"
+    assert res["recall"] == max(r["recall"] for r in res["trail"]) or res["achieved"]
+    if res["achieved"]:
+        assert res["recall"] >= 0.6
+        # the tuner stops at the FIRST rung reaching the target
+        assert res["trail"][-1]["recall"] >= 0.6
+        for r in res["trail"][:-1]:
+            assert r["recall"] < 0.6
+    # deterministic: re-running returns the identical choice and trail
+    res2 = tune_lsh(emb, qs, dim=64, k=5, recall_target=0.6)
+    assert res == res2
+
+
+def test_tune_lsh_impossible_target_returns_best(spark):
+    from ocr_platform_spark.operators.ann import tune_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where("vec_id < 4")
+    res = tune_lsh(
+        emb, qs, dim=64, k=5, recall_target=1.01, ladder=((1, 0), (2, 2))
+    )
+    assert not res["achieved"] and len(res["trail"]) == 2
+    assert res["recall"] == max(r["recall"] for r in res["trail"])
