@@ -90,6 +90,197 @@ AUTO_ACCEPT = 90    # ocr_routes.py:71
 TOP_K = 5           # ocr_routes.py:60
 
 
+# -------------------------------------------------------------------------
+# Fast path: one value scored against a FIXED vocabulary. difflib's cost is
+# dominated by seq2-side preprocessing (__chain_b) and the partial-ratio
+# block search; both hot callers (CachedMapper.map, VocabScorer.score_all)
+# hold the vocabulary fixed, so every label's seq2-side matcher is built
+# ONCE and reused across values via set_seq1 (which preserves the prepared
+# seq2 state — argument order, and therefore difflib's asymmetric
+# heuristics, are exactly those of wratio_like_pre). Outputs are
+# byte-identical to wratio_like_pre, property-pinned in
+# tests/test_select_mapping.py.
+# -------------------------------------------------------------------------
+
+
+class _LabelState:
+    """Per-label precomputation: preprocessed text, sorted-token string,
+    token set, and two seq2-fixed matchers (full/partial share one; the
+    token-sort ratio needs its own seq2)."""
+
+    __slots__ = ("pb", "sorted_b", "sb", "lb", "m2", "m_sort", "cnt")
+
+    def __init__(self, pb: str):
+        self.pb = pb
+        tb = pb.split()
+        self.sorted_b = " ".join(sorted(tb))
+        self.sb = frozenset(tb)
+        self.lb = len(pb)
+        self.m2 = SequenceMatcher(None, "", pb)            # seq2 = label
+        self.m_sort = SequenceMatcher(None, "", self.sorted_b)
+        cnt: dict[str, int] = {}
+        for ch in pb:
+            cnt[ch] = cnt.get(ch, 0) + 1
+        self.cnt = cnt
+
+
+class _ValueState:
+    """Per-value precomputation (one per distinct value per batch)."""
+
+    __slots__ = ("pa", "sorted_a", "sa", "la", "m2", "cnt")
+
+    def __init__(self, pa: str):
+        self.pa = pa
+        ta = pa.split()
+        self.sorted_a = " ".join(sorted(ta))
+        self.sa = frozenset(ta)
+        self.la = len(pa)
+        self.m2 = None  # lazily built (seq2 = value) for label-shorter partials
+        cnt: dict[str, int] = {}
+        for ch in pa:
+            cnt[ch] = cnt.get(ch, 0) + 1
+        self.cnt = cnt
+
+
+def _fixed_ratio(m: SequenceMatcher, s1: str, l2: int) -> float:
+    """_ratio(s1, seq2) with seq2 prebuilt inside ``m`` (same empty-input
+    shortcuts as _ratio; set_seq1 keeps seq2's prepared state)."""
+    if not s1 and not l2:
+        return 1.0
+    if not s1 or not l2:
+        return 0.0
+    m.set_seq1(s1)
+    return m.ratio()
+
+
+def _partial_fast(va: _ValueState, st: _LabelState) -> float:
+    """_partial_ratio(va.pa, st.pb) with the block-search matcher reused.
+    The original's swap puts the LONGER string on the seq2 side, so the
+    matcher comes from whichever side is longer; duplicate window starts
+    are skipped (identical window → identical ratio → max unchanged)."""
+    if va.la <= st.lb:
+        a, b = va.pa, st.pb
+        if not a:
+            return 0.0
+        m = st.m2
+        m.set_seq1(a)
+    else:
+        a, b = st.pb, va.pa
+        if not a:
+            return 0.0
+        if va.m2 is None:
+            va.m2 = SequenceMatcher(None, "", va.pa)
+        m = va.m2
+        m.set_seq1(a)
+    best = 0.0
+    seen: set[int] = set()
+    la = len(a)
+    for block in m.get_matching_blocks():
+        start = block.b - block.a
+        if start < 0:
+            start = 0
+        if start in seen:
+            continue
+        seen.add(start)
+        r = _ratio(a, b[start : start + la])
+        if r > best:
+            best = r
+            if best == 1.0:
+                break
+    return best
+
+
+def _score_pair(va: _ValueState, st: _LabelState) -> int:
+    """wratio_like_pre(va.pa, st.pb), byte-identical, on prebuilt state.
+
+    One exact shortcut beyond reuse: partial ratio is weighted 0.9, so once
+    ``max(full, .95·sort, .95·set) ≥ 0.9`` the partial term cannot change
+    the max (0.9·p ≤ 0.9 ≤ current) and its block search is skipped."""
+    pa, pb = va.pa, st.pb
+    if pa == pb:
+        return 100 if pa else 0
+    full = _fixed_ratio(st.m2, pa, st.lb)
+    sort_r = _fixed_ratio(st.m_sort, va.sorted_a, len(st.sorted_b))
+    sa, sb = va.sa, st.sb
+    inter_set = sa & sb
+    if inter_set:
+        inter = " ".join(sorted(inter_set))
+        t1 = (inter + " " + " ".join(sorted(sa - sb))).strip()
+        t2 = (inter + " " + " ".join(sorted(sb - sa))).strip()
+        set_r = max(_ratio(inter, t1), _ratio(inter, t2), _ratio(t1, t2))
+    else:
+        set_r = 0.0
+    cur = max(full, 0.95 * sort_r, 0.95 * set_r)
+    if cur >= 0.9:
+        return int(round(100 * cur))
+    return int(round(100 * max(cur, 0.9 * _partial_fast(va, st))))
+
+
+def _ub_score(va: _ValueState, st: _LabelState) -> int:
+    """Cheap PROVEN upper bound on ``_score_pair(va, st)`` (≈5 µs vs
+    ≈200 µs for the exact score). Every component of the WRatio max is
+    bounded from above, so ``_score_pair ≤ _ub_score`` always:
+
+    - full ratio = 2M/(la+lb) with matched chars M ≤ I, the char-multiset
+      intersection size → full ≤ 2I/(la+lb) = qr;
+    - token-sort ratio: sorting tokens preserves the char multiset (single
+      spaces between tokens on both sides), so the same qr bounds it;
+    - token-set ratios: each is 2M/(lx+ly) with M ≤ min(lx, ly), and the
+      three string lengths (inter, inter+extra_a, inter+extra_b) follow
+      from the token sets alone;
+    - partial ratio = 2M'/(lmin + lwindow) with M' ≤ min(lwindow, I),
+      maximized at lwindow = I → partial ≤ 2I/(lmin+I) (1.0 when I ≥ lmin).
+
+    round() is monotone, so the rounded bound dominates the rounded score.
+    """
+    la, lb = va.la, st.lb
+    if la == 0 or lb == 0:
+        return 100 if la == lb else 0
+    cb = st.cnt
+    inter_chars = 0
+    for ch, n in va.cnt.items():
+        m = cb.get(ch)
+        if m is not None:
+            inter_chars += n if n < m else m
+    qr = (2.0 * inter_chars) / (la + lb)
+    lmin = la if la < lb else lb
+    p_ub = 1.0 if inter_chars >= lmin else (2.0 * inter_chars) / (lmin + inter_chars)
+    inter_set = va.sa & st.sb
+    if inter_set:
+        k = len(inter_set)
+        li = sum(len(t) for t in inter_set) + (k - 1)
+        da, db = va.sa - st.sb, st.sb - va.sa
+        l1 = li if not da else li + 1 + sum(len(t) for t in da) + len(da) - 1
+        l2 = li if not db else li + 1 + sum(len(t) for t in db) + len(db) - 1
+        lmin12 = l1 if l1 < l2 else l2
+        s_ub = max(
+            (2.0 * li) / (li + l1),
+            (2.0 * li) / (li + l2),
+            (2.0 * lmin12) / (l1 + l2),
+        )
+    else:
+        s_ub = 0.0
+    ub = qr
+    if 0.95 * s_ub > ub:
+        ub = 0.95 * s_ub
+    if 0.9 * p_ub > ub:
+        ub = 0.9 * p_ub
+    return int(round(100 * ub))
+
+
+class VocabScorer:
+    """Prebuilt scoring state for the full-matrix path: per-label seq2-side
+    work happens once per worker instead of once per (value, option) pair.
+    ``score_all_fast(v) == score_all(v, options)`` element-for-element."""
+
+    def __init__(self, options: list[tuple[str, str]]):
+        self._states = [_LabelState(_preprocess(label)) for _v, label in options]
+
+    def score_all_fast(self, value: str | None) -> list[int]:
+        va = _ValueState(_preprocess(value or ""))
+        return [_score_pair(va, st) for st in self._states]
+
+
 def map_select_value(
     ocr_value: str | None, options: list[tuple[str, str]]
 ) -> str | None:
@@ -143,9 +334,23 @@ class CachedMapper:
 
     def __init__(self, vocab_by_field: dict[str, list[tuple[str, str]]]):
         self._vocab = vocab_by_field
-        self._pre = {
-            f: [_preprocess(label) for _v, label in opts]
+        self._states = {
+            f: [_LabelState(_preprocess(label)) for _v, label in opts]
             for f, opts in vocab_by_field.items()
+        }
+        # Exact-label index: pa == some label's preprocessed form is a
+        # score-100 hit nothing can beat, and when la + lb ≤ 199 for every
+        # label, NO unequal pair can round to 100 (full ratio of unequal
+        # strings is ≤ 1 - 1/(la+lb) for equal lengths and ≤ (la+lb-1)/
+        # (la+lb) otherwise, both < 0.995; the 0.95/0.9-weighted terms cap
+        # at 95/90) — so the first exact label IS what the scan would pick,
+        # O(1) instead of O(vocab).
+        self._exact = {
+            f: (
+                {st.pb: i for i, st in reversed(list(enumerate(states)))},
+                max((st.lb for st in states), default=0),
+            )
+            for f, states in self._states.items()
         }
 
         @lru_cache(maxsize=65536)
@@ -154,9 +359,20 @@ class CachedMapper:
             if not opts:
                 return value  # passthrough: no vocabulary configured
             pa = _preprocess(value)
+            exact, max_lb = self._exact[field]
+            j = exact.get(pa)
+            if j is not None and pa and len(pa) + max_lb <= 199:
+                return opts[j][0]
+            va = _ValueState(pa)
             best_s, best_idx = 0, -1
-            for idx, plbl in enumerate(self._pre[field]):
-                s = wratio_like_pre(pa, plbl)
+            floor = SCORE_CUTOFF - 1  # a label is useful only if s > floor
+            for idx, st in enumerate(self._states[field]):
+                # sound skip: _score_pair ≤ _ub_score, so a label whose
+                # bound can't clear both the cutoff and the running best
+                # can't change the outcome
+                if _ub_score(va, st) <= (best_s if best_s > floor else floor):
+                    continue
+                s = _score_pair(va, st)
                 if s > best_s and s >= SCORE_CUTOFF:
                     best_s, best_idx = s, idx
                     if s == 100:

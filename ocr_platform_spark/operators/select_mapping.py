@@ -18,14 +18,16 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ocr_platform_spark.functions.fuzzy import CachedMapper, score_all
+from ocr_platform_spark.functions.fuzzy import CachedMapper, VocabScorer
 
-# Per-worker mapper registry: the lru_cache of distinct-value mappings
-# survives across Arrow batches AND across tasks of the same stage on one
-# worker (it used to be rebuilt per batch, re-scoring every repeated
-# value). Worker-side Broadcast objects expose no ``id``; their spill file
-# ``_path`` is the stable per-broadcast identity on a worker.
+# Per-worker registries: the lru_cache of distinct-value mappings and the
+# per-label prebuilt matcher states survive across Arrow batches AND across
+# tasks of the same stage on one worker (they used to be rebuilt per batch,
+# re-scoring every repeated value and re-preparing every label). Worker-side
+# Broadcast objects expose no ``id``; their spill file ``_path`` is the
+# stable per-broadcast identity on a worker.
 _WORKER_MAPPERS: dict[object, CachedMapper] = {}
+_WORKER_SCORERS: dict[object, VocabScorer] = {}
 
 
 def _mapper_for(bc) -> CachedMapper:
@@ -35,6 +37,15 @@ def _mapper_for(bc) -> CachedMapper:
         m = CachedMapper(bc.value)
         _WORKER_MAPPERS[key] = m
     return m
+
+
+def _scorer_for(bc) -> VocabScorer:
+    key = getattr(bc, "_path", None) or id(bc)
+    s = _WORKER_SCORERS.get(key)
+    if s is None:
+        s = VocabScorer(bc.value)
+        _WORKER_SCORERS[key] = s
+    return s
 
 
 def _spread_rows(df: DataFrame) -> DataFrame:
@@ -122,7 +133,7 @@ def score_select_column(
 
     @F.pandas_udf("array<int>")
     def _scores(values: pd.Series) -> pd.Series:
-        opts = bc.value
+        scorer = _scorer_for(bc)
         memo: dict[str, list[int]] = {}
 
         def of(v):
@@ -130,7 +141,7 @@ def score_select_column(
                 return None
             got = memo.get(v)
             if got is None:
-                got = memo[v] = score_all(v, opts)
+                got = memo[v] = scorer.score_all_fast(v)
             return got
 
         return pd.Series([of(v) for v in values])

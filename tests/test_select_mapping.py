@@ -133,3 +133,91 @@ def test_score_select_column_matches_mapper(spark):
             if s > best_s:
                 best, best_s = opts[idx][0], s
         assert mapped[r["rid"]] == best, r["rid"]
+
+
+def test_fast_scorer_byte_identical_property():
+    """_score_pair / VocabScorer / CachedMapper are byte-identical to the
+    plain wratio_like_pre / score_all / map_select_value reference path —
+    hypothesis over adversarial string pairs (shared tokens, near-anagrams,
+    prefixes, empties, repeats) plus TPC-H-style supplier names."""
+    from hypothesis import given, settings, strategies as st
+
+    from ocr_platform_spark.functions.fuzzy import (
+        CachedMapper,
+        VocabScorer,
+        _LabelState,
+        _preprocess,
+        _score_pair,
+        _ValueState,
+        map_select_value,
+        score_all,
+        wratio_like_pre,
+    )
+
+    token = st.sampled_from(
+        ["supplier", "000000123", "000000456", "inc", "ltd", "co", "x",
+         "aa", "ab", "ba", "textile", "sarees", "pvt", "0001", ""]
+    )
+    string = st.lists(token, min_size=0, max_size=5).map(" ".join)
+
+    @given(string, string)
+    @settings(max_examples=300, deadline=None)
+    def check_pair(a, b):
+        pa, pb = _preprocess(a), _preprocess(b)
+        assert _score_pair(_ValueState(pa), _LabelState(pb)) == wratio_like_pre(pa, pb)
+
+    check_pair()
+
+    vocab = sorted(
+        {f"Supplier#{i:09d}" for i in range(40)}
+        | {"A.M & SONS", "QUEEN'S EMPORIUM", "MAHA LAXMI TEXTILE", "x", ""}
+    )
+    options = [(v, v) for v in vocab]
+    scorer = VocabScorer(options)
+    mapper = CachedMapper({"f": options})
+    probes = [
+        "Supplier#000000012", "SUPPLIER#000000012", "  Supplier#000000012 inc. ",
+        "Supplier#0000", "supplier", "zzz qqq", "", "x", "MAHA LAXMI",
+        "queens emporium", "a m and sons", "Supplier#000000039",
+    ]
+    for v in probes:
+        assert scorer.score_all_fast(v) == score_all(v, options), v
+        assert mapper.map("f", v) == (map_select_value(v, options) if v else None), v
+
+
+def test_exact_shortcut_guard_long_labels():
+    """The O(1) exact-label shortcut must disengage when la+lb can reach
+    200 (where an unequal full ratio could round to 100) — long-label vocab
+    still maps byte-identically to the reference scan."""
+    from ocr_platform_spark.functions.fuzzy import CachedMapper, map_select_value
+
+    long_a = "tok " * 60 + "alpha"     # ~245 chars preprocessed
+    long_b = "tok " * 60 + "alphb"     # unequal, near-1.0 full ratio
+    vocab = [("B", long_b), ("A", long_a)]
+    mapper = CachedMapper({"f": vocab})
+    for v in (long_a, long_b, "tok tok alpha"):
+        assert mapper.map("f", v) == map_select_value(v, vocab), v
+
+
+def test_ub_score_dominates_exact_score_property():
+    """_ub_score is a true upper bound of _score_pair on adversarial pairs
+    (the mapper's skip logic is sound only if this holds everywhere)."""
+    from hypothesis import given, settings, strategies as st
+
+    from ocr_platform_spark.functions.fuzzy import (
+        _LabelState, _preprocess, _score_pair, _ub_score, _ValueState,
+    )
+
+    token = st.sampled_from(
+        ["supplier", "000000123", "000000456", "inc", "ltd", "co", "x",
+         "aa", "ab", "ba", "textile", "sarees", "pvt", "0001", "zzzz", ""]
+    )
+    string = st.lists(token, min_size=0, max_size=6).map(" ".join)
+
+    @given(string, string)
+    @settings(max_examples=500, deadline=None)
+    def check(a, b):
+        va, lb = _ValueState(_preprocess(a)), _LabelState(_preprocess(b))
+        assert _score_pair(va, lb) <= _ub_score(va, lb)
+
+    check()
