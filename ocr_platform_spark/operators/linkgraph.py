@@ -98,10 +98,28 @@ def host_pagerank(
     bit-exact. ``metrics_out``, if given, receives ``iterations_run`` and
     ``converged``."""
     spark = edges.sparkSession
-    hosts = (
+
+    def _materialize(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    def _truncate(df: DataFrame, it: int) -> DataFrame:
+        return _materialize(df, f"ranks-{it:04d}")
+
+    # hosts and deg are consumed by EVERY iteration's join; materialize both
+    # once up front so each iteration's plan is two small joins over
+    # materialized tables instead of re-deriving the vertex set and the
+    # degree aggregate from the edge list (fewer/smaller stages per job →
+    # less scheduling overhead and far less tail sensitivity on a busy
+    # cluster). hosts.count() rides on the same materialization.
+    hosts = _materialize(
         edges.select(F.col("src_host").alias("host"))
         .unionByName(edges.select(F.col("dst_host").alias("host")))
-        .distinct()
+        .distinct(),
+        "hosts",
     )
     n_hosts = hosts.count()
     if metrics_out is not None:
@@ -109,15 +127,10 @@ def host_pagerank(
     if n_hosts == 0:
         return hosts.withColumn("rank", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * scale // 100) // n_hosts
-    deg = edges.groupBy("src_host").agg(F.count("*").alias("out_deg"))
+    deg = _materialize(
+        edges.groupBy("src_host").agg(F.count("*").alias("out_deg")), "degrees"
+    )
     ranks = hosts.withColumn("rank", F.lit(scale // n_hosts).cast("long"))
-
-    def _truncate(df: DataFrame, it: int) -> DataFrame:
-        if checkpoint_dir is not None:
-            path = f"{checkpoint_dir}/ranks-{it:04d}"
-            df.write.mode("overwrite").parquet(path)
-            return spark.read.parquet(path)
-        return df.localCheckpoint(eager=True)
 
     for i in range(iterations):
         contribs = (
@@ -208,28 +221,42 @@ def connected_components(
     workload this serves.
     """
     spark = pairs.sparkSession
+
+    def _materialize(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    def _truncate(df: DataFrame, it: int) -> DataFrame:
+        return _materialize(df, f"labels-{it:04d}")
+
     nodes = (
         pairs.select(F.col(id_a).alias("id"))
         .unionByName(pairs.select(F.col(id_b).alias("id")))
         .distinct()
     )
     # symmetrized edges + a self-loop per node: min over (neighbours ∪ self)
-    # in ONE aggregate, so a node with no smaller neighbour keeps its label
-    edges = (
+    # in ONE aggregate, so a node with no smaller neighbour keeps its label.
+    # Materialized once — every iteration's join consumes it, and without
+    # this each iteration re-derives the union/distinct from the pair list.
+    edges = _materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .unionByName(nodes.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+        .unionByName(nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))),
+        "cc-edges",
     )
-    labels = nodes.select("id", F.col("id").alias("comp"))
+    # initial labels from the materialized self-loops (distinct-safe even
+    # if the pair list carries explicit self-pairs)
+    labels = (
+        edges.where(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+    )
     if metrics_out is not None:
         metrics_out.update({"iterations_run": 0, "converged": False})
-
-    def _truncate(df: DataFrame, it: int) -> DataFrame:
-        if checkpoint_dir is not None:
-            path = f"{checkpoint_dir}/labels-{it:04d}"
-            df.write.mode("overwrite").parquet(path)
-            return spark.read.parquet(path)
-        return df.localCheckpoint(eager=True)
 
     for i in range(iterations):
         new_labels = (
