@@ -63,6 +63,7 @@ HEADLINE = [
     # round-3 additions
     "fuzzy_supplier_mapping",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "doc_para_dedup",
     "doc_decontam",
     "doc_dedup_clusters",

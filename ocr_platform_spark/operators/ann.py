@@ -655,6 +655,177 @@ def pq_adc_topk(
     )
 
 
+# --- IVF-PQ composition — coarse quantizer + residual codes -------------------
+
+
+def _kmeans_l2(
+    sample: np.ndarray, k: int, seed: int = 42, iters: int = 8
+) -> np.ndarray:
+    """Plain (un-normalized) Lloyd iterations — residual codebooks live in
+    the residual space, where unit-norm codewords (``_kmeans_centroids``'s
+    cosine variant) would be a bad fit: residual norms are ≪ 1."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def train_ivfpq(
+    items: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    max_sample: int | None = None,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids, residual codebooks) — the 10^9-vector index recipe
+    (IVF-PQ à la Jégou et al. "Product Quantization for Nearest Neighbor
+    Search"): a coarse quantizer routes each vector to one inverted list;
+    PQ codebooks encode the RESIDUAL (vector − its centroid), which is far
+    tighter than encoding raw vectors. One bounded driver sample (same
+    discipline as :func:`train_ivf` — never more than ``max_sample`` rows
+    regardless of table size) trains both stages."""
+    if max_sample is None:
+        max_sample = 100 * max(n_lists, k_codes)
+    rows = (
+        items.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<double>"), F.lit(seed)))
+        .limit(max_sample)
+        .collect()
+    )
+    sample = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cents = _kmeans_centroids(sample, n_lists, seed)
+    resid = sample - cents[np.argmax(sample @ cents.T, axis=1)]
+    codebooks = np.stack(
+        [
+            _kmeans_l2(resid[:, j * dsub : (j + 1) * dsub], k_codes, seed + j)
+            for j in range(m)
+        ]
+    )
+    return cents, codebooks
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id, codes array<int>) — nearest coarse list + residual PQ
+    codes, one numpy pass per Arrow batch. The index row is an int plus m
+    small ints per vector; raw vectors never leave this map stage."""
+    m, _k, dsub = codebooks.shape
+    cents, cb = centroids, codebooks
+
+    @F.pandas_udf("struct<list_id: int, codes: array<int>>")
+    def _enc(vecs: pd.Series) -> pd.DataFrame:
+        mat = _normalize_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+        lists = np.argmax(mat @ cents.T, axis=1)
+        resid = mat - cents[lists]
+        codes = np.empty((mat.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = resid[:, j * dsub : (j + 1) * dsub]
+            d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"list_id": lists.astype("int32"), "codes": [r.tolist() for r in codes]}
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"), _enc(F.col(vec_col)).alias("e")
+    ).select("id", "e.list_id", "e.codes")
+
+
+def ivfpq_query_tables(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    scale: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """(luts, biases) for integer ADC over the IVF-PQ index.
+
+    score(q, item) ≈ ⟨q, c_list + r̂⟩ = ⟨q, c_list⟩ + Σ_j ⟨q_j, cb_j[code_j]⟩
+    — the residual term is exactly the raw-PQ LUT (:func:`pq_query_luts`,
+    reused verbatim); the coarse term is one integer bias per (query,
+    probed list). Both are integers at the same ``scale``, so the combined
+    score is an exact integer SUM any engine reproduces bit-for-bit."""
+    luts = pq_query_luts(queries, codebooks, id_col, vec_col, scale)
+    cents = centroids
+
+    @F.pandas_udf("array<struct<list_id: int, bias: long>>")
+    def _probe(vecs: pd.Series) -> pd.Series:
+        mat = _normalize_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+        sims = mat @ cents.T
+        out = []
+        for row in sims:
+            top = np.argsort(-row)[:n_probe]
+            out.append(
+                [
+                    {"list_id": int(t), "bias": int(np.rint(scale * row[t]))}
+                    for t in top
+                ]
+            )
+        return pd.Series(out)
+
+    biases = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(_probe(F.col(vec_col))).alias("p")
+    ).select("query_id", "p.list_id", "p.bias")
+    return luts, biases
+
+
+def ivfpq_adc_topk(
+    codes: DataFrame,
+    luts: DataFrame,
+    biases: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Integer ADC top-k over probed lists only: the bias join restricts
+    candidates to each query's probed inverted lists (codes ⋈ broadcast
+    biases on list_id — the IVF pruning), then the residual term sums the
+    broadcast LUT weights per (query, item). No raw vectors move; the only
+    shuffle is the per-(query, item) aggregate over candidate term rows."""
+    cand = (
+        codes.join(F.broadcast(biases), "list_id")
+        .where(F.col("id") != F.col("query_id"))
+        .select(F.col("id").alias("item_id"), "query_id", "bias", "codes")
+    )
+    terms = cand.select(
+        "query_id", "item_id", "bias", F.posexplode("codes").alias("m_idx", "code")
+    )
+    scored = (
+        terms.join(F.broadcast(luts), ["query_id", "m_idx", "code"])
+        .groupBy("query_id", "item_id", "bias")
+        .agg(F.sum("w").alias("resid"))
+        .select(
+            "query_id",
+            "item_id",
+            (F.col("bias") + F.col("resid")).cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 DEFAULT_LSH_LADDER: tuple[tuple[int, int], ...] = (
     (1, 0),
     (2, 0),

@@ -2096,6 +2096,83 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.quantized_rank_candidates(short, emb, k=10).orderBy("query_id", "rank")
 
 
+_IVFPQ_SQL = f"""
+    WITH codes AS (SELECT id, list_id, codes FROM read_parquet('{staged_glob("ivfpq_codes")}')),
+    biases AS (SELECT * FROM read_parquet('{staged_glob("ivfpq_biases")}')),
+    luts AS (SELECT * FROM read_parquet('{staged_glob("ivfpq_luts")}')),
+    cand AS (
+      SELECT b.query_id, c.id AS item_id, b.bias, c.codes
+      FROM codes c JOIN biases b ON c.list_id = b.list_id
+      WHERE c.id != b.query_id
+    ),
+    terms AS (
+      SELECT query_id, item_id, bias,
+             CAST(i - 1 AS INT) AS m_idx, CAST(codes[i] AS INT) AS code
+      FROM (SELECT query_id, item_id, bias, codes,
+                   unnest(generate_series(1, len(codes))) AS i FROM cand)
+    ),
+    adc AS (
+      SELECT t.query_id, t.item_id, CAST(MAX(t.bias) + SUM(l.w) AS BIGINT) AS score
+      FROM terms t
+      JOIN luts l ON l.query_id = t.query_id AND l.m_idx = t.m_idx AND l.code = t.code
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, item_id FROM (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id) AS rn
+        FROM adc) WHERE rn <= 50
+    ),
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT c.query_id, c.item_id,
+             list_sum(list_transform(list_zip(q.v, i.v), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(q.v, x -> x * x)) AS nq,
+             list_sum(list_transform(i.v, x -> x * x)) AS ni
+      FROM short c JOIN qz q ON c.query_id = q.vec_id JOIN qz i ON c.item_id = i.vec_id
+    ),
+    scored AS (
+      SELECT query_id, item_id,
+             CASE WHEN nq > 0 AND ni > 0
+                  THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ni AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM pairs
+    )
+    SELECT query_id, item_id, cosine, CAST(rk AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@q("ann_ivfpq_topk", _IVFPQ_SQL)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed 10^9-vector index (coarse quantizer routes
+    each vector to one inverted list; PQ codebooks encode the RESIDUAL;
+    queries probe n_probe lists and score by integer ADC = per-list bias +
+    residual LUT sum). The oracle recomputes the ENTIRE search from the
+    staged (codes, biases, luts) tables: IVF pruning (the bias join),
+    exact-integer ADC shortlist-50, and the quantized-cosine re-rank to
+    top-10 — the full approximate-search tail is cross-engine exact.
+    Training determinism and recall-vs-brute-force are pinned in
+    tests/test_ann.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, cb = ann.train_ivfpq(emb, n_lists=8, m=8, k_codes=16)
+    codes = stage(ann.ivfpq_encode(emb, cents, cb), "ivfpq_codes")
+    luts, biases = ann.ivfpq_query_tables(
+        emb.where(F.col("vec_id") < 8), cents, cb, n_probe=4
+    )
+    luts = stage(luts, "ivfpq_luts")
+    biases = stage(biases, "ivfpq_biases")
+    short = ann.ivfpq_adc_topk(codes, luts, biases, k=50).select("query_id", "item_id")
+    return ann.quantized_rank_candidates(short, emb, k=10).orderBy("query_id", "rank")
+
+
 @q("ann_ivf_topk", _ann_tail_sql("ann_ivf_cands"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: deterministic coarse k-means quantizer,

@@ -190,3 +190,55 @@ def test_tune_lsh_impossible_target_returns_best(spark):
     )
     assert not res["achieved"] and len(res["trail"]) == 2
     assert res["recall"] == max(r["recall"] for r in res["trail"])
+
+
+def test_ivfpq_encode_probe_and_adc(spark):
+    """IVF-PQ composition: residual codebooks train deterministically on
+    the bounded sample; every item lands in exactly one list with m codes;
+    probed-list pruning restricts candidates; the integer ADC shortlist +
+    exact re-rank beats raw PQ's worst-case bar on the same vectors (the
+    residual encoding is tighter than raw-vector PQ by construction)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.where(F.col("vec_id") < 8)
+
+    cents, cb = ann.train_ivfpq(emb, n_lists=8, m=8, k_codes=16)
+    assert cents.shape[0] == 8 and cb.shape == (8, 16, 8)
+    cents2, cb2 = ann.train_ivfpq(emb, n_lists=8, m=8, k_codes=16)
+    assert np.allclose(cents, cents2) and np.allclose(cb, cb2)
+
+    codes = ann.ivfpq_encode(emb, cents, cb).cache()
+    row = codes.limit(1).collect()[0]
+    assert 0 <= row["list_id"] < 8 and len(row["codes"]) == 8
+    assert codes.count() == emb.count()  # one list per item
+
+    luts, biases = ann.ivfpq_query_tables(queries, cents, cb, n_probe=4)
+    assert biases.count() == 8 * 4          # n_probe biases per query
+    assert luts.count() == 8 * 8 * 16       # (query, m, code) grid
+
+    short = ann.ivfpq_adc_topk(codes, luts, biases, k=50).cache()
+    # IVF pruning: every candidate's list is one the query probed
+    probed = {(r["query_id"], r["list_id"]) for r in biases.collect()}
+    cand_lists = (
+        short.join(codes.select(F.col("id").alias("item_id"), "list_id"), "item_id")
+        .select("query_id", "list_id")
+        .collect()
+    )
+    assert all((r["query_id"], r["list_id"]) in probed for r in cand_lists)
+
+    truth = {
+        (r["query_id"], r["item_id"])
+        for r in ann.brute_force_topk(emb, queries, k=5).collect()
+    }
+    s = {(r["query_id"], r["item_id"]) for r in short.collect()}
+    recall = len(s & truth) / len(truth)
+    assert recall >= 0.4, f"ivfpq shortlist-50 recall {recall}"
+
+    again = {
+        (r["query_id"], r["item_id"])
+        for r in ann.ivfpq_adc_topk(codes, luts, biases, k=50).collect()
+    }
+    assert again == s
+    codes.unpersist()
+    emb.unpersist()
