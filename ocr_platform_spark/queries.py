@@ -4074,6 +4074,92 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_CLF_VOCAB = [
+    "ablation", "basalt", "cobalt", "delta", "ember", "fjord",
+    "garnet", "harbor", "isotope", "jasper", "kelvin", "lumen",
+    "meridian", "nickel", "obsidian", "pylon", "quartz", "rivet",
+    "sextant", "tungsten", "umbra", "vertex", "wharf", "xenon",
+]
+
+
+@q(
+    "doc_topic_classifier",
+    f"""
+    WITH t AS (
+      SELECT doc_id, label,
+             list_distinct(regexp_split_to_array(text, ' ')) AS toks
+      FROM read_parquet('{staged_glob("clf_corpus")}')
+    ),
+    tok AS (SELECT doc_id, label, unnest(toks) AS token FROM t),
+    w AS (
+      SELECT label, token, CAST(length(bin(COUNT(*))) AS INT) AS w
+      FROM tok WHERE doc_id % 5 <> 0
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    scored AS (
+      SELECT tok.doc_id, tok.label AS actual, w.label AS cand, SUM(w.w) AS score
+      FROM tok JOIN w ON tok.token = w.token
+      WHERE tok.doc_id % 5 = 0
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, actual, cand AS predicted FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT actual, predicted, COUNT(*) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY actual, predicted
+    """,
+)
+def doc_topic_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained document classifier — the fastText-classifier slot of a
+    corpus pipeline (operators/classify.py): integer Naive-Bayes over
+    distinct-token presence. The labeled corpus is synthesized
+    deterministically in-query (three topics drawing 40 tokens each from
+    overlapping 12-token slices of a 24-token vocabulary — neighbor
+    topics share half their vocabulary, so classification requires the
+    learned weights, not a lookup) and STAGED; both engines then train on
+    the ``doc_id % 5 != 0`` split and score the held-out fifth from the
+    same bytes. Training and inference are exact-integer (bit-length
+    weights, integer sums, lexicographic tie-break), so the oracle
+    retrains the entire model and reproduces every prediction — a
+    cross-engine-exact supervised learner. Map-side deployment twin
+    pinned equal in tests/test_classify.py."""
+    from ocr_platform_spark.operators.classify import (
+        classify_documents,
+        confusion_matrix,
+        train_class_token_weights,
+    )
+
+    vocab = F.array(*[F.lit(t) for t in _CLF_VOCAB])
+    labels = F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma"))
+    base = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(labels, (F.pmod("id", F.lit(3)) + 1).cast("int")).alias("label"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda j: F.element_at(
+                    vocab,
+                    (
+                        F.pmod("id", F.lit(3)) * 6
+                        + F.pmod(F.xxhash64(F.col("id"), j), F.lit(12))
+                        + 1
+                    ).cast("int"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    corpus = stage(base, "clf_corpus")
+    train = corpus.where(F.col("doc_id") % 5 != 0)
+    test = corpus.where(F.col("doc_id") % 5 == 0)
+    weights = train_class_token_weights(train, "label", "doc_id", "text", min_count=2)
+    pred = classify_documents(test, weights, "doc_id", "text")
+    return confusion_matrix(pred, test, "doc_id", "label")
+
+
 @q(
     "corpus_top_bigrams",
     r"""
