@@ -279,7 +279,12 @@ def main() -> None:
             # (skew_scaling.rounds / efficiency_attempt_median); it
             # under-reports whenever the session starts contended and
             # decays (one measured session climbed 0.43→0.78 across five
-            # attempts while the min-leg ratio sat at 0.89).
+            # attempts while the min-leg ratio sat at 0.89). Min-legs'
+            # own failure mode — the two mins sampling opposite phases of
+            # a sustained slow drift — is bounded by the self-heal loop:
+            # while the estimate is below bar, more interleaved attempts
+            # run, giving BOTH legs more chances to sample the same calm
+            # window; a genuine regression stays below through all six.
             return round(skew_times[2 * N_CORES] / (4 * skew_times[2 * N4_CORES]), 3)
 
         # One UNMEASURED warmup pass first: the freshly written ~1.2 GB
