@@ -4161,6 +4161,65 @@ def doc_topic_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "url_bloom_resume",
+    f"""
+    WITH flags AS (SELECT * FROM read_parquet('{staged_glob("bloom_flags")}')),
+    truth AS (SELECT doc_id, (doc_id % 3 = 0) AS seen FROM documents)
+    SELECT COUNT(*) AS n_input,
+           CAST(SUM(CASE WHEN t.seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+           CAST(SUM(CASE WHEN NOT f.maybe_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_definitely_new,
+           CAST(SUM(CASE WHEN f.maybe_seen AND NOT t.seen THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN NOT f.maybe_seen AND t.seen THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+           CAST(SUM(CASE WHEN NOT t.seen THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+    FROM flags f JOIN truth t USING (doc_id)
+    """,
+)
+def url_bloom_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental resume (operators/bloom.py): the seen
+    set becomes a distributed 64-bit-word bitmap (one bit_or aggregate);
+    probe keys the filter rejects are DEFINITELY new and bypass the exact
+    anti-join; only the maybe-seen sliver joins. The per-key decisions are
+    staged, and the report's n_pending comes from actually running
+    ``bloom_resume`` — so the oracle's exact NOT-seen count hash-gates the
+    operator's output (an approximate structure with an exact contract:
+    false positives cost work, never correctness; n_false_neg is the
+    no-false-negatives invariant and must be 0)."""
+    from ocr_platform_spark.operators.bloom import (
+        bloom_resume,
+        bloom_words,
+        with_bloom_flag,
+    )
+
+    n_bits, k = 1 << 14, 4  # ~10 bits/key at sf0.1's 1.7k seen → ~1% fpp
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    seen = d.where(F.col("doc_id") % 3 == 0)
+    words = bloom_words(seen, "doc_id", n_bits, k)
+    flags = stage(
+        with_bloom_flag(d, "doc_id", words, n_bits, k).select("doc_id", "maybe_seen"),
+        "bloom_flags",
+    )
+    n_pending = bloom_resume(d, seen, "doc_id", n_bits, k).count()
+    truth = d.select("doc_id", (F.col("doc_id") % 3 == 0).alias("seen"))
+    return (
+        flags.join(truth, "doc_id")
+        .agg(
+            F.count("*").alias("n_input"),
+            F.sum(F.when(F.col("seen"), 1).otherwise(0)).cast("long").alias("n_seen"),
+            F.sum(F.when(~F.col("maybe_seen"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_definitely_new"),
+            F.sum(F.when(F.col("maybe_seen") & ~F.col("seen"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.sum(F.when(~F.col("maybe_seen") & F.col("seen"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_neg"),
+        )
+        .withColumn("n_pending", F.lit(n_pending).cast("long"))
+    )
+
+
+@q(
     "corpus_top_bigrams",
     r"""
     WITH grams AS (
