@@ -4219,6 +4219,80 @@ def url_bloom_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEARCH_TERMS = ("window", "merge", "customer")
+
+
+@q(
+    "corpus_keyword_search",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS token FROM t
+    ),
+    q AS (SELECT unnest({list(_SEARCH_TERMS)}) AS token),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok JOIN q USING (token) GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT token,
+             CAST(length(bin((2 * (SELECT COUNT(*) FROM t)) // COUNT(DISTINCT doc_id))) AS INT) AS w
+      FROM tok JOIN q USING (token) GROUP BY token
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(rk AS INT) AS rank FROM (
+      SELECT tf.doc_id, SUM(LEAST(tf.tf, 3) * idf.w) AS score,
+             row_number() OVER (ORDER BY SUM(LEAST(tf.tf, 3) * idf.w) DESC, tf.doc_id) AS rk
+      FROM tf JOIN idf USING (token)
+      GROUP BY tf.doc_id
+    ) WHERE rk <= 20
+    ORDER BY rank
+    """,
+)
+def corpus_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-family keyword retrieval over the corpus — the audit/search
+    tool a dataset build uses to inspect what made it in ("find eval-set
+    lookalikes", "show me the spammiest docs for term X"). Exact-integer
+    ranking: tf saturated at 3 (BM25's k1 saturation, integerized), idf =
+    bit length of 2N // df (the log(N/df) surrogate in the repo's integer
+    family) — every score an integer SUM, replayed by DuckDB from raw
+    parquet with no staging. Map-side: the idf table is term-count-sized
+    and broadcast; the only corpus shuffle is the per-doc tf aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    from ocr_platform_spark.functions.textfns import normalized_text
+
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("token")
+    ).where(F.col("token").isin(list(_SEARCH_TERMS)))
+    n_docs = d.count()
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    idf = (
+        toks.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "token",
+            F.length(F.bin(F.expr(f"CAST({2 * n_docs} AS BIGINT) div df")))
+            .cast("int")
+            .alias("w"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.least("tf", F.lit(3)) * F.col("w")).cast("long").alias("score"))
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed top-k
+    # merge); the ranking window then runs over 20 rows only
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("int").alias("rank")
+    ).orderBy("rank")
+
+
 @q(
     "corpus_top_bigrams",
     r"""
