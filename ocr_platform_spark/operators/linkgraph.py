@@ -179,6 +179,108 @@ def host_pagerank(
     return ranks.orderBy(F.desc("rank"), "host")
 
 
+def host_hits(
+    edges: DataFrame,
+    iterations: int = 8,
+    scale: int = 10**6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Deterministic INTEGER HITS (Kleinberg hubs & authorities) over the
+    host graph — the companion authority signal to :func:`host_pagerank`
+    (seed selection and spam-farm detection read the hub/authority split;
+    PageRank alone cannot separate "points at good pages" from "is a good
+    page").
+
+    All-integer recurrence, fixed ``iterations``, replayable bit-for-bit
+    by any engine (the catalog oracle is a DuckDB recursive CTE):
+
+        a_raw(v) = Σ_{u→v} h(u)            (edge multiplicity kept)
+        a(v)     = a_raw(v) div max(1, (Σ a_raw) div scale)
+        h_raw(u) = Σ_{u→v} a(v)
+        h'(u)    = h_raw(u) div max(1, (Σ h_raw) div scale)
+
+    The ``div max(1, total div scale)`` step is integer L1 normalization:
+    each vector is rescaled to ~``scale`` total mass (floor-division
+    remainders leak a little mass, same documented trade as PageRank; a
+    value floored to 0 stays 0, so prefer few iterations on skewed graphs
+    — the ranking head is stable after 3-4). With ``scale`` ≤ 10^8 the
+    raw sums stay below ~2·10^18 even at 10^10 edges — no int64 overflow.
+    Each phase MATERIALIZES its normalized vector (localCheckpoint or
+    parquet): the total's aggregate branch re-evaluates its input, and
+    without the cut that doubling compounds exponentially across
+    phases."""
+    spark = edges.sparkSession
+
+    def _materialize(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    hosts = _materialize(
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct(),
+        "hits-hosts",
+    )
+    n_hosts = hosts.count()
+    if n_hosts == 0:
+        return hosts.select(
+            "host", F.lit(0).cast("long").alias("hub"), F.lit(0).cast("long").alias("authority")
+        )
+    e = _materialize(edges.select("src_host", "dst_host"), "hits-edges")
+    state = hosts.select(
+        "host",
+        F.lit(scale // n_hosts).cast("long").alias("hub"),
+        F.lit(0).cast("long").alias("authority"),
+    )
+
+    def _norm(raw: DataFrame, col: str, name: str) -> DataFrame:
+        # the total's aggregate branch re-evaluates ``raw``, so each phase
+        # MATERIALIZES its normalized vector — without this the doubling
+        # compounds across phases (2^phases plan blowup)
+        tot = raw.agg(F.sum(col).alias("_tot"))
+        return _materialize(
+            raw.crossJoin(F.broadcast(tot)).select(
+                "host",
+                F.expr(f"{col} div greatest(1L, _tot div {scale})")
+                .cast("long")
+                .alias(col),
+            ),
+            name,
+        )
+
+    for i in range(iterations):
+        a_raw = hosts.join(
+            e.join(state.select("host", "hub"), e.src_host == F.col("host"))
+            .groupBy("dst_host")
+            .agg(F.sum("hub").alias("a_raw"))
+            .withColumnRenamed("dst_host", "h2"),
+            hosts.host == F.col("h2"),
+            "left",
+        ).select("host", F.coalesce("a_raw", F.lit(0)).cast("long").alias("a_raw"))
+        a = _norm(
+            a_raw.withColumnRenamed("a_raw", "authority"), "authority",
+            f"hits-a-{i + 1:04d}",
+        )
+        h_raw = hosts.join(
+            e.join(a, e.dst_host == F.col("host"))
+            .groupBy("src_host")
+            .agg(F.sum("authority").alias("h_raw"))
+            .withColumnRenamed("src_host", "h2"),
+            hosts.host == F.col("h2"),
+            "left",
+        ).select("host", F.coalesce("h_raw", F.lit(0)).cast("long").alias("h_raw"))
+        h = _norm(
+            h_raw.withColumnRenamed("h_raw", "hub"), "hub", f"hits-h-{i + 1:04d}"
+        )
+        state = h.join(a, "host")
+    return state.select("host", "hub", "authority").orderBy(
+        F.desc("authority"), F.desc("hub"), "host"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -3518,6 +3518,89 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(edges, iterations=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE)
 
 
+# scale 10^8: raw sums stay ≤ 2·10^18 even at 10^10 edges (int64-safe)
+# while floor-division keeps resolution for the sub-dominant hosts; 4
+# iterations — the Zipf-star host graph concentrates fast and more
+# iterations just floor the tail to zero (measured: 12/36 hosts nonzero
+# at K=4 vs 2/36 at K=8)
+_HITS_SCALE, _HITS_ITER = 10**8, 4
+
+
+@q(
+    "host_hits",
+    f"""
+    WITH RECURSIVE
+    e AS (SELECT src_host, dst_host FROM read_parquet('{staged_glob("hits_edges")}')),
+    hosts AS (
+      -- DISTINCT over UNION ALL, not plain UNION: inside WITH RECURSIVE
+      -- DuckDB treats a CTE's top-level UNION as the recursion separator
+      -- and skips its dedup (measured: 72 rows for 36 hosts)
+      SELECT DISTINCT host FROM
+      (SELECT src_host AS host FROM e UNION ALL SELECT dst_host AS host FROM e)
+    ),
+    st(it, host, hub, authority) AS (
+      SELECT 0, host,
+             CAST({_HITS_SCALE} // (SELECT COUNT(*) FROM hosts) AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM hosts
+      UNION ALL
+      SELECT * FROM (
+        -- every phase derives from prev (which carries one row per host),
+        -- so an empty prev (it = iteration cap) yields an empty step and
+        -- the recursion terminates
+        WITH prev AS (SELECT * FROM st WHERE it < {_HITS_ITER}),
+        araw AS (
+          SELECT prev.it, prev.host, CAST(COALESCE(s.raw, 0) AS BIGINT) AS a_raw
+          FROM prev LEFT JOIN (
+            SELECT e.dst_host AS host, SUM(prev.hub) AS raw
+            FROM e JOIN prev ON e.src_host = prev.host
+            GROUP BY e.dst_host
+          ) s USING (host)
+        ),
+        anorm AS (
+          SELECT it, host,
+                 CAST(a_raw // GREATEST(1, SUM(a_raw) OVER () // {_HITS_SCALE}) AS BIGINT)
+                   AS authority
+          FROM araw
+        ),
+        hraw AS (
+          SELECT anorm.it, anorm.host, CAST(COALESCE(s.raw, 0) AS BIGINT) AS h_raw
+          FROM anorm LEFT JOIN (
+            SELECT e.src_host AS host, SUM(anorm.authority) AS raw
+            FROM e JOIN anorm ON e.dst_host = anorm.host
+            GROUP BY e.src_host
+          ) s USING (host)
+        ),
+        hnorm AS (
+          SELECT it, host,
+                 CAST(h_raw // GREATEST(1, SUM(h_raw) OVER () // {_HITS_SCALE}) AS BIGINT)
+                   AS hub
+          FROM hraw
+        )
+        SELECT hnorm.it + 1, hnorm.host, hnorm.hub, anorm.authority
+        FROM hnorm JOIN anorm USING (it, host)
+      )
+    )
+    SELECT host, hub, authority FROM st WHERE it = {_HITS_ITER}
+    ORDER BY authority DESC, hub DESC, host
+    """,
+)
+def host_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HITS hubs & authorities over the host graph
+    (operators/linkgraph.host_hits) — the authority/hub split PageRank
+    can't provide (seed lists want authorities; spam farms show as hubs
+    pointing at each other). Cross-engine EXACT like ``host_pagerank``:
+    the all-integer recurrence (per-iteration L1 renormalization via
+    ``div max(1, total div scale)``) is replayed by DuckDB as a recursive
+    CTE over the same staged edges — eight iterations of two join+agg
+    phases each, verified value-for-value."""
+    from ocr_platform_spark.operators.linkgraph import extract_outlinks, host_edges, host_hits
+
+    docs = _synth_docs(spark)
+    edges = stage(host_edges(extract_outlinks(docs)), "hits_edges", partitions=4)
+    return host_hits(edges, iterations=_HITS_ITER, scale=_HITS_SCALE)
+
+
 @q(
     "doc_robots_rollup",
     f"""

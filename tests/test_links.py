@@ -277,3 +277,35 @@ def test_extract_outlink_anchors_operator(spark):
     assert [(r["src_url"], r["dst_url"], r["anchor"]) for r in rows] == [
         ("https://s.test/", "https://t.test/x", "Click here")
     ]
+
+
+def test_host_hits_star_graph_and_determinism(spark, tmp_path):
+    from ocr_platform_spark.operators.linkgraph import host_hits
+
+    # star: a->c, b->c (twice - multiplicity kept)
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("b", "c")], "src_host string, dst_host string"
+    )
+    rows = {r["host"]: (r["hub"], r["authority"]) for r in host_hits(edges, iterations=3, scale=9000).collect()}
+    # c is the only authority; a and b are the only hubs (b counted twice)
+    assert rows["c"][1] > 0 and rows["c"][0] == 0
+    assert rows["a"][1] == 0 and rows["b"][1] == 0
+    assert rows["b"][0] > rows["a"][0] > 0  # multiplicity weights b higher
+
+    # deterministic across runs, partitionings, and checkpoint backends
+    again = {r["host"]: (r["hub"], r["authority"]) for r in host_hits(edges.repartition(7), iterations=3, scale=9000).collect()}
+    assert again == rows
+    durable = {
+        r["host"]: (r["hub"], r["authority"])
+        for r in host_hits(
+            edges, iterations=3, scale=9000, checkpoint_dir=str(tmp_path / "hits")
+        ).collect()
+    }
+    assert durable == rows
+
+
+def test_host_hits_empty_graph(spark):
+    from ocr_platform_spark.operators.linkgraph import host_hits
+
+    edges = spark.createDataFrame([], "src_host string, dst_host string")
+    assert host_hits(edges, iterations=2).collect() == []
