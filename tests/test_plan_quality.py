@@ -166,3 +166,28 @@ def test_compression_signal_is_arrow_batched(spark):
     plan = _formatted(compression_signal(d, "doc_id", "text"))
     # pandas UDF = ArrowEvalPython (vectorized), never row-at-a-time Python
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_probe_stays_jvm_side_and_broadcasts(spark):
+    # the Bloom build/probe is pure built-ins (xxhash64/bit_or/bool_and);
+    # Python anywhere here would put the 10^12-row probe on the slow path,
+    # and the word-table join must broadcast (bitmap words, not the corpus)
+    from ocr_platform_spark.operators.bloom import bloom_resume
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    seen = docs.where(F.col("doc_id") % 3 == 0)
+    plan = _formatted(bloom_resume(docs, seen, "doc_id", n_bits=1 << 12))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_relational_path_stays_jvm_side(spark):
+    plan = _formatted(CATALOG["doc_topic_classifier"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+
+
+def test_keyword_search_broadcasts_idf_and_takeordered(spark):
+    plan = _formatted(CATALOG["corpus_keyword_search"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # idf dimension broadcast
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
