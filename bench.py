@@ -69,6 +69,11 @@ HEADLINE = [
     "doc_dedup_clusters",
     "doc_lm_score",
     "doc_repeated_spans",
+    # round-3 continuation additions
+    "doc_topic_classifier",
+    "url_bloom_resume",
+    "corpus_keyword_search",
+    "host_hits",
 ]
 
 

@@ -1,0 +1,152 @@
+"""Distributed BPE vocabulary induction — training the tokenizer ON the
+corpus (Sennrich et al., "Neural Machine Translation of Rare Words with
+Subword Units"): the step a dataset build runs between curation and token
+counting, so the token budget is measured in the vocabulary the model will
+actually train with.
+
+Classic BPE trains on the word-frequency table, not the raw text — the
+corpus collapses to (word, n) once (one hash aggregate over the token
+stream; vocabulary-sized forever after), and every merge round runs over
+that small table:
+
+1. count adjacent symbol pairs, weighted by word frequency;
+2. pick the most frequent pair (ties → lexicographically smallest — a
+   total order, so training is deterministic);
+3. merge every greedy LEFT-TO-RIGHT non-overlapping occurrence.
+
+Step 3 is the subtle one: greedy left-to-right merging equals "keep the
+match positions of even offset within each run of consecutive matches"
+(a merge at i consumes i+1, so within a run the kept positions alternate
+from the run start; positions are computed on the PRE-merge array). The
+Spark side implements that as a row-local fold over the match positions
+(``F.aggregate`` — keep i unless it is adjacent to the last kept); the
+DuckDB oracle replays the identical semantics relationally
+(gaps-and-islands over match positions inside a recursive CTE) — the two
+formulations are equivalent by the run-parity argument above, and the
+catalog query hash-checks the full merge table they learn.
+
+Every quantity is an exact integer or a string, so training replays
+bit-for-bit in any engine from the staged word counts. Scale shape: the
+corpus is touched once (the word count aggregate); each round is one
+explode + hash aggregate + a driver-side 1-row argmax over the
+vocabulary-sized symbol table, re-materialized per round (localCheckpoint)
+to keep lineage flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_platform_spark.functions.textfns import normalized_text
+
+
+def word_counts(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 2,
+    ascii_only: bool = True,
+) -> DataFrame:
+    """(word, n) — the BPE training table. ``ascii_only`` keeps words in
+    the printable-ASCII range: Java regex works on UTF-16 code units while
+    DuckDB's RE2 works on codepoints, so per-character splits diverge on
+    astral-plane text; ASCII is where the two engines provably agree (and
+    where this synthetic corpus lives)."""
+    w = docs.select(
+        F.explode(F.split(normalized_text(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    if ascii_only:
+        w = w.where(F.col("word").rlike(r"^[\x21-\x7e]+$"))
+    return (
+        w.groupBy("word").agg(F.count("*").alias("n")).where(F.col("n") >= min_count)
+    )
+
+
+def init_symbols(words: DataFrame) -> DataFrame:
+    """(sym, n): the word spelled as space-separated characters. The
+    symbol string uniquely identifies its word throughout training
+    (removing spaces always recovers the word), so ``sym`` stays a valid
+    grouping key across rounds."""
+    return words.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"), "n"
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """(pair, cnt): adjacent-symbol pair frequencies, word-count weighted,
+    overlaps counted (classic BPE statistics)."""
+    arr = F.split("sym", " ")
+    pairs = syms.select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - 2),
+                lambda i: F.concat(
+                    F.element_at(arr, i + 1), F.lit(" "), F.element_at(arr, i + 2)
+                ),
+            )
+        ).alias("pair"),
+    ).where(F.size(arr) >= 2)
+    return pairs.groupBy("pair").agg(F.sum("n").alias("cnt"))
+
+
+def _apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy left-to-right merge of (left, right) in every symbol string:
+    match positions on the pre-merge array, fold keeping each position not
+    adjacent to the previously kept one (run-parity), rebuild."""
+    arr = F.split("sym", " ")
+    lft, rgt = F.lit(left), F.lit(right)
+    p = F.filter(
+        F.sequence(F.lit(0), F.size(arr) - 2),
+        lambda i: (F.element_at(arr, i + 1) == lft)
+        & (F.element_at(arr, i + 2) == rgt),
+    )
+    kept = F.aggregate(
+        p,
+        F.array().cast("array<int>"),
+        lambda acc, i: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == i - 1), acc
+        ).otherwise(F.concat(acc, F.array(i.cast("int")))),
+    )
+    out = F.array_join(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0), F.size(arr) - 1),
+                lambda j: ~F.array_contains(kept, (j - 1).cast("int")),
+            ),
+            lambda j: F.when(
+                F.array_contains(kept, j.cast("int")),
+                F.concat(F.element_at(arr, j + 1), F.element_at(arr, j + 2)),
+            ).otherwise(F.element_at(arr, j + 1)),
+        ),
+        " ",
+    )
+    short = F.size(arr) < 2
+    return syms.select(F.when(short, F.col("sym")).otherwise(out).alias("sym"), "n")
+
+
+def train_bpe_merges(
+    words: DataFrame, n_merges: int = 8
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from a (word, n) table.
+
+    Returns ``(merges, final_symbols)`` where merges is
+    ``[(rank, "left right", weight), ...]`` in training order (rank from
+    0; stops early if no pair remains) and final_symbols is the trained
+    (sym, n) segmentation. Each round: one pair-count aggregate, a 1-row
+    driver argmax, one column-expression merge pass, re-materialized."""
+    syms = init_symbols(words).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, int]] = []
+    for k in range(n_merges):
+        best = (
+            _pair_counts(syms)
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        left, right = pair.split(" ", 1)
+        merges.append((k, pair, cnt))
+        syms = _apply_merge(syms, left, right).localCheckpoint(eager=True)
+    return merges, syms

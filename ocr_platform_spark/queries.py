@@ -4376,6 +4376,89 @@ def corpus_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+_BPE_MERGES = 8
+
+
+@q(
+    "corpus_bpe_merges",
+    f"""
+    WITH RECURSIVE
+    w AS (SELECT word, n FROM read_parquet('{staged_glob("bpe_words")}')),
+    st(it, sym, n) AS (
+      SELECT 0, trim(regexp_replace(word, '(.)', '\\1 ', 'g')), n FROM w
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT * FROM st WHERE it < {_BPE_MERGES}),
+        tok AS (
+          SELECT it, sym, n, i, arr[i] AS s, arr[i+1] AS s2
+          FROM (SELECT it, sym, n, regexp_split_to_array(sym, ' ') AS arr FROM prev),
+               unnest(generate_series(1, len(arr))) AS g(i)
+        ),
+        best AS (
+          SELECT s || ' ' || s2 AS pair FROM tok WHERE s2 IS NOT NULL
+          GROUP BY 1 ORDER BY SUM(n) DESC, pair LIMIT 1
+        ),
+        p AS (
+          SELECT tok.sym, tok.i FROM tok, best
+          WHERE tok.s2 IS NOT NULL AND tok.s || ' ' || tok.s2 = best.pair
+        ),
+        runs AS (
+          SELECT sym, i, i - row_number() OVER (PARTITION BY sym ORDER BY i) AS run
+          FROM p
+        ),
+        kept AS (
+          SELECT sym, i FROM (
+            SELECT sym, i, (i - MIN(i) OVER (PARTITION BY sym, run)) % 2 AS par
+            FROM runs
+          ) WHERE par = 0
+        )
+        SELECT t.it + 1,
+               string_agg(CASE WHEN k.i IS NOT NULL THEN t.s || t.s2 ELSE t.s END,
+                          ' ' ORDER BY t.i) AS sym,
+               t.n
+        FROM tok t
+        LEFT JOIN kept k ON k.sym = t.sym AND k.i = t.i
+        LEFT JOIN kept k2 ON k2.sym = t.sym AND k2.i = t.i - 1
+        WHERE k2.i IS NULL
+        GROUP BY t.it, t.sym, t.n
+      )
+    ),
+    tok2 AS (
+      SELECT it, n, arr[i] AS s, arr[i+1] AS s2
+      FROM (SELECT it, sym, n, regexp_split_to_array(sym, ' ') AS arr FROM st),
+           unnest(generate_series(1, len(arr) - 1)) AS g(i)
+      WHERE it < {_BPE_MERGES}
+    ),
+    ranked AS (
+      SELECT it, s || ' ' || s2 AS pair, SUM(n) AS cnt,
+             row_number() OVER (
+               PARTITION BY it ORDER BY SUM(n) DESC, s || ' ' || s2) AS rn
+      FROM tok2 GROUP BY it, s || ' ' || s2
+    )
+    SELECT CAST(it AS INT) AS rank, pair, CAST(cnt AS BIGINT) AS n
+    FROM ranked WHERE rn = 1 ORDER BY rank
+    """,
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (operators/bpe.py): the corpus
+    collapses once to a staged (word, n) table; eight merge rounds each
+    count pair frequencies, argmax with a lexicographic tie-break, and
+    apply the greedy left-to-right merge (run-parity over match positions,
+    a row-local fold in Spark). The oracle RETRAINS the whole tokenizer in
+    a DuckDB recursive CTE — per-round argmax plus a gaps-and-islands
+    formulation of the same greedy merge — and the learned merge table
+    matches value-for-value: cross-engine-exact tokenizer training. Pinned
+    against a pure-python classic-BPE reference in tests/test_bpe.py."""
+    from ocr_platform_spark.operators.bpe import train_bpe_merges, word_counts
+
+    d = _t(spark, sf_dir, "documents")
+    words = stage(word_counts(d, "text", min_count=2), "bpe_words")
+    merges, _syms = train_bpe_merges(words, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(merges, "rank int, pair string, n long").orderBy(
+        "rank"
+    )
+
+
 @q(
     "corpus_top_bigrams",
     r"""

@@ -1,0 +1,94 @@
+"""BPE vocabulary induction (operators/bpe.py): differential against a
+pure-python classic-BPE reference (merge order, tie-breaks, greedy
+left-to-right application, overlapping runs), plus edge cases."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+
+from ocr_platform_spark.operators.bpe import (
+    init_symbols,
+    train_bpe_merges,
+    word_counts,
+)
+
+
+def _py_bpe(words: dict[str, int], k: int):
+    """Classic BPE reference: pair counts over the word-frequency table,
+    argmax with lexicographic tie-break, greedy left-to-right merge."""
+    syms = {tuple(w): n for w, n in words.items()}
+    merges = []
+    for rank in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for s, n in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + n
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, f"{l} {r}", cnt))
+        new: dict[tuple[str, ...], int] = {}
+        for s, n in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + n
+        syms = new
+    return merges, syms
+
+
+def _check(spark, words: dict[str, int], k: int):
+    ref_merges, ref_syms = _py_bpe(words, k)
+    wdf = spark.createDataFrame(list(words.items()), "word string, n long")
+    got_merges, got_syms = train_bpe_merges(wdf, k)
+    assert got_merges == ref_merges
+    gm: Counter = Counter()
+    for r in got_syms.collect():
+        gm[tuple(r["sym"].split(" "))] += r["n"]
+    rm: Counter = Counter()
+    for s, n in ref_syms.items():
+        rm[s] += n
+    assert gm == rm
+
+
+def test_matches_reference_including_ties_and_overlaps(spark):
+    _check(
+        spark,
+        {"banana": 5, "bandana": 3, "ananas": 2, "aaaa": 4, "abab": 6, "x": 1},
+        8,
+    )
+
+
+def test_single_char_words_survive_and_early_stop(spark):
+    # only single-char words -> zero pairs -> training stops with no merges
+    wdf = spark.createDataFrame([("a", 3), ("b", 2)], "word string, n long")
+    merges, syms = train_bpe_merges(wdf, 4)
+    assert merges == []
+    assert {r["sym"] for r in syms.collect()} == {"a", "b"}
+
+
+def test_partitioning_invariance(spark):
+    words = {"hello": 7, "help": 5, "hull": 3, "loop": 2, "pool": 2}
+    wdf = spark.createDataFrame(list(words.items()), "word string, n long")
+    a, _ = train_bpe_merges(wdf, 6)
+    b, _ = train_bpe_merges(wdf.repartition(13), 6)
+    assert a == b and len(a) == 6
+
+
+def test_word_counts_normalizes_and_prunes(spark):
+    docs = spark.createDataFrame(
+        [(1, "Foo  foo BAR"), (2, "foo éclair")], "doc_id long, text string"
+    )
+    got = {r["word"]: r["n"] for r in word_counts(docs, "text", min_count=2).collect()}
+    assert got == {"foo": 3}  # lowercased, collapsed, pruned, ascii-only
+    syms = {r["sym"] for r in init_symbols(
+        word_counts(docs, "text", min_count=2)
+    ).collect()}
+    assert syms == {"f o o"}
