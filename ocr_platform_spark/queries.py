@@ -4460,6 +4460,69 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_bpe_token_counts",
+    rf"""
+    WITH seg AS (
+      SELECT word, n_tok FROM read_parquet('{staged_glob("bpe_seg_final")}')
+    ),
+    wordstream AS (
+      SELECT doc_id, unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    ),
+    w AS (SELECT doc_id, word FROM wordstream WHERE word <> '')
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(COALESCE(seg.n_tok, length(w.word))) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN seg.n_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov_words
+    FROM w LEFT JOIN seg USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under the LEARNED vocabulary — the token-budget step
+    measured in the tokenizer the model will train with, not a whitespace
+    proxy: train BPE on the corpus (operators/bpe.py), stage the final
+    word→segmentation table, then one broadcast join prices every word at
+    its trained token count (out-of-vocabulary words — rare words pruned
+    below min_count — fall back to character count, the worst-case BPE
+    bound). The oracle recomputes every per-doc count from the staged
+    segmentation over raw parquet; training itself is hash-gated by
+    ``corpus_bpe_merges``."""
+    from ocr_platform_spark.operators.bpe import train_bpe_merges, word_counts
+    from ocr_platform_spark.functions.textfns import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    words = word_counts(d, "text", min_count=2)
+    _merges, syms = train_bpe_merges(words, n_merges=_BPE_MERGES)
+    seg = stage(
+        syms.select(
+            F.regexp_replace("sym", " ", "").alias("word"),
+            F.size(F.split("sym", " ")).cast("int").alias("n_tok"),
+        ),
+        "bpe_seg_final",
+    )
+    w = d.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        w.join(F.broadcast(seg), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.coalesce(F.col("n_tok"), F.length("word")))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.when(F.col("n_tok").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "corpus_top_bigrams",
     r"""
     WITH grams AS (

@@ -92,3 +92,33 @@ def test_word_counts_normalizes_and_prunes(spark):
         word_counts(docs, "text", min_count=2)
     ).collect()}
     assert syms == {"f o o"}
+
+
+def test_learned_token_counts_vs_reference(spark):
+    """Token pricing under the trained vocabulary matches the python
+    reference segmentation end-to-end (known words priced at trained
+    token count; OOV at char count)."""
+    docs = spark.createDataFrame(
+        [(1, "banana banana abab x"), (2, "bandana zz")], "doc_id long, text string"
+    )
+    words = {"banana": 2, "abab": 1, "x": 1, "bandana": 1, "zz": 1}
+    ref_merges, ref_syms = _py_bpe(words, 4)
+    wdf = spark.createDataFrame(list(words.items()), "word string, n long")
+    _m, syms = train_bpe_merges(wdf, 4)
+    seg = {r["sym"].replace(" ", ""): len(r["sym"].split(" ")) for r in syms.collect()}
+    ref_seg = {"".join(s): len(s) for s in ref_syms}
+    assert seg == ref_seg
+    # doc 1: banana*2 + abab + x; doc 2: bandana + zz — all in-vocab here
+    n1 = 2 * seg["banana"] + seg["abab"] + seg["x"]
+    n2 = seg["bandana"] + seg["zz"]
+    import pyspark.sql.functions as F
+    w = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    wdf2 = spark.createDataFrame([(k, v) for k, v in seg.items()], "word string, n_tok int")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in w.join(wdf2, "word", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("n_tok", F.length("word"))).alias("n"))
+        .collect()
+    }
+    assert got == {1: n1, 2: n2}
