@@ -74,6 +74,7 @@ HEADLINE = [
     "url_bloom_resume",
     "corpus_keyword_search",
     "host_hits",
+    "corpus_bpe_merges",
 ]
 
 
