@@ -59,6 +59,59 @@ def stream_extraction(
     return writer.start()
 
 
+def stream_dedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "24 hours",
+    available_now: bool = True,
+):
+    """Streaming URL dedup ahead of extraction — the crawl-ingest shape
+    where the same page arrives repeatedly (refetches, mirror shards):
+    readStream → ``withWatermark`` → ``dropDuplicatesWithinWatermark(key)``
+    → extraction → snapshot sink.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    event-time watermark passes the key's last occurrence — bounded state,
+    unlike a plain streaming ``dropDuplicates`` whose state grows with the
+    keyspace forever (the 10^12-URL failure mode). Duplicates farther
+    apart than the watermark are the Bloom/anti-join resume path's job
+    (operators/bloom.py, operators/resume.py) — the two layers compose:
+    in-flight dedup here, historical dedup there. Exactly-once via the
+    same idempotent epoch-keyed snapshot sink as :func:`stream_extraction`.
+    """
+    table = SnapshotTable(table_path)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(input_dir)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([key])
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        run_id = f"dedupstream-{epoch_id:08d}"
+        if table.is_committed(run_id):
+            return
+        extracted = extract_documents(batch_df)
+        table.stage_data(extracted, run_id)
+        written = table.read_staged(spark, run_id)
+        if written.take(1):
+            table.commit(lineage_from_extracted(written, run_id), run_id)
+        else:
+            table.discard_staged(run_id)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -279,3 +279,30 @@ def test_stream_sessions_exactly_once_restart(spark, tmp_path):
     # lineage covers exactly the committed sessions
     lin = table.read_lineage(spark)
     assert lin.agg(F.sum("input_count")).first()[0] == 2
+
+
+def test_stream_dedup_ingest_drops_in_watermark_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ahead of the kernel: duplicate urls
+    arriving within the watermark are extracted once; state stays bounded
+    by event time (the 10^12-URL-safe streaming dedup shape)."""
+    from ocr_platform_spark.streaming.incremental import stream_dedup_ingest
+
+    input_dir = str(tmp_path / "incoming")
+    table_path = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = documents_df(spark, 40)
+    base.write.parquet(input_dir)
+    # refetches: same urls again (same event time — inside any watermark)
+    base.limit(25).write.mode("append").parquet(input_dir)
+
+    q = stream_dedup_ingest(spark, input_dir, table_path, ckpt, available_now=True)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    data = SnapshotTable(table_path).read_data(spark)
+    urls = [r["url"] for r in data.select("url").collect()]
+    assert len(urls) == len(set(urls)), "duplicate url extracted twice"
+    assert len(set(urls)) == 40  # every distinct url made it exactly once
