@@ -47,23 +47,66 @@ def doc_distinct_tokens(
     )
 
 
+def doc_tokens(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Multinomial twin of :func:`doc_distinct_tokens`: one row per token
+    OCCURRENCE — for corpora whose class signal lives in token
+    frequencies, not presence (every class sharing one vocabulary)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
+        F.explode(F.split(normalized_text(text_col), " ")).alias("token"),
+    )
+
+
 def train_class_token_weights(
     train: DataFrame,
     label_col: str,
     id_col: str,
     text_col: str,
     min_count: int = 2,
+    mode: str = "presence",
 ) -> DataFrame:
-    """(label, token, w) — the model: per-class distinct-doc token counts,
-    pruned below ``min_count`` (rare tokens carry noise and bloat the
-    table — the fastText ``minCount`` knob), weight = integer bit length
-    of the count (``length(bin(c))``, exact in Spark and DuckDB alike)."""
-    toks = doc_distinct_tokens(train, id_col, text_col, keep_cols=(label_col,))
+    """(label, token, w) — the model: per-class token counts, pruned below
+    ``min_count`` (rare tokens carry noise and bloat the table — the
+    fastText ``minCount`` knob), weight = integer bit length of the count
+    (``length(bin(c))``, exact in Spark and DuckDB alike).
+
+    ``mode="presence"`` counts distinct documents containing the token
+    (Bernoulli-style — robust to repeated-token spam); ``"multinomial"``
+    counts occurrences AND normalizes by class size — weight = bit length
+    of ``(c << 14) div class_total`` (a scaled integer P(token|class)) —
+    which is the right model when every class shares one vocabulary and
+    the signal is frequency shape. Scoring (:func:`classify_documents` /
+    :func:`classify_map_side`) works on either model's output; pair the
+    multinomial model with :func:`doc_tokens`-shaped scoring by passing
+    ``per_occurrence=True``."""
+    if mode == "presence":
+        toks = doc_distinct_tokens(train, id_col, text_col, keep_cols=(label_col,))
+        return (
+            toks.groupBy(F.col(label_col).alias("label"), "token")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") >= min_count)
+            .select("label", "token", F.length(F.bin("c")).cast("int").alias("w"))
+        )
+    if mode != "multinomial":
+        raise ValueError(f"unknown mode {mode!r}")
+    toks = doc_tokens(train, id_col, text_col, keep_cols=(label_col,))
+    counts = toks.groupBy(F.col(label_col).alias("label"), "token").agg(
+        F.count("*").alias("c")
+    )
+    totals = counts.groupBy("label").agg(F.sum("c").alias("class_total"))
     return (
-        toks.groupBy(F.col(label_col).alias("label"), "token")
-        .agg(F.count("*").alias("c"))
-        .where(F.col("c") >= min_count)
-        .select("label", "token", F.length(F.bin("c")).cast("int").alias("w"))
+        counts.where(F.col("c") >= min_count)
+        .join(F.broadcast(totals), "label")
+        .select(
+            "label",
+            "token",
+            F.length(F.bin(F.expr("(c * 16384) div class_total")))
+            .cast("int")
+            .alias("w"),
+        )
     )
 
 
@@ -72,13 +115,16 @@ def classify_documents(
     weights: DataFrame,
     id_col: str,
     text_col: str,
+    per_occurrence: bool = False,
 ) -> DataFrame:
     """(id, predicted, score) — argmax_class Σ w over the doc's distinct
-    known tokens; ties break to the lexicographically smallest class.
-    Documents whose every token is out-of-vocabulary for every class emit
-    no row (no evidence, no verdict — the caller's coverage join decides
-    their fate)."""
-    toks = doc_distinct_tokens(docs, id_col, text_col)
+    known tokens (or every occurrence with ``per_occurrence=True``, the
+    multinomial pairing); ties break to the lexicographically smallest
+    class. Documents whose every token is out-of-vocabulary for every
+    class emit no row (no evidence, no verdict — the caller's coverage
+    join decides their fate)."""
+    tokfn = doc_tokens if per_occurrence else doc_distinct_tokens
+    toks = tokfn(docs, id_col, text_col)
     scored = (
         toks.join(weights, "token")
         .groupBy("id", "label")
@@ -101,6 +147,7 @@ def classify_map_side(
     weights: DataFrame,
     id_col: str,
     text_col: str,
+    per_occurrence: bool = False,
 ) -> DataFrame:
     """Map-side twin of :func:`classify_documents`: the pruned model is
     collected and broadcast, every document scored in one Arrow-batched
@@ -134,7 +181,8 @@ def classify_map_side(
         preds: list[str | None] = []
         scores: list[int | None] = []
         for t in texts:
-            toks = set(ws.sub(" ", (t or "").lower()).strip().split(" "))
+            stream = ws.sub(" ", (t or "").lower()).strip().split(" ")
+            toks = stream if per_occurrence else set(stream)
             acc: dict[str, int] = {}
             for tok in toks:
                 for label, w in tbl.get(tok, ()):

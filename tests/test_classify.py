@@ -103,3 +103,58 @@ def test_tie_break_and_oov_handling(spark):
     assert got == {10: "A"}  # doc 11 is all-OOV: no verdict row
     ms = {r["doc_id"]: r["predicted"] for r in classify_map_side(probe, w, "doc_id", "text").collect()}
     assert ms == got
+
+
+def _freq_corpus(spark, n=300):
+    """Every class emits every token (presence ~uninformative per token);
+    classes differ only in FREQUENCY: 3/4 of draws come from the class's
+    favored 8-token slice, 1/4 uniform over all 24."""
+    vocab = F.array(*[F.lit(t) for t in _VOCAB])
+    labels = F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma"))
+    h = lambda j: F.xxhash64(F.col("id"), j)  # noqa: E731
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(labels, (F.pmod("id", F.lit(3)) + 1).cast("int")).alias("label"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda j: F.element_at(
+                    vocab,
+                    F.when(
+                        F.pmod(h(j), F.lit(4)) != 0,
+                        F.pmod("id", F.lit(3)) * 8
+                        + F.pmod(F.abs(h(j)), F.lit(8))
+                        + 1,
+                    )
+                    .otherwise(F.pmod(F.abs(h(j)), F.lit(24)) + 1)
+                    .cast("int"),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def test_multinomial_mode_learns_frequency_signal(spark):
+    d = _freq_corpus(spark).cache()
+    train = d.where(F.col("doc_id") % 5 != 0)
+    test = d.where(F.col("doc_id") % 5 == 0)
+    w = train_class_token_weights(
+        train, "label", "doc_id", "text", mode="multinomial"
+    )
+    pred = classify_documents(test, w, "doc_id", "text", per_occurrence=True)
+    cm = confusion_matrix(pred, test, "doc_id", "label").collect()
+    n_right = sum(r["n_docs"] for r in cm if r["actual"] == r["predicted"])
+    n_all = sum(r["n_docs"] for r in cm)
+    assert n_all > 0 and n_right / n_all >= 0.9, cm
+    # map-side twin parity in per-occurrence mode
+    rel = {
+        (r["doc_id"], r["predicted"], r["score"])
+        for r in classify_documents(test, w, "doc_id", "text", per_occurrence=True).collect()
+    }
+    ms = {
+        (r["doc_id"], r["predicted"], r["score"])
+        for r in classify_map_side(test, w, "doc_id", "text", per_occurrence=True).collect()
+    }
+    assert rel == ms
+    d.unpersist()
