@@ -158,6 +158,8 @@ def run_corpus_build_job(
     lm_counts: DataFrame | None = None,
     lm_keep_bits: int = 3,
     lm_max_oov_pct: int = 10,
+    classifier_weights: DataFrame | None = None,
+    classifier_keep: tuple[str, ...] = (),
     shard_output: tuple[str, int] | None = None,
     stage_prefix: str = "corpus_build",
 ) -> dict:
@@ -190,6 +192,10 @@ def run_corpus_build_job(
     3c. **LM gate** (``lm_counts=<reference bigram counts>``;
        operators/lmscore.py): CCNet head-bucket keep against a pretrained
        reference count table, applied as a left-semi join on the keep set.
+    3d. **Classifier gate** (``classifier_weights=<trained NB model>``,
+       ``classifier_keep=<labels to keep>``; operators/classify.py): a
+       pretrained integer-NB document classifier routes documents in one
+       broadcast Arrow pass — the fastText wiki-vs-spam slot.
     4. **Curate** (plans/curation.run_curation_funnel): the single-pass
        observe-counted funnel — quality/lang/repetition gates fused into
        one scan, exact + MinHash + winnowing dedup — over the EXTRACTED
@@ -338,6 +344,23 @@ def run_corpus_build_job(
         lm_metrics = {"kept": keeps.count()}
         curin = curin.join(keeps, "doc_id", "left_semi")
 
+    clf_metrics = None
+    if classifier_weights is not None:
+        # Trained-classifier gate (operators/classify.py) — the fastText
+        # slot: a PRETRAINED integer-NB model (trained on labeled data
+        # elsewhere, e.g. wiki-vs-spam) routes documents; only predictions
+        # in ``classifier_keep`` survive. Same deployment shape as the LM
+        # gate: the pruned model broadcasts, each doc scores in one Arrow
+        # pass, the corpus left-semi-joins the doc-id-sized keep set.
+        from ocr_platform_spark.operators.classify import classify_map_side
+
+        pred = classify_map_side(curin, classifier_weights, "doc_id", "text")
+        ckeeps = pred.where(F.col("predicted").isin(list(classifier_keep))).select(
+            "doc_id"
+        )
+        clf_metrics = {"kept": ckeeps.count()}
+        curin = curin.join(ckeeps, "doc_id", "left_semi")
+
     report, details = run_curation_funnel(
         curin,
         id_col="doc_id",
@@ -432,6 +455,7 @@ def run_corpus_build_job(
             {k: int(v or 0) for k, v in o_comp.get.items()} if o_comp else None
         ),
         "lm_gate": lm_metrics,
+        "classifier_gate": clf_metrics,
         "shards": shard_metrics,
         "funnel": [tuple(r) for r in report.collect()],
         "kept_docs": totals["n_docs"],

@@ -293,3 +293,80 @@ def test_corpus_build_compression_lm_and_shard_stages(spark, tmp_path):
     assert tight["compression"]["n_kept"] < tight["compression"]["n_in"]
     assert tight["kept_docs"] <= res["kept_docs"]
     docs.unpersist()
+
+
+def test_corpus_build_classifier_gate(spark, tmp_path):
+    """The trained-classifier gate (3d): a pretrained NB model routes
+    documents; only kept labels survive into curation. Both classes train
+    on the corpus's own frequent words (ties break to "ham" by the
+    lexicographic rule), spam additionally on a marker token injected into
+    a third of the pages — the gate must drop exactly those pages.
+    Paragraph dedup is disabled: it would strip the repeated marker
+    paragraph corpus-wide BEFORE the gate (it runs earlier by design)."""
+    import unittest.mock as mock
+
+    import ocr_platform_spark.staging as staging
+    from ocr_platform_spark.operators.classify import train_class_token_weights
+    from ocr_platform_spark.operators.extract import extract_documents
+    from ocr_platform_spark.plans.pipeline import run_corpus_build_job
+
+    docs = (
+        documents_df(spark, 60)
+        .where(F.hex(F.substring("html", 1, 1)) == "3C")  # html payloads only
+        .cache()
+    )
+    spam_urls = docs.where(F.xxhash64("url") % 3 == 0).select("url")
+    n_spam = spam_urls.count()
+    assert n_spam > 0
+    tagged = (
+        docs.join(spam_urls.withColumn("_spam", F.lit(True)), "url", "left")
+        .withColumn(
+            "html",
+            F.when(
+                F.col("_spam"),
+                F.concat("html", F.lit(b"<p>zzspammarker zzspammarker</p>")),
+            ).otherwise(F.col("html")),
+        )
+        .drop("_spam")
+    )
+    # pretrained model: both classes share the corpus's 16 most frequent
+    # words (equal counts -> ties -> "ham"); spam adds the marker
+    top = [
+        r["w"]
+        for r in extract_documents(docs)
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.length("w") > 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(16)
+        .collect()
+    ]
+    shared = " ".join(top)
+    labeled = spark.createDataFrame(
+        [
+            (1, shared, "ham"),
+            (2, shared, "ham"),
+            (3, shared + " zzspammarker", "spam"),
+            (4, shared + " zzspammarker", "spam"),
+        ],
+        "doc_id long, text string, lab string",
+    )
+    model = train_class_token_weights(labeled, "lab", "doc_id", "text", min_count=1)
+
+    with mock.patch.object(staging, "STAGE_ROOT", str(tmp_path / "s1")):
+        res_on = run_corpus_build_job(
+            spark, tagged, str(tmp_path / "t1"), run_id="g1",
+            para_min_df=None,
+            classifier_weights=model, classifier_keep=("ham",),
+        )
+    with mock.patch.object(staging, "STAGE_ROOT", str(tmp_path / "s2")):
+        res_off = run_corpus_build_job(
+            spark, tagged, str(tmp_path / "t2"), run_id="g2", para_min_df=None,
+        )
+    on_in = {s: n for _no, s, n in res_on["funnel"]}["input"]
+    off_in = {s: n for _no, s, n in res_off["funnel"]}["input"]
+    assert res_on["classifier_gate"]["kept"] == on_in
+    assert res_off["classifier_gate"] is None
+    assert off_in - on_in == n_spam  # exactly the marker pages gated out
+    docs.unpersist()
