@@ -4523,6 +4523,110 @@ def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ccnet_bucket_sample",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(words) - 1, 1)),
+               i -> array_to_string(words[i:i+1], ' '))) AS bigram
+      FROM t
+    ),
+    ref AS (
+      SELECT bigram, COUNT(*) AS c FROM g WHERE doc_id % 5 = 0
+      GROUP BY bigram HAVING COUNT(*) >= 2
+    ),
+    sc AS (
+      SELECT g.doc_id,
+             (CAST(COALESCE(SUM(CASE WHEN ref.c IS NOT NULL
+                                     THEN length(bin(ref.c)) END), 0) AS BIGINT)
+              * 1000) // COUNT(*) AS mb
+      FROM g LEFT JOIN ref USING (bigram)
+      WHERE g.doc_id % 5 <> 0
+      GROUP BY g.doc_id
+    ),
+    hist AS (SELECT mb, COUNT(*) AS c FROM sc GROUP BY mb),
+    cum AS (
+      SELECT mb, SUM(c) OVER (ORDER BY mb) AS cum,
+             (SELECT COUNT(*) FROM sc) AS n
+      FROM hist
+    ),
+    cuts AS (
+      SELECT MIN(CASE WHEN cum * 3 >= n THEN mb END) AS t1,
+             MIN(CASE WHEN cum * 3 >= 2 * n THEN mb END) AS t2
+      FROM cum
+    ),
+    b AS (
+      SELECT sc.doc_id,
+             CASE WHEN mb >= t2 THEN 'head'
+                  WHEN mb >= t1 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             CASE WHEN mb >= t2 THEN TRUE
+                  WHEN mb >= t1 THEN {oracle_bucket_sql('sc.doc_id', 2, 'ccnet')} = 0
+                  ELSE {oracle_bucket_sql('sc.doc_id', 4, 'ccnet')} = 0
+             END AS keep
+      FROM sc, cuts
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def ccnet_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's closing move end-to-end: LM-score every document (integer
+    milli-bits-per-gram against the reference slice), cut EXACT terciles
+    into head/middle/tail (distinct-value cumulative histogram — the
+    corpus_length_deciles technique, bounded by the score range), and
+    sample proportionally (head kept whole, middle 1/2, tail 1/4 via the
+    dialect-mirrored md5 bucket). Every quantity an integer, staging-free:
+    the oracle retrains the LM, re-derives the tercile cuts, and replays
+    the sampling decision per document."""
+    from ocr_platform_spark.operators.lmscore import lm_score, reference_bigram_counts
+    from ocr_platform_spark.operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 5 == 0)
+    counts = reference_bigram_counts(ref, "doc_id", "text", min_count=2)
+    sc = lm_score(d.where(F.col("doc_id") % 5 != 0), counts, "doc_id", "text").select(
+        "doc_id", F.expr("bits_total * 1000 div n_bigrams").alias("mb")
+    )
+    hist = sc.groupBy("mb").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("mb").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("mb", F.sum("c").over(wcum).alias("cum")).crossJoin(
+        F.broadcast(sc.agg(F.count("*").alias("n")))
+    )
+    cuts = cum.agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("mb"))).alias("t1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("mb"))).alias("t2"),
+    ).first()
+    t1, t2 = int(cuts["t1"]), int(cuts["t2"])
+    bucket = (
+        F.when(F.col("mb") >= t2, F.lit("head"))
+        .when(F.col("mb") >= t1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    keep = (
+        F.when(F.col("mb") >= t2, F.lit(True))
+        .when(F.col("mb") >= t1, hash_bucket("doc_id", 2, "ccnet") == 0)
+        .otherwise(hash_bucket("doc_id", 4, "ccnet") == 0)
+    )
+    return (
+        sc.select(bucket.alias("bucket"), keep.alias("keep"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
     "corpus_top_bigrams",
     r"""
     WITH grams AS (
