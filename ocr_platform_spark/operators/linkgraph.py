@@ -179,6 +179,90 @@ def host_pagerank(
     return ranks.orderBy(F.desc("rank"), "host")
 
 
+def host_trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Deterministic INTEGER TrustRank (Gyöngyi et al., "Combating Web
+    Spam with TrustRank"): PageRank whose teleport mass lands ONLY on a
+    trusted seed set, so authority flows outward from vetted hosts and
+    spam clusters far from any seed starve — the standard crawl-frontier /
+    spam-demotion companion to plain PageRank.
+
+    Same exact-integer recurrence as :func:`host_pagerank` with the base
+    term restricted to seeds:
+
+        base(h) = ((100-damping_pct)·scale div 100) div n_seeds  if h ∈ seeds
+                  0                                              otherwise
+        rank'(h) = base(h) + (damping_pct · Σ contrib) div 100
+
+    Initial mass sits entirely on the seeds (scale div n_seeds each).
+    Replayable bit-for-bit by a recursive CTE (catalog ``host_trustrank``);
+    seeds not present in the graph are ignored."""
+    spark = edges.sparkSession
+
+    def _materialize(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    hosts = _materialize(
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .join(
+            seeds.select(F.col(seeds.columns[0]).alias("host"))
+            .distinct()
+            .withColumn("_seed", F.lit(True)),
+            "host",
+            "left",
+        )
+        .select("host", F.coalesce("_seed", F.lit(False)).alias("is_seed")),
+        "tr-hosts",
+    )
+    n_seeds = hosts.where("is_seed").count()
+    if n_seeds == 0:
+        return hosts.select("host", F.lit(0).cast("long").alias("rank"))
+    base_seed = ((100 - damping_pct) * scale // 100) // n_seeds
+    deg = _materialize(
+        edges.groupBy("src_host").agg(F.count("*").alias("out_deg")), "tr-degrees"
+    )
+    ranks = hosts.select(
+        "host",
+        F.when(F.col("is_seed"), F.lit(scale // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for i in range(iterations):
+        contribs = (
+            edges.join(ranks, edges.src_host == ranks.host)
+            .join(deg, "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("rank div out_deg").alias("contrib"),
+            )
+            .groupBy("host")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = hosts.join(contribs, "host", "left").select(
+            "host",
+            (
+                F.when(F.col("is_seed"), F.lit(base_seed)).otherwise(F.lit(0))
+                + F.expr(f"({damping_pct} * coalesce(inc, 0)) div 100")
+            ).cast("long").alias("rank"),
+        )
+        if (i + 1) % 3 == 0 or i == iterations - 1:
+            ranks = _materialize(ranks, f"tr-ranks-{i + 1:04d}")
+    return ranks.orderBy(F.desc("rank"), "host")
+
+
 def host_hits(
     edges: DataFrame,
     iterations: int = 8,

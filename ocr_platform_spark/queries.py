@@ -3518,6 +3518,73 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(edges, iterations=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE)
 
 
+@q(
+    "host_trustrank",
+    f"""
+    WITH RECURSIVE
+    e AS (SELECT * FROM read_parquet('{staged_glob("tr_edges")}')),
+    deg AS (SELECT src_host, COUNT(*) AS out_deg FROM e GROUP BY src_host),
+    hosts AS (SELECT DISTINCT host FROM
+              (SELECT src_host AS host FROM e UNION ALL SELECT dst_host AS host FROM e)),
+    seeds AS (SELECT host FROM hosts WHERE CAST(substr(host, 6, 2) AS INT) < 8),
+    e2 AS (
+      SELECT src_host, dst_host, FALSE AS phantom FROM e
+      UNION ALL
+      SELECT host, host, TRUE FROM hosts
+    ),
+    tr AS (
+      SELECT 0 AS it, hosts.host,
+             CAST(CASE WHEN s.host IS NOT NULL
+                  THEN CAST({_PR_SCALE} AS BIGINT) // (SELECT COUNT(*) FROM seeds)
+                  ELSE 0 END AS BIGINT) AS rank
+      FROM hosts LEFT JOIN seeds s USING (host)
+      UNION ALL
+      SELECT p.it + 1, e2.dst_host AS host,
+             CAST( CASE WHEN sd.host IS NOT NULL
+                        THEN ((CAST({100 - _PR_DAMP} AS BIGINT) * {_PR_SCALE}) // 100)
+                               // (SELECT COUNT(*) FROM seeds)
+                        ELSE 0 END
+                   + (CAST({_PR_DAMP} AS BIGINT)
+                      * SUM(CASE WHEN e2.phantom THEN CAST(0 AS BIGINT)
+                                 ELSE p.rank // d.out_deg END)) // 100
+               AS BIGINT) AS rank
+      FROM tr p
+      JOIN e2 ON e2.src_host = p.host
+      LEFT JOIN deg d ON d.src_host = p.host
+      LEFT JOIN seeds sd ON sd.host = e2.dst_host
+      WHERE p.it < {_PR_ITER}
+      GROUP BY p.it, e2.dst_host, sd.host
+    )
+    SELECT host, rank FROM tr WHERE it = {_PR_ITER} ORDER BY rank DESC, host
+    """,
+)
+def host_trustrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer TrustRank (operators/linkgraph.host_trustrank): teleport
+    mass restricted to a trusted seed set (here the deterministic
+    site-00..07 hosts), so authority flows outward from vetted hosts and
+    unreachable spam clusters starve. Cross-engine EXACT like
+    ``host_pagerank``: the seeded integer recurrence is replayed by a
+    DuckDB recursive CTE over the same staged edges, ten iterations
+    verified value-for-value."""
+    from ocr_platform_spark.operators.linkgraph import (
+        extract_outlinks,
+        host_edges,
+        host_trustrank,
+    )
+
+    docs = _synth_docs(spark)
+    edges = stage(host_edges(extract_outlinks(docs)), "tr_edges", partitions=4)
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    seeds = hosts.where(F.substring("host", 6, 2).cast("int") < 8)
+    return host_trustrank(
+        edges, seeds, iterations=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    )
+
+
 # scale 10^8: raw sums stay ≤ 2·10^18 even at 10^10 edges (int64-safe)
 # while floor-division keeps resolution for the sub-dominant hosts; 4
 # iterations — the Zipf-star host graph concentrates fast and more
@@ -4685,7 +4752,7 @@ _PRIORITY = [
     "corpus_pack_sequences", "corpus_shard_manifest", "host_quality_rollup",
     "corpus_length_deciles", "host_downsample", "corpus_mixture_sample",
     "doc_split_assign", "doc_decontam", "doc_pii_scrub", "doc_c4_line_filter",
-    "fuzzy_supplier_mapping", "corrected_field_values",
+    "fuzzy_supplier_mapping", "host_trustrank",
 ]
 
 

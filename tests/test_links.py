@@ -309,3 +309,40 @@ def test_host_hits_empty_graph(spark):
 
     edges = spark.createDataFrame([], "src_host string, dst_host string")
     assert host_hits(edges, iterations=2).collect() == []
+
+
+def test_host_trustrank_seeded_flow(spark, tmp_path):
+    from ocr_platform_spark.operators.linkgraph import host_pagerank, host_trustrank
+
+    # seed -> a -> b chain plus an isolated spam pair untouched by seeds
+    edges = spark.createDataFrame(
+        [("seed", "a"), ("a", "b"), ("spam1", "spam2"), ("spam2", "spam1")],
+        "src_host string, dst_host string",
+    )
+    seeds = spark.createDataFrame([("seed",)], "host string")
+    got = {r["host"]: r["rank"] for r in host_trustrank(edges, seeds, iterations=6).collect()}
+    assert got["a"] > 0 and got["b"] > 0          # trust flows along links
+    assert got["spam1"] == got["spam2"] == 0      # unreachable from seeds
+    assert got["seed"] > got["a"] > got["b"]      # decays with distance
+
+    # with every host seeded the recurrence IS plain PageRank — bit-equal
+    hosts = spark.createDataFrame(
+        [("seed",), ("a",), ("b",), ("spam1",), ("spam2",)], "host string"
+    )
+    tr_all = {r["host"]: r["rank"] for r in host_trustrank(edges, hosts, iterations=6).collect()}
+    pr = {r["host"]: r["rank"] for r in host_pagerank(edges, iterations=6).collect()}
+    assert tr_all == pr
+
+    # unknown seeds ignored; empty effective seed set -> all-zero ranks
+    ghost = spark.createDataFrame([("nothere",)], "host string")
+    z = {r["rank"] for r in host_trustrank(edges, ghost, iterations=3).collect()}
+    assert z == {0}
+
+    # durable-checkpoint backend bit-equal to localCheckpoint
+    durable = {
+        r["host"]: r["rank"]
+        for r in host_trustrank(
+            edges, seeds, iterations=6, checkpoint_dir=str(tmp_path / "tr")
+        ).collect()
+    }
+    assert durable == got
