@@ -122,3 +122,27 @@ def test_learned_token_counts_vs_reference(spark):
         .collect()
     }
     assert got == {1: n1, 2: n2}
+
+
+def test_hypothesis_random_vocabularies_match_reference(spark):
+    """Property fuzz: on random word multisets (heavy repeats, runs like
+    'aaaa', near-anagrams) the distributed trainer's merge list and final
+    segmentations equal the classic reference — the run-parity fold must
+    hold on every adversarial overlap pattern."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=8)
+    words_strategy = st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=10)
+
+    collected: list[dict] = []
+
+    @given(words_strategy)
+    @settings(max_examples=12, deadline=None)
+    def gather(words):
+        collected.append(words)
+
+    gather()
+    # one Spark round-trip per example is too slow; batch-check the gathered
+    # examples (each still a full train + segmentation comparison)
+    for words in collected:
+        _check(spark, dict(words), 5)
