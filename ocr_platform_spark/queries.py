@@ -4693,6 +4693,56 @@ def ccnet_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHRASE = ("fast", "table")
+
+
+@q(
+    "corpus_phrase_search",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, i AS pos, words[i] AS token
+      FROM (
+        SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        FROM documents
+      ), unnest(generate_series(1, len(words))) AS g(i)
+    )
+    SELECT a.doc_id AS doc_id, COUNT(*) AS n_hits
+    FROM tok a JOIN tok b
+      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.token = '{_PHRASE[0]}' AND b.token = '{_PHRASE[1]}'
+    GROUP BY a.doc_id
+    ORDER BY n_hits DESC, a.doc_id
+    """,
+)
+def corpus_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional token index — the
+    inverted-index construction shape (one posexplode builds (doc, pos,
+    token) postings; a phrase is an adjacency self-join on positions,
+    pre-filtered to the phrase's terms so the join input is postings-list
+    sized, never the corpus). Counts per doc are exact integers; the
+    oracle rebuilds the same index and join from raw parquet."""
+    from ocr_platform_spark.functions.textfns import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(normalized_text("text"), " ")).alias("pos", "token"),
+    )
+    a = tok.where(F.col("token") == _PHRASE[0]).select(
+        "doc_id", (F.col("pos") + 1).alias("next_pos")
+    )
+    b = tok.where(F.col("token") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("next_pos")
+    )
+    return (
+        a.join(b, ["doc_id", "next_pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy(F.desc("n_hits"), "doc_id")
+    )
+
+
 @q(
     "corpus_top_bigrams",
     r"""
