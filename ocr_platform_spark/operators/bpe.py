@@ -124,6 +124,114 @@ def _apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
     return syms.select(F.when(short, F.col("sym")).otherwise(out).alias("sym"), "n")
 
 
+def select_merge_batch(
+    ranked: list[tuple[str, int]], batch: int
+) -> list[tuple[str, int]]:
+    """Greedy batch selection over pairs already in (cnt desc, pair) rank
+    order: walk the ranking, keep a pair ``l r`` iff none of
+    ``{l, r, l+r}`` was touched by an earlier kept pair's own trio, stop
+    at ``batch`` kept.
+
+    The trio rule makes the batch ORDER-FREE to apply: for two kept pairs
+    (a,b) and (c,d), merging ``a b`` → ``ab`` can destroy a ``c d``
+    occurrence only by overlapping it (needs b=c or d=a — excluded by
+    symbol disjointness) and can create one only if the new symbol ``ab``
+    equals c or d (excluded because l+r is in the trio). So every kept
+    pair sees the same occurrence set before and after its batch-mates,
+    and one fused pass applies them all.
+    """
+    sel: list[tuple[str, int]] = []
+    touched: set[str] = set()
+    for pair, cnt in ranked:
+        if len(sel) >= batch:
+            break
+        left, right = pair.split(" ", 1)
+        trio = {left, right, left + right}
+        if touched & trio:
+            continue
+        sel.append((pair, int(cnt)))
+        touched |= trio
+    return sel
+
+
+def _apply_merge_batch(syms: DataFrame, pairs: list[str]) -> DataFrame:
+    """One fused greedy left-to-right pass applying a whole disjoint batch
+    (each ``pairs`` entry is ``"left right"``). Because batch-mates share
+    no symbols, match positions of DIFFERENT pairs are never adjacent
+    (adjacency at i, i+1 would force arr[i+1] into both pairs), so every
+    run of consecutive match positions belongs to a single pair and the
+    same run-parity fold as the single-pair merge applies verbatim."""
+    arr = F.split("sym", " ")
+    batch = F.array(*[F.lit(p) for p in pairs])
+    p = F.filter(
+        F.sequence(F.lit(0), F.size(arr) - 2),
+        lambda i: F.array_contains(
+            batch,
+            F.concat(F.element_at(arr, i + 1), F.lit(" "), F.element_at(arr, i + 2)),
+        ),
+    )
+    kept = F.aggregate(
+        p,
+        F.array().cast("array<int>"),
+        lambda acc, i: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == i - 1), acc
+        ).otherwise(F.concat(acc, F.array(i.cast("int")))),
+    )
+    out = F.array_join(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0), F.size(arr) - 1),
+                lambda j: ~F.array_contains(kept, (j - 1).cast("int")),
+            ),
+            lambda j: F.when(
+                F.array_contains(kept, j.cast("int")),
+                F.concat(F.element_at(arr, j + 1), F.element_at(arr, j + 2)),
+            ).otherwise(F.element_at(arr, j + 1)),
+        ),
+        " ",
+    )
+    short = F.size(arr) < 2
+    return syms.select(F.when(short, F.col("sym")).otherwise(out).alias("sym"), "n")
+
+
+def train_bpe_merges_batched(
+    words: DataFrame, n_rounds: int = 3, batch: int = 4, topk: int = 64
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Batched BPE: per round, count pairs ONCE, keep the top ``batch``
+    pairwise-non-interacting pairs from the (cnt desc, pair)-ranked top
+    ``topk``, and apply them in one fused merge pass.
+
+    This is the production shape for large vocabularies (SentencePiece
+    and fastBPE batch the same way): a 50k-merge vocab costs 50k/batch
+    cluster rounds instead of 50k. It is deliberately NOT bit-equivalent
+    to sequential BPE — after the rank-1 merge, sequential recounts and
+    may prefer a pair the batch has already committed past — but it IS
+    fully deterministic (rank order + the trio rule), so the whole
+    training replays exactly in any engine; the catalog oracle retrains
+    it in DuckDB (list_reduce replays the greedy selection, the same
+    gaps-and-islands CTE replays the fused merge).
+
+    ``topk`` bounds the per-round driver collect; the oracle ranks with
+    the same cutoff, so both engines select from the identical candidate
+    window.
+    """
+    syms = init_symbols(words).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, int]] = []
+    for _ in range(n_rounds):
+        ranked = (
+            _pair_counts(syms).orderBy(F.desc("cnt"), "pair").limit(topk).collect()
+        )
+        sel = select_merge_batch([(r["pair"], int(r["cnt"])) for r in ranked], batch)
+        if not sel:
+            break
+        for pair, cnt in sel:
+            merges.append((len(merges), pair, cnt))
+        syms = _apply_merge_batch(syms, [p for p, _ in sel]).localCheckpoint(
+            eager=True
+        )
+    return merges, syms
+
+
 def train_bpe_merges(
     words: DataFrame, n_merges: int = 8
 ) -> tuple[list[tuple[int, str, int]], DataFrame]:

@@ -4526,6 +4526,145 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_B_ROUNDS, _BPE_B_BATCH, _BPE_B_TOPK = 3, 4, 64
+
+
+def _bpe_chained_selection(src: str, part: str | None) -> str:
+    """CTE text replaying ``select_merge_batch``'s greedy walk in plain SQL:
+    s1 = the rank-1 pair; s_{i+1} = the min-rank pair whose {l, r, l||r}
+    trio is disjoint from every earlier pick's trio. Chained-min equals the
+    walk by induction (a lower-ranked non-conflicting pair would already be
+    some s_j). ``part`` partitions the chain per training round for the
+    final merge-table pass. Picks order by the TOTAL key (cnt desc, pair),
+    never a precomputed row number: DuckDB 1.0 re-evaluates inlined CTEs
+    per reference inside a recursive query, and two evaluations of the same
+    window may disagree on tie order (observed; the shared tails below are
+    also AS MATERIALIZED for the same reason — and list_reduce, the compact
+    alternative, silently drops accumulator state on lists of ≥9 elements
+    in this DuckDB build)."""
+    pcols = f"{part}, " if part else ""
+    ctes = [f"s1 AS (SELECT *, 1 AS slot FROM {src} WHERE rn = 1)"]
+    for i in range(2, _BPE_B_BATCH + 1):
+        joins = " ".join(
+            f"JOIN s{j} ON s{j}.rn IS NOT NULL "
+            + (f"AND r.{part} = s{j}.{part} " if part else "")
+            + f"AND NOT (r.l IN (s{j}.l, s{j}.r, s{j}.cat) "
+            f"OR r.r IN (s{j}.l, s{j}.r, s{j}.cat) "
+            f"OR r.cat IN (s{j}.l, s{j}.r, s{j}.cat))"
+            for j in range(1, i)
+        )
+        ctes.append(
+            f"s{i} AS (SELECT {pcols}l, r, cat, cnt, rn, {i} AS slot FROM ("
+            f"SELECT r.*, row_number() OVER ("
+            + (f"PARTITION BY r.{part} " if part else "")
+            + f"ORDER BY r.cnt DESC, r.l || ' ' || r.r) AS pick "
+            f"FROM {src} r {joins}) WHERE pick = 1)"
+        )
+    chosen = " UNION ALL ".join(
+        f"SELECT {pcols}l, r, cat, cnt, rn, slot FROM s{i}"
+        for i in range(1, _BPE_B_BATCH + 1)
+    )
+    ctes.append(f"chosen AS ({chosen})")
+    return ",\n    ".join(ctes)
+
+
+@q(
+    "corpus_bpe_merges_batched",
+    rf"""
+    WITH RECURSIVE
+    w AS (SELECT word, n FROM read_parquet('{staged_glob("bpe_words_b")}')),
+    st(it, sym, n) AS (
+      SELECT 0, trim(regexp_replace(word, '(.)', '\1 ', 'g')), n FROM w
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT * FROM st WHERE it < {_BPE_B_ROUNDS}),
+        tok AS (
+          SELECT it, sym, n, i, arr[i] AS s, arr[i+1] AS s2
+          FROM (SELECT it, sym, n, regexp_split_to_array(sym, ' ') AS arr FROM prev),
+               unnest(generate_series(1, len(arr))) AS g(i)
+        ),
+        ranked AS (
+          SELECT l, r, cat, cnt, rn FROM (
+            SELECT s AS l, s2 AS r, s || s2 AS cat, SUM(n) AS cnt,
+                   row_number() OVER (ORDER BY SUM(n) DESC, s || ' ' || s2) AS rn
+            FROM tok WHERE s2 IS NOT NULL GROUP BY s, s2
+          ) WHERE rn <= {_BPE_B_TOPK}
+        ),
+        {_bpe_chained_selection("ranked", None)},
+        p AS (
+          SELECT tok.sym, tok.i FROM tok JOIN chosen c
+            ON tok.s = c.l AND tok.s2 = c.r
+        ),
+        runs AS (
+          SELECT sym, i, i - row_number() OVER (PARTITION BY sym ORDER BY i) AS run
+          FROM p
+        ),
+        kept AS (
+          SELECT sym, i FROM (
+            SELECT sym, i, (i - MIN(i) OVER (PARTITION BY sym, run)) % 2 AS par
+            FROM runs
+          ) WHERE par = 0
+        )
+        SELECT t.it + 1,
+               string_agg(CASE WHEN k.i IS NOT NULL THEN t.s || t.s2 ELSE t.s END,
+                          ' ' ORDER BY t.i) AS sym,
+               t.n
+        FROM tok t
+        LEFT JOIN kept k ON k.sym = t.sym AND k.i = t.i
+        LEFT JOIN kept k2 ON k2.sym = t.sym AND k2.i = t.i - 1
+        WHERE k2.i IS NULL
+        GROUP BY t.it, t.sym, t.n
+      )
+    ),
+    tok2 AS MATERIALIZED (
+      SELECT it, n, arr[i] AS s, arr[i+1] AS s2
+      FROM (SELECT it, sym, n, regexp_split_to_array(sym, ' ') AS arr FROM st),
+           unnest(generate_series(1, len(arr) - 1)) AS g(i)
+      WHERE it < {_BPE_B_ROUNDS}
+    ),
+    ranked2 AS MATERIALIZED (
+      SELECT it, l, r, cat, cnt, rn FROM (
+        SELECT it, s AS l, s2 AS r, s || s2 AS cat, SUM(n) AS cnt,
+               row_number() OVER (PARTITION BY it
+                                  ORDER BY SUM(n) DESC, s || ' ' || s2) AS rn
+        FROM tok2 GROUP BY it, s, s2
+      ) WHERE rn <= {_BPE_B_TOPK}
+    ),
+    {_bpe_chained_selection("ranked2", "it")}
+    SELECT CAST(row_number() OVER (ORDER BY it, slot) - 1 AS INT) AS rank,
+           l || ' ' || r AS pair, CAST(cnt AS BIGINT) AS n
+    FROM chosen ORDER BY rank
+    """,
+)
+def corpus_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training (operators/bpe.py train_bpe_merges_batched) —
+    the production shape for large vocabularies: each round counts pairs
+    ONCE, keeps the top ``batch`` pairwise-non-interacting pairs (greedy
+    over the (cnt desc, pair) ranking with the {l, r, l+r} trio rule), and
+    applies the whole batch in one fused merge pass, so a 50k-merge vocab
+    costs 50k/batch cluster rounds instead of 50k. Disjointness makes the
+    batch order-free and keeps the run-parity greedy-merge fold valid over
+    the union of match positions (batch-mates' matches are never adjacent).
+    The oracle RETRAINS the batched tokenizer in DuckDB — the recursive CTE
+    replays selection via chained min-rank picks and the same
+    gaps-and-islands merge — and the full merge table matches
+    value-for-value. Differential-tested against a pure-python batched
+    reference (and against sequential BPE at batch=1) in tests/test_bpe.py."""
+    from ocr_platform_spark.operators.bpe import (
+        train_bpe_merges_batched,
+        word_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = stage(word_counts(d, "text", min_count=2), "bpe_words_b")
+    merges, _syms = train_bpe_merges_batched(
+        words, n_rounds=_BPE_B_ROUNDS, batch=_BPE_B_BATCH, topk=_BPE_B_TOPK
+    )
+    return spark.createDataFrame(merges, "rank int, pair string, n long").orderBy(
+        "rank"
+    )
+
+
 @q(
     "corpus_bpe_token_counts",
     rf"""
@@ -4795,7 +4934,8 @@ _PRIORITY = [
     "embedding_near_dups", "media_near_dups", "jaccard_adjacent_docs",
     "ann_topk_quantized", "ann_lsh_topk", "ann_lsh_recall", "ann_pq_topk",
     "ann_ivfpq_topk", "ann_ivf_topk",
-    "corpus_bpe_merges", "corpus_bpe_token_counts", "doc_bpe_tokens",
+    "corpus_bpe_merges", "corpus_bpe_merges_batched", "corpus_bpe_token_counts",
+    "doc_bpe_tokens",
     "doc_lm_score", "ccnet_bucket_sample", "doc_topic_classifier",
     "doc_quality", "doc_lang_id", "doc_repetition", "doc_compression_signal",
     "url_bloom_resume", "corpus_keyword_search", "url_canonicalization",

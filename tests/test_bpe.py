@@ -10,7 +10,9 @@ import pyspark.sql.functions as F
 
 from ocr_platform_spark.operators.bpe import (
     init_symbols,
+    select_merge_batch,
     train_bpe_merges,
+    train_bpe_merges_batched,
     word_counts,
 )
 
@@ -122,6 +124,110 @@ def test_learned_token_counts_vs_reference(spark):
         .collect()
     }
     assert got == {1: n1, 2: n2}
+
+
+def _py_bpe_batched(words: dict[str, int], n_rounds: int, batch: int, topk: int):
+    """Pure-python reference for the batched trainer: per round rank pairs
+    by (cnt desc, 'l r' string), keep the greedy trio-disjoint top-``batch``
+    within the top-``topk`` window, apply all kept pairs in one greedy
+    left-to-right pass."""
+    syms = {tuple(w): n for w, n in words.items()}
+    merges = []
+    for _ in range(n_rounds):
+        counts: Counter = Counter()
+        for s, n in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += n
+        ranked = sorted(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )[:topk]
+        sel = select_merge_batch(
+            [(f"{l} {r}", c) for (l, r), c in ranked], batch
+        )
+        if not sel:
+            break
+        pairset = {tuple(p.split(" ", 1)) for p, _ in sel}
+        for p, c in sel:
+            merges.append((len(merges), p, c))
+        new: dict[tuple[str, ...], int] = {}
+        for s, n in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) in pairset:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + n
+        syms = new
+    return merges, syms
+
+
+def _check_batched(spark, words: dict[str, int], n_rounds: int, batch: int, topk=64):
+    ref_merges, ref_syms = _py_bpe_batched(words, n_rounds, batch, topk)
+    wdf = spark.createDataFrame(list(words.items()), "word string, n long")
+    got_merges, got_syms = train_bpe_merges_batched(wdf, n_rounds, batch, topk)
+    assert got_merges == ref_merges
+    gm: Counter = Counter()
+    for r in got_syms.collect():
+        gm[tuple(r["sym"].split(" "))] += r["n"]
+    rm: Counter = Counter()
+    for s, n in ref_syms.items():
+        rm[s] += n
+    assert gm == rm
+
+
+def test_batched_matches_reference_on_adversarial_overlaps(spark):
+    _check_batched(
+        spark,
+        {"banana": 5, "bandana": 3, "ananas": 2, "aaaa": 4, "abab": 6, "x": 1},
+        3,
+        4,
+    )
+
+
+def test_batched_with_batch_one_equals_sequential(spark):
+    """batch=1 degenerates to classic sequential BPE: every round recounts
+    and applies exactly the rank-1 pair."""
+    words = {"hello": 7, "help": 5, "hull": 3, "loop": 2, "pool": 2}
+    wdf = spark.createDataFrame(list(words.items()), "word string, n long")
+    seq, _ = train_bpe_merges(wdf, 6)
+    bat, _ = train_bpe_merges_batched(wdf, n_rounds=6, batch=1, topk=64)
+    assert bat == seq
+
+
+def test_batched_trio_rule_skips_interacting_pairs():
+    # 'h e' shares a symbol with 'e l'; 'lo' (cat of 'l o') collides with
+    # a later literal pair ('lo', 'w') — both must be skipped in-batch.
+    ranked = [("h e", 9), ("e l", 8), ("l o", 7), ("lo w", 6), ("x y", 5)]
+    assert select_merge_batch(ranked, 4) == [("h e", 9), ("l o", 7), ("x y", 5)]
+
+
+def test_batched_partitioning_invariance(spark):
+    words = {"banana": 5, "bandana": 3, "ananas": 2, "abab": 6}
+    wdf = spark.createDataFrame(list(words.items()), "word string, n long")
+    a, _ = train_bpe_merges_batched(wdf, 3, 3)
+    b, _ = train_bpe_merges_batched(wdf.repartition(13), 3, 3)
+    assert a == b and len(a) >= 3
+
+
+def test_hypothesis_batched_vocabularies_match_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=8)
+    words_strategy = st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=10)
+
+    collected: list[dict] = []
+
+    @given(words_strategy)
+    @settings(max_examples=8, deadline=None)
+    def gather(words):
+        collected.append(words)
+
+    gather()
+    for words in collected:
+        _check_batched(spark, dict(words), 3, 3)
 
 
 def test_hypothesis_random_vocabularies_match_reference(spark):
