@@ -4729,6 +4729,76 @@ def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_dsir_sample",
+    rf"""
+    WITH f AS (
+      SELECT id, bucket, cnt FROM read_parquet('{staged_glob("dsir_features")}')
+    ),
+    tgt AS (
+      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM f JOIN documents d ON f.id = d.doc_id
+      WHERE d.lang = 'en' GROUP BY bucket
+    ),
+    raw AS (
+      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM f GROUP BY bucket
+    ),
+    w AS (
+      SELECT f.id,
+             CAST(SUM(f.cnt) AS BIGINT) AS n_grams,
+             CAST(SUM(f.cnt * (COALESCE(length(bin(t.c)), 0)
+                               - COALESCE(length(bin(r.c)), 0))) AS BIGINT)
+               AS w_bits
+      FROM f LEFT JOIN tgt t USING (bucket) LEFT JOIN raw r USING (bucket)
+      GROUP BY f.id
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id, n_grams, w_bits,
+           CAST(w_bits AS DOUBLE) / n_grams AS bits_per_gram,
+           CAST(row_number() OVER (
+             ORDER BY CAST(w_bits AS DOUBLE) / n_grams DESC, w_bits DESC, id
+           ) AS INT) AS rank
+    FROM w
+    QUALIFY rank <= 100
+    ORDER BY rank
+    """,
+)
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (operators/dsir.py; Xie et al.,
+    NeurIPS 2023): hash every word bigram into 4096 buckets (the paper's
+    bag-of-hashed-ngrams features), fit the target distribution on the
+    ``lang='en'`` slice and the raw distribution on the whole corpus, and
+    weight each document by the integer bit-length surrogate of
+    ``log p(doc) - log q(doc)``; the deterministic top-100 per-gram rates
+    are the selected sample. The xxhash64 feature stage is staged to
+    parquet; the oracle recomputes BOTH distributions, every weight, and
+    the final ranked selection from those bytes. At scale the feature
+    stream is map-side, both distributions are B-row broadcasts, and the
+    selection is a distributed TakeOrderedAndProject."""
+    from ocr_platform_spark.operators.dsir import (
+        bucket_distribution,
+        dsir_select,
+        dsir_weights,
+        hashed_gram_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = stage(
+        hashed_gram_counts(d, "doc_id", "text", n_buckets=4096, n=2),
+        "dsir_features",
+    )
+    target = bucket_distribution(feats, d.where(F.col("lang") == "en").select("doc_id"))
+    raw = bucket_distribution(feats)
+    sel = dsir_select(dsir_weights(feats, target, raw), 100)
+    win = Window.orderBy(F.desc("bits_per_gram"), F.desc("w_bits"), "id")
+    return sel.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "w_bits",
+        "bits_per_gram",
+        F.row_number().over(win).cast("int").alias("rank"),
+    ).orderBy("rank")
+
+
+@q(
     "ccnet_bucket_sample",
     rf"""
     WITH t AS (
@@ -4936,7 +5006,8 @@ _PRIORITY = [
     "ann_ivfpq_topk", "ann_ivf_topk",
     "corpus_bpe_merges", "corpus_bpe_merges_batched", "corpus_bpe_token_counts",
     "doc_bpe_tokens",
-    "doc_lm_score", "ccnet_bucket_sample", "doc_topic_classifier",
+    "doc_lm_score", "ccnet_bucket_sample", "doc_dsir_sample",
+    "doc_topic_classifier",
     "doc_quality", "doc_lang_id", "doc_repetition", "doc_compression_signal",
     "url_bloom_resume", "corpus_keyword_search", "url_canonicalization",
     "corpus_pack_sequences", "corpus_shard_manifest", "host_quality_rollup",
