@@ -226,3 +226,69 @@ def top_bigram_frac(col: Column | str) -> Column:
         return best.cast("double") / F.size(sorted_grams)
 
     return bind_once(F.array_sort(word_shingles(_c(col), 2)), frac_of)
+
+
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_stats(col: Column | str) -> Column:
+    """The Gopher quality-filter rule inputs (Rae et al., "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    App. A1.1) as ONE struct of exact integers, pure column expressions:
+
+    - ``n_words`` / ``n_word_chars``: whitespace words of the normalized
+      text and their total characters (mean word length = chars/words,
+      gated by integer cross-multiplication downstream);
+    - ``n_hash`` / ``n_ellipsis``: '#' and '...' occurrences in the raw
+      text (the symbol-to-word-ratio rule);
+    - ``n_lines`` / ``n_bullet_lines`` / ``n_ellipsis_lines``: raw lines,
+      lines starting with a bullet ('-'/'*'), lines ending in '...';
+    - ``n_alpha_words``: words containing at least one alphabetic char;
+    - ``n_stopwords``: how many of the paper's 8 stop words appear.
+
+    Empty/blank text yields all-zero counts except ``n_lines`` (a blank
+    page is one line). Every count is engine-neutral arithmetic, so the
+    catalog oracle recomputes the whole struct directly over parquet."""
+    raw = F.coalesce(_c(col), F.lit(""))
+
+    def stats_of(norm: Column) -> Column:
+        empty = norm == ""
+        words = F.split(norm, " ")
+        n_words = F.when(empty, F.lit(0)).otherwise(F.size(words)).cast("int")
+        n_word_chars = (
+            F.when(empty, F.lit(0))
+            .otherwise(F.length(norm) - (F.size(words) - 1))
+            .cast("int")
+        )
+        n_hash = (F.length(raw) - F.length(F.replace(raw, F.lit("#")))).cast("int")
+        n_ellipsis = (
+            (F.length(raw) - F.length(F.replace(raw, F.lit("...")))) / 3
+        ).cast("int")
+        lines = F.split(raw, "\n")
+        n_lines = F.size(lines).cast("int")
+        n_bullet = F.size(
+            F.filter(
+                lines,
+                lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"),
+            )
+        ).cast("int")
+        n_ell_lines = F.size(
+            F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+        ).cast("int")
+        n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("int")
+        n_stops = sum(
+            F.when(F.array_contains(words, w), 1).otherwise(0) for w in GOPHER_STOPS
+        ).cast("int")
+        return F.struct(
+            n_words.alias("n_words"),
+            n_word_chars.alias("n_word_chars"),
+            n_hash.alias("n_hash"),
+            n_ellipsis.alias("n_ellipsis"),
+            n_lines.alias("n_lines"),
+            n_bullet.alias("n_bullet_lines"),
+            n_ell_lines.alias("n_ellipsis_lines"),
+            n_alpha.alias("n_alpha_words"),
+            n_stops.alias("n_stopwords"),
+        )
+
+    return bind_once(normalized_text(raw), stats_of)

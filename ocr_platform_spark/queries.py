@@ -1028,6 +1028,84 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_gopher_rules",
+    r"""
+    WITH c AS (
+      SELECT doc_id, COALESCE(text, '') AS text,
+             trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')) AS norm,
+             string_split(COALESCE(text, ''), chr(10)) AS lines
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        CAST(CASE WHEN norm = '' THEN 0
+             ELSE len(string_split(norm, ' ')) END AS INT) AS n_words,
+        CAST(CASE WHEN norm = '' THEN 0
+             ELSE length(norm) - (len(string_split(norm, ' ')) - 1) END AS INT)
+          AS n_word_chars,
+        CAST(length(text) - length(replace(text, '#', '')) AS INT) AS n_hash,
+        CAST((length(text) - length(replace(text, '...', ''))) // 3 AS INT)
+          AS n_ellipsis,
+        CAST(len(lines) AS INT) AS n_lines,
+        CAST(len(list_filter(lines,
+             l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS INT)
+          AS n_bullet_lines,
+        CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS INT)
+          AS n_ellipsis_lines,
+        CAST(len(list_filter(string_split(norm, ' '),
+             w -> regexp_matches(w, '[a-z]'))) AS INT) AS n_alpha_words,
+        CAST((CASE WHEN list_contains(string_split(norm, ' '), 'the') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(string_split(norm, ' '), 'be') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(string_split(norm, ' '), 'to') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(string_split(norm, ' '), 'of') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(string_split(norm, ' '), 'and') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(string_split(norm, ' '), 'that') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(string_split(norm, ' '), 'have') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(string_split(norm, ' '), 'with') THEN 1 ELSE 0 END)
+          AS INT) AS n_stopwords
+      FROM c
+    )
+    SELECT *,
+      (n_words BETWEEN 50 AND 100000
+       AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+       AND 10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words
+       AND 10 * n_bullet_lines < 9 * n_lines
+       AND 10 * n_ellipsis_lines < 3 * n_lines
+       AND 5 * n_alpha_words >= 4 * n_words
+       AND n_stopwords >= 2) AS gopher_keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher quality-filter rule set (Rae et al. 2021, App.
+    A1.1) as one fused scan of exact-integer column expressions
+    (functions/textfns.gopher_stats): word-count band 50..100k, mean word
+    length 3..10 (integer cross-multiplied, no float ratio), '#'/'...'
+    symbol-to-word ratios ≤0.1, <90% bullet-started lines, <30%
+    ellipsis-ended lines, ≥80% alphabetic words, ≥2 of the paper's 8 stop
+    words. Every count and every gate recomputes directly in the DuckDB
+    oracle over the raw parquet — no staging. At scale this is one
+    map-side projection fused into the corpus scan, the same shape as the
+    curation funnel's gates."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.select("doc_id", TX.gopher_stats("text").alias("g")).select(
+        "doc_id", "g.*"
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & (3 * F.col("n_words") <= F.col("n_word_chars"))
+        & (F.col("n_word_chars") <= 10 * F.col("n_words"))
+        & (10 * F.col("n_hash") <= F.col("n_words"))
+        & (10 * F.col("n_ellipsis") <= F.col("n_words"))
+        & (10 * F.col("n_bullet_lines") < 9 * F.col("n_lines"))
+        & (10 * F.col("n_ellipsis_lines") < 3 * F.col("n_lines"))
+        & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+        & (F.col("n_stopwords") >= 2)
+    )
+    return s.withColumn("gopher_keep", keep).orderBy("doc_id")
+
+
+@q(
     "doc_case_stats",
     r"""
     SELECT doc_id,
@@ -5008,7 +5086,8 @@ _PRIORITY = [
     "doc_bpe_tokens",
     "doc_lm_score", "ccnet_bucket_sample", "doc_dsir_sample",
     "doc_topic_classifier",
-    "doc_quality", "doc_lang_id", "doc_repetition", "doc_compression_signal",
+    "doc_quality", "doc_gopher_rules", "doc_lang_id", "doc_repetition",
+    "doc_compression_signal",
     "url_bloom_resume", "corpus_keyword_search", "url_canonicalization",
     "corpus_pack_sequences", "corpus_shard_manifest", "host_quality_rollup",
     "corpus_length_deciles", "host_downsample", "corpus_mixture_sample",
