@@ -2007,6 +2007,81 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "bitext_margin_pairs",
+    """
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    x AS (SELECT q.vec_id AS id, q.v FROM qz q JOIN documents d ON q.vec_id = d.doc_id
+          WHERE d.lang = 'en' AND q.vec_id % 2 = 0),
+    y AS (SELECT q.vec_id AS id, q.v FROM qz q JOIN documents d ON q.vec_id = d.doc_id
+          WHERE d.lang = 'fr' AND q.vec_id % 2 = 0),
+    xy0 AS (
+      SELECT x.id AS x_id, y.id AS y_id,
+             list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(x.v, t -> t * t)) AS nx,
+             list_sum(list_transform(y.v, t -> t * t)) AS ny
+      FROM x, y
+    ),
+    cos AS (
+      SELECT x_id, y_id,
+             CASE WHEN nx > 0 AND ny > 0
+                  THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM xy0
+    ),
+    cxy AS (SELECT x_id, y_id, CAST(round(cosine * 1000000) AS BIGINT) AS c,
+                   row_number() OVER (PARTITION BY x_id ORDER BY cosine DESC, y_id) AS rk
+            FROM cos),
+    cyx AS (SELECT x_id, y_id, CAST(round(cosine * 1000000) AS BIGINT) AS c,
+                   row_number() OVER (PARTITION BY y_id ORDER BY cosine DESC, x_id) AS rk
+            FROM cos),
+    sx AS (SELECT x_id, CAST(SUM(c) AS BIGINT) AS s_x FROM cxy WHERE rk <= 4 GROUP BY x_id),
+    sy AS (SELECT y_id, CAST(SUM(c) AS BIGINT) AS s_y FROM cyx WHERE rk <= 4 GROUP BY y_id),
+    cand AS (
+      SELECT p.x_id, p.y_id, p.c AS c_xy, sx.s_x, sy.s_y
+      FROM cxy p JOIN sx USING (x_id) JOIN sy USING (y_id)
+      WHERE p.rk <= 4 AND sx.s_x + sy.s_y > 0
+        AND 100 * 8 * p.c >= 105 * (sx.s_x + sy.s_y)
+    ),
+    scored AS (
+      SELECT *, round(CAST(8 * c_xy AS DOUBLE) / (s_x + s_y), 6) AS margin FROM cand
+    )
+    SELECT x_id, y_id, c_xy, s_x, s_y, margin FROM (
+      SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rk2
+      FROM scored
+    ) WHERE rk2 = 1 ORDER BY x_id
+    """,
+)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/bitext.py; Artetxe & Schwenk
+    2019, the CCMatrix recipe): mine en→fr translation-pair candidates by
+    the ratio margin — each en doc's best fr neighbor kept only when its
+    cosine clears the mean of both sides' k-NN neighborhoods (k=4,
+    threshold 1.05, gated by exact integer cross-multiplication on ×10^6
+    rescaled quantized cosines). Both halves (even doc_ids) of the two
+    language slices are mined; the oracle re-runs the ENTIRE pipeline —
+    brute-force quantized cosine matrix, both kNN directions, neighborhood
+    sums, margin gate and best-per-x selection — natively in SQL. At scale
+    the kNN stage swaps to the LSH/IVF ladder; the margin math only
+    consumes (query, item, cosine) triples."""
+    from ocr_platform_spark.operators.bitext import margin_mine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = (
+        emb.join(d, emb["vec_id"] == d["doc_id"])
+        .where(F.col("vec_id") % 2 == 0)
+        .select("vec_id", "embedding", "lang")
+    )
+    xs = e.where(F.col("lang") == "en").select("vec_id", "embedding")
+    ys = e.where(F.col("lang") == "fr").select("vec_id", "embedding")
+    return margin_mine_pairs(xs, ys, k=4, threshold_x100=105)
+
+
 #: Quantized-cosine scoring + top-k over a staged candidate table — the
 #: exact (oracle-checkable) tail shared by the LSH and IVF queries. The
 #: candidate set itself comes from the numpy bucketing kernels; staging it
@@ -5081,7 +5156,7 @@ _PRIORITY = [
     "doc_strip_spans", "doc_winnow_fingerprints", "incremental_minhash_pairs",
     "embedding_near_dups", "media_near_dups", "jaccard_adjacent_docs",
     "ann_topk_quantized", "ann_lsh_topk", "ann_lsh_recall", "ann_pq_topk",
-    "ann_ivfpq_topk", "ann_ivf_topk",
+    "ann_ivfpq_topk", "ann_ivf_topk", "bitext_margin_pairs",
     "corpus_bpe_merges", "corpus_bpe_merges_batched", "corpus_bpe_token_counts",
     "doc_bpe_tokens",
     "doc_lm_score", "ccnet_bucket_sample", "doc_dsir_sample",
