@@ -2008,6 +2008,67 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "semantic_dedup",
+    rf"""
+    WITH a AS (
+      SELECT id, cluster, cent_sim FROM read_parquet('{staged_glob("semdedup_assign")}')
+    ),
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    m AS (SELECT a.id, a.cluster, a.cent_sim, qz.v FROM a JOIN qz ON a.id = qz.vec_id),
+    p0 AS (
+      SELECT x.id AS x_id, x.cent_sim AS x_cs, y.id AS y_id, y.cent_sim AS y_cs,
+             list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(x.v, t -> t * t)) AS nx,
+             list_sum(list_transform(y.v, t -> t * t)) AS ny
+      FROM m x JOIN m y ON x.cluster = y.cluster AND x.id <> y.id
+    ),
+    p AS (
+      SELECT x_id, x_cs, y_id, y_cs,
+             CAST(round(CASE WHEN nx > 0 AND ny > 0
+                  THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))), 6)
+                  ELSE 0.0 END * 1000000) AS BIGINT) AS c
+      FROM p0
+    ),
+    s AS (
+      SELECT x_id, CAST(COUNT(*) AS INT) AS n_dup_neighbors,
+             MAX(CASE WHEN y_cs < x_cs OR (y_cs = x_cs AND y_id < x_id)
+                 THEN 1 ELSE 0 END) = 1 AS has_better
+      FROM p WHERE c >= 400000 GROUP BY x_id
+    )
+    SELECT a.id AS vec_id, a.cluster, a.cent_sim,
+           COALESCE(s.n_dup_neighbors, 0) AS n_dup_neighbors,
+           COALESCE(s.has_better, FALSE) AS is_dup
+    FROM a LEFT JOIN s ON a.id = s.x_id
+    ORDER BY vec_id
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (operators/semdedup.py; Abbas et al. 2023): k-means-cluster
+    the embedding space with the IVF coarse quantizer, compare pairs only
+    within clusters, and inside every ε-ball keep the item least similar
+    to its centroid (the paper's keep-outliers rule, a strict total order
+    on ``(cent_sim, id)``). The numpy assignment stage is staged; the
+    oracle recomputes every within-cluster quantized cosine, the ε gate,
+    and every keep/drop verdict from those bytes. The synthetic embeddings
+    are near-orthogonal by construction, so the catalog gate runs at
+    ε=0.40 to produce nonzero hash-checked duplicate verdicts (same
+    convention as ``embedding_near_dups``); production would run 0.95+."""
+    from ocr_platform_spark.operators.semdedup import (
+        assign_with_centroid_sim,
+        semantic_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ann.train_ivf(emb, n_lists=16)
+    a = stage(assign_with_centroid_sim(emb, cents), "semdedup_assign")
+    return semantic_duplicates(emb, a, threshold_q6=400000)
+
+
+@q(
     "bitext_margin_pairs",
     """
     WITH qz AS (
@@ -5154,7 +5215,8 @@ _PRIORITY = [
     "minhash_near_dups", "simhash_near_dups", "doc_exact_dups",
     "doc_dedup_survivors", "doc_para_dedup", "doc_repeated_spans",
     "doc_strip_spans", "doc_winnow_fingerprints", "incremental_minhash_pairs",
-    "embedding_near_dups", "media_near_dups", "jaccard_adjacent_docs",
+    "embedding_near_dups", "semantic_dedup", "media_near_dups",
+    "jaccard_adjacent_docs",
     "ann_topk_quantized", "ann_lsh_topk", "ann_lsh_recall", "ann_pq_topk",
     "ann_ivfpq_topk", "ann_ivf_topk", "bitext_margin_pairs",
     "corpus_bpe_merges", "corpus_bpe_merges_batched", "corpus_bpe_token_counts",
