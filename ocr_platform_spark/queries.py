@@ -4438,6 +4438,64 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@q(
+    "doc_tfidf_terms",
+    r"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      FROM documents WHERE trim(COALESCE(text, '')) <> ''
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS INT) AS tf FROM w GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS INT) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf * length(bin((2 * n.n) // df.df)) AS INT) AS w
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, w, CAST(rn AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY w DESC, term) AS rn
+      FROM scored) WHERE rn <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by exact-integer
+    tf-idf — ``tf × bits(2N // df)``, the same bit-length idf surrogate as
+    the BM25 search ranking (monotone in log(N/df), zero float logs) — the
+    document-tagging face of the inverted index. One explode, two hash
+    aggregates (term df is vocabulary-sized and broadcast back), one
+    per-doc window. Direct SQL oracle over raw parquet, no staging."""
+    from ocr_platform_spark.functions.textfns import normalized_text
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    words = d.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").cast("int").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("int").alias("df"))
+    n = tf.select("doc_id").distinct().count()
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.length(F.bin(F.floor(F.lit(2 * n) / F.col("df")))))
+        .cast("int")
+        .alias("w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("w"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .where(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )
+
+
 _CLF_VOCAB = [
     "ablation", "basalt", "cobalt", "delta", "ember", "fjord",
     "garnet", "harbor", "isotope", "jasper", "kelvin", "lumen",
@@ -5225,7 +5283,8 @@ _PRIORITY = [
     "doc_topic_classifier",
     "doc_quality", "doc_gopher_rules", "doc_lang_id", "doc_repetition",
     "doc_compression_signal",
-    "url_bloom_resume", "corpus_keyword_search", "url_canonicalization",
+    "url_bloom_resume", "corpus_keyword_search", "doc_tfidf_terms",
+    "url_canonicalization",
     "corpus_pack_sequences", "corpus_shard_manifest", "host_quality_rollup",
     "corpus_length_deciles", "host_downsample", "corpus_mixture_sample",
     "doc_split_assign", "doc_decontam", "doc_pii_scrub", "doc_c4_line_filter",
