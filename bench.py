@@ -75,6 +75,13 @@ HEADLINE = [
     "corpus_keyword_search",
     "host_hits",
     "corpus_bpe_merges",
+    # round-3 final-session additions
+    "corpus_bpe_merges_batched",
+    "doc_dsir_sample",
+    "doc_gopher_rules",
+    "bitext_margin_pairs",
+    "semantic_dedup",
+    "doc_tfidf_terms",
 ]
 
 

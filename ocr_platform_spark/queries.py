@@ -1243,6 +1243,41 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_split_by_source",
+    f"""
+    WITH b AS (
+      SELECT source, {oracle_bucket_sql("source", 1000)} AS bucket,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT source, bucket,
+           CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           n_docs
+    FROM b ORDER BY source
+    """,
+)
+def doc_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split — the leakage guard ``doc_split_
+    assign`` lacks: bucketing on the SOURCE (host) key puts every page of
+    a host in the same split, so near-duplicate pages from one site can
+    never straddle train and test (the standard eval-contamination trap
+    of web corpora). One row per source in the output IS the disjointness
+    audit: a source appears with exactly one split. Same md5 bucket
+    arithmetic as the per-doc split, dialect-mirrored in the oracle."""
+    from ocr_platform_spark.operators.sampling import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        assign_split(per_source, "source")
+        .select("source", "bucket", "split", "n_docs")
+        .orderBy("source")
+    )
+
+
+@q(
     "host_downsample",
     f"""
     WITH u AS (SELECT * FROM read_parquet('{staged_glob("host_downsample")}')),
@@ -5287,7 +5322,7 @@ _PRIORITY = [
     "url_canonicalization",
     "corpus_pack_sequences", "corpus_shard_manifest", "host_quality_rollup",
     "corpus_length_deciles", "host_downsample", "corpus_mixture_sample",
-    "doc_split_assign", "doc_decontam", "doc_pii_scrub", "doc_c4_line_filter",
+    "doc_split_assign", "doc_split_by_source", "doc_decontam", "doc_pii_scrub", "doc_c4_line_filter",
     "fuzzy_supplier_mapping", "host_trustrank",
 ]
 
