@@ -1027,6 +1027,64 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.quality_score("text").alias("quality"))
 
 
+#: Decomposed/ligature fragments appended per doc_id%6 — gives the NFC
+#: kernel real work (combining marks, reordering, ligatures) on an
+#: otherwise-ASCII corpus; both engines read the staged bytes.
+_NFC_FRAGS = [
+    "cafe\u0301",              # e + combining acute -> composes to \u00e9
+    "A\u030aberg",             # A + combining ring -> composes to \u00c5
+    "s\u0307\u0323urface",     # marks canonically reorder, then compose
+    "\ufb01le",                # fi ligature -- NFC keeps it (NFKC splits)
+    "plain ascii",             # unchanged
+    "ko\u0301\u0302pia",       # acute+circumflex stack
+]
+
+
+@q(
+    "doc_nfc_normalization",
+    f"""
+    WITH i AS (SELECT doc_id, raw FROM read_parquet('{staged_glob("nfc_input")}')),
+    n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM i)
+    SELECT doc_id, norm, (norm <> raw) AS changed,
+           CAST(length(raw) AS INT) AS len_before,
+           CAST(length(norm) AS INT) AS len_after
+    FROM n ORDER BY doc_id
+    """,
+)
+def doc_nfc_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (functions/unicodefns.py) — the
+    pre-dedup text canonicalization every real crawl runs. Each doc gets a
+    deterministic decomposed-unicode fragment appended (combining marks,
+    canonical reordering, ligatures, Hangul-free BMP shapes), the input is
+    staged, then CPython's ``unicodedata`` (Arrow-batched pandas UDF)
+    normalizes on the Spark side while DuckDB's native ``nfc_normalize``
+    (utf8proc) recomputes independently — two separate implementations of
+    the Unicode composition algorithm, value-hash-matched. Lengths are
+    codepoint counts in both engines."""
+    from ocr_platform_spark.functions.unicodefns import with_nfc
+
+    d = _t(spark, sf_dir, "documents")
+    frags = spark.createDataFrame(
+        list(enumerate(_NFC_FRAGS)), "fid int, frag string"
+    )
+    inp = stage(
+        d.withColumn("fid", (F.col("doc_id") % len(_NFC_FRAGS)).cast("int"))
+        .join(F.broadcast(frags), "fid")
+        .select(
+            "doc_id",
+            F.concat(F.substring("text", 1, 24), F.lit(" "), F.col("frag")).alias(
+                "raw"
+            ),
+        ),
+        "nfc_input",
+    )
+    return (
+        with_nfc(inp, "raw")
+        .select("doc_id", "norm", "changed", "len_before", "len_after")
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "doc_gopher_rules",
     r"""
@@ -5319,6 +5377,7 @@ _PRIORITY = [
     "doc_quality", "doc_gopher_rules", "doc_lang_id", "doc_repetition",
     "doc_compression_signal",
     "url_bloom_resume", "corpus_keyword_search", "doc_tfidf_terms",
+    "doc_nfc_normalization",
     "url_canonicalization",
     "corpus_pack_sequences", "corpus_shard_manifest", "host_quality_rollup",
     "corpus_length_deciles", "host_downsample", "corpus_mixture_sample",
