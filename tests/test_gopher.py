@@ -86,3 +86,63 @@ def test_gopher_keep_requires_fifty_words(spark):
     )
     got = {r["doc_id"]: r["k"] for r in s.select("doc_id", keep_expr.alias("k")).collect()}
     assert got == {0: True, 1: False}
+
+
+def _py_gopher(t):
+    """Pure-python mirror of gopher_stats (Java \\s = ASCII whitespace;
+    trim/ltrim/rtrim are space-only after collapse; split keeps trailing
+    empties)."""
+    import re
+
+    raw = t or ""
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", raw.lower()).strip(" ")
+    words = norm.split(" ")
+    empty = norm == ""
+    n_words = 0 if empty else len(words)
+    n_word_chars = 0 if empty else len(norm) - (len(words) - 1)
+    n_hash = raw.count("#")
+    n_ellipsis = (len(raw) - len(raw.replace("...", ""))) // 3
+    lines = raw.split("\n")
+    n_lines = len(lines)
+    n_bullet = sum(1 for l in lines if l.lstrip(" ").startswith(("-", "*")))
+    n_ell_lines = sum(1 for l in lines if l.rstrip(" ").endswith("..."))
+    n_alpha = sum(1 for w in words if re.search("[a-z]", w))
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    n_stops = sum(1 for s in stops if s in words)
+    return dict(
+        n_words=n_words, n_word_chars=n_word_chars, n_hash=n_hash,
+        n_ellipsis=n_ellipsis, n_lines=n_lines, n_bullet_lines=n_bullet,
+        n_ellipsis_lines=n_ell_lines, n_alpha_words=n_alpha,
+        n_stopwords=n_stops,
+    )
+
+
+def test_hypothesis_gopher_stats_match_python_mirror(spark):
+    from hypothesis import given, settings, strategies as st
+
+    text = st.text(
+        alphabet="ab D-*#._\n\t " + "theofandwith", min_size=0, max_size=120
+    )
+    collected: list[str] = []
+
+    @given(text)
+    @settings(max_examples=40, deadline=None)
+    def gather(t):
+        collected.append(t)
+
+    gather()
+    collected += [
+        "...", "......", "#", " - x\n* y\n", "the the the", "\n\n\n",
+        " .", "a" * 50, "-", "*...", "  *  lead", "x ...\ny ...",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(collected)], "i int, text string"
+    )
+    got = {
+        r["i"]: {k: v for k, v in r.asDict().items() if k != "i"}
+        for r in df.select("i", gopher_stats("text").alias("g"))
+        .select("i", "g.*")
+        .collect()
+    }
+    for i, t in enumerate(collected):
+        assert got[i] == _py_gopher(t), (repr(t), got[i], _py_gopher(t))
