@@ -232,6 +232,72 @@ def train_bpe_merges_batched(
     return merges, syms
 
 
+def train_bpe_merges_delta(
+    words: DataFrame, n_merges: int = 8
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Sequential BPE with INCREMENTAL pair counts — bit-identical merges to
+    ``train_bpe_merges``, but the per-round full recount (explode every word,
+    hash-aggregate the whole stream) is replaced by a delta update: only the
+    words that actually CONTAIN the merged pair can change their adjacent-pair
+    multiset, so the round
+
+    1. argmaxes over the maintained (pair, cnt) table — never re-touching the
+       word table at all;
+    2. splits the symbol table on a literal substring test (`` l r `` inside
+       the space-joined symbol string ⇔ the pair occurs adjacently — symbols
+       never contain spaces);
+    3. merges ONLY the hit rows and emits their old pairs at −n and new pairs
+       at +n;
+    4. folds the deltas into the count table (full-outer join, drop ≤0).
+
+    Correctness by induction: the corpus pair multiset is the n-weighted sum
+    over words; a merge changes only hit words; the delta is exactly
+    (new − old) on those words, so the maintained table equals the full
+    recount after every round, hence the same (cnt desc, pair) argmax and the
+    same merge sequence — which is why the catalog entry reuses the
+    sequential retrain oracle verbatim. This is the fastBPE/SentencePiece
+    count-update optimization in distributed form: per-round work is
+    O(|hit words| + |pair table|) instead of O(|vocabulary| · word length),
+    and late rounds (rare pairs, few hit words) become nearly free. Pinned
+    equal to the recount trainer in tests/test_bpe.py."""
+    syms = init_symbols(words).localCheckpoint(eager=True)
+    pc = _pair_counts(syms).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, int]] = []
+    for k in range(n_merges):
+        best = pc.orderBy(F.desc("cnt"), "pair").limit(1).collect()
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        left, right = pair.split(" ", 1)
+        merges.append((k, pair, cnt))
+        hit = F.concat(F.lit(" "), F.col("sym"), F.lit(" ")).contains(
+            f" {left} {right} "
+        )
+        changed = syms.where(hit)
+        unchanged = syms.where(~hit)
+        new_changed = _apply_merge(changed, left, right)
+        delta = (
+            _pair_counts(changed)
+            .select("pair", (-F.col("cnt")).alias("d"))
+            .unionByName(_pair_counts(new_changed).select("pair", F.col("cnt").alias("d")))
+            .groupBy("pair")
+            .agg(F.sum("d").alias("d"))
+        )
+        pc = (
+            pc.join(delta, "pair", "full_outer")
+            .select(
+                "pair",
+                (
+                    F.coalesce("cnt", F.lit(0)) + F.coalesce("d", F.lit(0))
+                ).alias("cnt"),
+            )
+            .where(F.col("cnt") > 0)
+            .localCheckpoint(eager=True)
+        )
+        syms = unchanged.unionByName(new_changed).localCheckpoint(eager=True)
+    return merges, syms
+
+
 def train_bpe_merges(
     words: DataFrame, n_merges: int = 8
 ) -> tuple[list[tuple[int, str, int]], DataFrame]:

@@ -4811,11 +4811,16 @@ def corpus_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 8
 
 
-@q(
-    "corpus_bpe_merges",
-    f"""
+def _bpe_seq_retrain_sql(words_stage: str) -> str:
+    """The sequential-BPE retrain oracle, parameterized by the staged
+    (word, n) table: recursive CTE, per-round argmax with lexicographic
+    tie-break, gaps-and-islands greedy merge. Shared verbatim by
+    ``corpus_bpe_merges`` (full-recount trainer) and
+    ``corpus_bpe_merges_delta`` (incremental-count trainer) — the two
+    trainers are proven merge-identical, so one oracle checks both."""
+    return f"""
     WITH RECURSIVE
-    w AS (SELECT word, n FROM read_parquet('{staged_glob("bpe_words")}')),
+    w AS (SELECT word, n FROM read_parquet('{staged_glob(words_stage)}')),
     st(it, sym, n) AS (
       SELECT 0, trim(regexp_replace(word, '(.)', '\\1 ', 'g')), n FROM w
       UNION ALL
@@ -4869,8 +4874,10 @@ _BPE_MERGES = 8
     )
     SELECT CAST(it AS INT) AS rank, pair, CAST(cnt AS BIGINT) AS n
     FROM ranked WHERE rn = 1 ORDER BY rank
-    """,
-)
+    """
+
+
+@q("corpus_bpe_merges", _bpe_seq_retrain_sql("bpe_words"))
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary induction (operators/bpe.py): the corpus
     collapses once to a staged (word, n) table; eight merge rounds each
@@ -4886,6 +4893,32 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     words = stage(word_counts(d, "text", min_count=2), "bpe_words")
     merges, _syms = train_bpe_merges(words, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(merges, "rank int, pair string, n long").orderBy(
+        "rank"
+    )
+
+
+@q("corpus_bpe_merges_delta", _bpe_seq_retrain_sql("bpe_words_d"))
+def corpus_bpe_merges_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential BPE with INCREMENTAL pair counts (operators/bpe.py
+    train_bpe_merges_delta) — the fastBPE/SentencePiece count-update
+    optimization in distributed form. Each round argmaxes over a maintained
+    (pair, cnt) table instead of re-exploding the whole vocabulary, splits
+    the symbol table on a literal substring test for the merged pair, merges
+    only the hit rows, and folds their (new − old) pair deltas back into the
+    count table; per-round work is O(|hit words| + |pair table|), so late
+    rounds — rare pairs, few hit words — become nearly free at 10^8-word
+    vocabularies. Provably merge-identical to the full-recount trainer
+    (delta = exact multiset difference on hit words, by induction the
+    maintained table equals the recount every round), so the oracle is the
+    SAME sequential retrain CTE as ``corpus_bpe_merges`` over this query's
+    own staged word table; equality with the recount trainer and a
+    pure-python reference is pinned in tests/test_bpe.py."""
+    from ocr_platform_spark.operators.bpe import train_bpe_merges_delta, word_counts
+
+    d = _t(spark, sf_dir, "documents")
+    words = stage(word_counts(d, "text", min_count=2), "bpe_words_d")
+    merges, _syms = train_bpe_merges_delta(words, n_merges=_BPE_MERGES)
     return spark.createDataFrame(merges, "rank int, pair string, n long").orderBy(
         "rank"
     )

@@ -197,6 +197,50 @@ def test_batched_with_batch_one_equals_sequential(spark):
     assert bat == seq
 
 
+def test_delta_trainer_equals_recount_trainer(spark):
+    """The incremental-count trainer must be bit-identical to the full
+    recount: same merges (including tie-breaks and weights) and the same
+    final segmentation, on a vocabulary with overlapping runs ('aaaa',
+    'abab'), pairs whose counts drop to zero mid-training, and ties."""
+    words = {"banana": 5, "bandana": 3, "ananas": 2, "aaaa": 4, "abab": 6, "x": 1}
+    wdf = spark.createDataFrame(list(words.items()), "word string, n long")
+    from ocr_platform_spark.operators.bpe import train_bpe_merges_delta
+
+    seq, seq_syms = train_bpe_merges(wdf, 8)
+    dlt, dlt_syms = train_bpe_merges_delta(wdf, 8)
+    assert dlt == seq and len(seq) == 8
+    a = Counter((r["sym"], r["n"]) for r in seq_syms.collect())
+    b = Counter((r["sym"], r["n"]) for r in dlt_syms.collect())
+    assert a == b
+
+
+def test_delta_trainer_early_stop_and_hypothesis(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from ocr_platform_spark.operators.bpe import train_bpe_merges_delta
+
+    # early stop: single-char words -> no pairs -> no merges
+    wdf = spark.createDataFrame([("a", 3), ("b", 2)], "word string, n long")
+    merges, syms = train_bpe_merges_delta(wdf, 4)
+    assert merges == [] and {r["sym"] for r in syms.collect()} == {"a", "b"}
+
+    word = st.text(alphabet="abc", min_size=1, max_size=8)
+    words_strategy = st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=10)
+    collected: list[dict] = []
+
+    @given(words_strategy)
+    @settings(max_examples=6, deadline=None)
+    def gather(words):
+        collected.append(words)
+
+    gather()
+    for words in collected:
+        ref_merges, _ = _py_bpe(dict(words), 5)
+        wdf = spark.createDataFrame(list(words.items()), "word string, n long")
+        got, _ = train_bpe_merges_delta(wdf, 5)
+        assert got == ref_merges
+
+
 def test_batched_trio_rule_skips_interacting_pairs():
     # 'h e' shares a symbol with 'e l'; 'lo' (cat of 'l o') collides with
     # a later literal pair ('lo', 'w') — both must be skipped in-batch.
