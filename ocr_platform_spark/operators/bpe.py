@@ -194,8 +194,36 @@ def _apply_merge_batch(syms: DataFrame, pairs: list[str]) -> DataFrame:
     return syms.select(F.when(short, F.col("sym")).otherwise(out).alias("sym"), "n")
 
 
+def _fold_pair_deltas(
+    pc: DataFrame, changed: DataFrame, new_changed: DataFrame
+) -> DataFrame:
+    """Fold the (new − old) adjacent-pair deltas of the merge-hit rows into
+    the maintained (pair, cnt) table: full-outer join, drop counts ≤ 0. The
+    delta is the exact multiset difference, so the folded table equals a
+    full recount (see train_bpe_merges_delta's induction argument)."""
+    delta = (
+        _pair_counts(changed)
+        .select("pair", (-F.col("cnt")).alias("d"))
+        .unionByName(_pair_counts(new_changed).select("pair", F.col("cnt").alias("d")))
+        .groupBy("pair")
+        .agg(F.sum("d").alias("d"))
+    )
+    return (
+        pc.join(delta, "pair", "full_outer")
+        .select(
+            "pair",
+            (F.coalesce("cnt", F.lit(0)) + F.coalesce("d", F.lit(0))).alias("cnt"),
+        )
+        .where(F.col("cnt") > 0)
+    )
+
+
 def train_bpe_merges_batched(
-    words: DataFrame, n_rounds: int = 3, batch: int = 4, topk: int = 64
+    words: DataFrame,
+    n_rounds: int = 3,
+    batch: int = 4,
+    topk: int = 64,
+    delta: bool = False,
 ) -> tuple[list[tuple[int, str, int]], DataFrame]:
     """Batched BPE: per round, count pairs ONCE, keep the top ``batch``
     pairwise-non-interacting pairs from the (cnt desc, pair)-ranked top
@@ -214,21 +242,45 @@ def train_bpe_merges_batched(
     ``topk`` bounds the per-round driver collect; the oracle ranks with
     the same cutoff, so both engines select from the identical candidate
     window.
+
+    ``delta=True`` switches the per-round pair statistics to the
+    incremental-count update (see :func:`train_bpe_merges_delta`): the
+    top-``topk`` ranking reads a maintained (pair, cnt) table, only the
+    rows containing a selected pair are re-merged, and their (new − old)
+    deltas fold back into the table. Batch disjointness makes the delta
+    exact for the whole batch at once (batch-mates' occurrences never
+    interact — the same argument that makes the fused merge pass valid),
+    so the merge output is bit-identical either way; the catalog oracle
+    covers both. This is the full production combination: batched rounds
+    bound the number of cluster jobs, delta counts bound the work per job.
     """
     syms = init_symbols(words).localCheckpoint(eager=True)
+    pc = _pair_counts(syms).localCheckpoint(eager=True) if delta else None
     merges: list[tuple[int, str, int]] = []
     for _ in range(n_rounds):
-        ranked = (
-            _pair_counts(syms).orderBy(F.desc("cnt"), "pair").limit(topk).collect()
-        )
+        stats = pc if delta else _pair_counts(syms)
+        ranked = stats.orderBy(F.desc("cnt"), "pair").limit(topk).collect()
         sel = select_merge_batch([(r["pair"], int(r["cnt"])) for r in ranked], batch)
         if not sel:
             break
         for pair, cnt in sel:
             merges.append((len(merges), pair, cnt))
-        syms = _apply_merge_batch(syms, [p for p, _ in sel]).localCheckpoint(
-            eager=True
-        )
+        pairs = [p for p, _ in sel]
+        if delta:
+            hit = None
+            padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+            for p in pairs:
+                h = padded.contains(f" {p} ")
+                hit = h if hit is None else (hit | h)
+            changed = syms.where(hit)
+            unchanged = syms.where(~hit)
+            new_changed = _apply_merge_batch(changed, pairs)
+            pc = _fold_pair_deltas(pc, changed, new_changed).localCheckpoint(
+                eager=True
+            )
+            syms = unchanged.unionByName(new_changed).localCheckpoint(eager=True)
+        else:
+            syms = _apply_merge_batch(syms, pairs).localCheckpoint(eager=True)
     return merges, syms
 
 
@@ -276,24 +328,7 @@ def train_bpe_merges_delta(
         changed = syms.where(hit)
         unchanged = syms.where(~hit)
         new_changed = _apply_merge(changed, left, right)
-        delta = (
-            _pair_counts(changed)
-            .select("pair", (-F.col("cnt")).alias("d"))
-            .unionByName(_pair_counts(new_changed).select("pair", F.col("cnt").alias("d")))
-            .groupBy("pair")
-            .agg(F.sum("d").alias("d"))
-        )
-        pc = (
-            pc.join(delta, "pair", "full_outer")
-            .select(
-                "pair",
-                (
-                    F.coalesce("cnt", F.lit(0)) + F.coalesce("d", F.lit(0))
-                ).alias("cnt"),
-            )
-            .where(F.col("cnt") > 0)
-            .localCheckpoint(eager=True)
-        )
+        pc = _fold_pair_deltas(pc, changed, new_changed).localCheckpoint(eager=True)
         syms = unchanged.unionByName(new_changed).localCheckpoint(eager=True)
     return merges, syms
 

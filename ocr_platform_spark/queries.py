@@ -5055,8 +5055,12 @@ def corpus_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     words = stage(word_counts(d, "text", min_count=2), "bpe_words_b")
+    # delta=True: incremental pair counts (the production combination —
+    # batched rounds bound the job count, delta counts bound the per-job
+    # work); merge-identical to the recount path, so the retrain oracle
+    # gates BOTH (recount≡delta pinned in tests/test_bpe.py)
     merges, _syms = train_bpe_merges_batched(
-        words, n_rounds=_BPE_B_ROUNDS, batch=_BPE_B_BATCH, topk=_BPE_B_TOPK
+        words, n_rounds=_BPE_B_ROUNDS, batch=_BPE_B_BATCH, topk=_BPE_B_TOPK, delta=True
     )
     return spark.createDataFrame(merges, "rank int, pair string, n long").orderBy(
         "rank"

@@ -241,6 +241,22 @@ def test_delta_trainer_early_stop_and_hypothesis(spark):
         assert got == ref_merges
 
 
+def test_batched_delta_equals_batched_recount(spark):
+    """delta=True (incremental pair counts) must reproduce the recount
+    batched trainer bit-for-bit: batch disjointness keeps the per-batch
+    delta exact, so merges and final segmentations agree."""
+    words = {"banana": 5, "bandana": 3, "ananas": 2, "aaaa": 4, "abab": 6, "x": 1}
+    wdf = spark.createDataFrame(list(words.items()), "word string, n long")
+    rec, rec_syms = train_bpe_merges_batched(wdf, n_rounds=3, batch=4, topk=64)
+    dlt, dlt_syms = train_bpe_merges_batched(
+        wdf, n_rounds=3, batch=4, topk=64, delta=True
+    )
+    assert dlt == rec and len(rec) >= 3
+    a = Counter((r["sym"], r["n"]) for r in rec_syms.collect())
+    b = Counter((r["sym"], r["n"]) for r in dlt_syms.collect())
+    assert a == b
+
+
 def test_batched_trio_rule_skips_interacting_pairs():
     # 'h e' shares a symbol with 'e l'; 'lo' (cat of 'l o') collides with
     # a later literal pair ('lo', 'w') — both must be skipped in-batch.
