@@ -82,6 +82,8 @@ HEADLINE = [
     "bitext_margin_pairs",
     "semantic_dedup",
     "doc_tfidf_terms",
+    "corpus_bpe_merges_delta",
+    "corpus_epoch_plan",
 ]
 
 

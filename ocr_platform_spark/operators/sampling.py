@@ -111,6 +111,115 @@ def cap_per_group(
     return group_rank(df, group_col, key_col, salt).where(F.col("_rank") <= k)
 
 
+def epoch_plan(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    tokens_col: str,
+    weights_per_mille: dict[str, int],
+    total_tokens: int,
+    n_buckets: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget epoch planner — the step that turns a curated corpus
+    plus a target mixture into the actual TRAINING PLAN, including
+    UPSAMPLING: when a group's target share exceeds its available tokens
+    (the Wikipedia-×3 case in published LLM data recipes), the planner
+    assigns whole repeat epochs plus a deterministic partial epoch, where
+    :func:`mixture_sample` can only cap at take-all.
+
+    Per group g: required ``req = (total_tokens · w_g) div 1000``; with
+    available ``A_g = Σ tokens``, every doc gets ``full = req div A_g``
+    whole epochs, and the partial epoch ``rem = req mod A_g`` is filled by
+    docs in deterministic md5 draw order until their running token sum
+    covers ``rem`` (the boundary doc is included — plans overshoot by at
+    most one document, never undershoot). All-integer arithmetic; the draw
+    order is (md5 bucket, md5(key), key), so the plan is a pure function
+    of the data — identical across runs, cluster sizes, and engines.
+
+    Scale shape — the running sum is the interesting part. A naive window
+    ``PARTITION BY group ORDER BY hash`` sorts each group in ONE task: a
+    corpus-sized group serializes. Instead, a two-level prefix sum:
+
+    1. rows get an md5 bucket (map-side); a (group, bucket) token rollup —
+       one distributed aggregate to a groups×buckets table (tiny);
+    2. bucket-level prefix sums via a window over THAT table;
+    3. broadcast back: a bucket wholly below ``rem`` is all-in, wholly
+       above is all-out, and only the single boundary bucket per group
+       runs an intra-bucket window — partitioned by (group, bucket), so
+       the sort is 1/n_buckets of the group and parallel across groups.
+
+    The catalog oracle replays the selection as one flat window over the
+    same total order (equivalent by prefix-sum associativity) and checks
+    every per-doc epoch count."""
+    total_w = sum(weights_per_mille.values())
+    if total_w != 1000:
+        raise ValueError(f"weights must sum to 1000 per mille, got {total_w}")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, int(w)) for g, w in weights_per_mille.items()],
+        f"{group_col} string, _w long",
+    )
+    kc = F.col(key_col).cast("string")
+    d = df.withColumn("_b", hash_bucket(key_col, n_buckets, salt)).withColumn(
+        "_tok", F.col(tokens_col).cast("long")
+    )
+    need = (
+        d.groupBy(group_col)
+        .agg(F.sum("_tok").alias("_avail"))
+        .join(wdf, group_col)
+        .where(F.col("_avail") > 0)
+        .select(
+            group_col,
+            F.expr(f"(CAST({int(total_tokens)} AS BIGINT) * _w) div 1000").alias(
+                "_req"
+            ),
+            "_avail",
+        )
+        .select(
+            group_col,
+            F.expr("_req div _avail").alias("_full"),
+            F.expr("_req % _avail").alias("_rem"),
+        )
+    )
+    roll = d.groupBy(group_col, "_b").agg(F.sum("_tok").alias("_bsum"))
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    buckets = roll.withColumn(
+        "_bpre", F.coalesce(F.sum("_bsum").over(wb), F.lit(0))
+    ).join(need, group_col)
+    rows = d.join(F.broadcast(buckets), [group_col, "_b"])
+    boundary = (F.col("_bpre") < F.col("_rem")) & (
+        F.col("_rem") < F.col("_bpre") + F.col("_bsum")
+    )
+    wi = (
+        Window.partitionBy(group_col, "_b")
+        .orderBy(F.md5(F.concat(kc, F.lit(salt))), kc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    on_boundary = rows.where(boundary).withColumn(
+        "_inpart",
+        (F.col("_bpre") + F.coalesce(F.sum("_tok").over(wi), F.lit(0)))
+        < F.col("_rem"),
+    )
+    off_boundary = rows.where(~boundary).withColumn(
+        "_inpart", F.col("_bpre") + F.col("_bsum") <= F.col("_rem")
+    )
+    planned = off_boundary.unionByName(on_boundary).withColumn(
+        "n_epochs", (F.col("_full") + F.col("_inpart").cast("long")).cast("int")
+    )
+    return (
+        planned.where(F.col("n_epochs") > 0)
+        .withColumn(
+            "planned_tokens", (F.col("_tok") * F.col("n_epochs")).cast("long")
+        )
+        .drop("_b", "_tok", "_bsum", "_bpre", "_full", "_rem", "_inpart")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,

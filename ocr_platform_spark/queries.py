@@ -1437,6 +1437,100 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_WEIGHTS = {"en": 250, "zh": 300, "es": 150, "de": 150, "fr": 150}
+_EPOCH_TOTAL_TOKENS = 30_000
+_EPOCH_BUCKETS = 16
+
+
+def _epoch_oracle() -> str:
+    values = ", ".join(f"('{g}', {w})" for g, w in _EPOCH_WEIGHTS.items())
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+          AS n_tokens
+      FROM documents
+    ),
+    w(lang, w) AS (VALUES {values}),
+    avail AS (SELECT lang, SUM(n_tokens) AS avail FROM toks GROUP BY lang),
+    need AS (
+      SELECT a.lang,
+             ((CAST({_EPOCH_TOTAL_TOKENS} AS BIGINT) * w.w) // 1000) // a.avail
+               AS fullep,
+             ((CAST({_EPOCH_TOTAL_TOKENS} AS BIGINT) * w.w) // 1000) % a.avail
+               AS rem
+      FROM avail a JOIN w ON a.lang = w.lang WHERE a.avail > 0
+    ),
+    ord AS (
+      SELECT t.*, {oracle_bucket_sql("t.doc_id", _EPOCH_BUCKETS, "ep")} AS b,
+             md5(CAST(doc_id AS VARCHAR) || 'ep') AS h
+      FROM toks t
+    ),
+    cum AS (
+      SELECT *, COALESCE(SUM(n_tokens) OVER (
+          PARTITION BY lang ORDER BY b, h, CAST(doc_id AS VARCHAR)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumpre
+      FROM ord
+    )
+    SELECT c.doc_id, c.lang, CAST(c.n_tokens AS INT) AS n_tokens,
+           CAST(n.fullep + CASE WHEN c.cumpre < n.rem THEN 1 ELSE 0 END AS INT)
+             AS n_epochs,
+           CAST(c.n_tokens
+                * (n.fullep + CASE WHEN c.cumpre < n.rem THEN 1 ELSE 0 END)
+               AS BIGINT) AS planned_tokens
+    FROM cum c JOIN need n ON c.lang = n.lang
+    WHERE n.fullep + CASE WHEN c.cumpre < n.rem THEN 1 ELSE 0 END > 0
+    ORDER BY c.doc_id
+    """
+
+
+@q("corpus_epoch_plan", _epoch_oracle())
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planner (operators/sampling.epoch_plan) — the
+    step that turns the curated corpus plus a target mixture into the
+    actual training plan, INCLUDING upsampling: a group whose target share
+    exceeds its available tokens gets whole repeat epochs plus a
+    deterministic partial epoch filled in md5 draw order until the running
+    token sum covers the remainder (``mixture_sample`` can only cap at
+    take-all). All-integer arithmetic; the weights here make zh plan ×2
+    epochs + partial, es/de whole-epoch + partial, en partial-only — and
+    fr flips between partial-only and epoch+partial across the driver's
+    two scales, so every branch is driver-exercised. The Spark side runs
+    the scale shape (two-level prefix sum: per-bucket rollup + window over
+    the tiny bucket table + intra-bucket window on the single boundary
+    bucket per group); the oracle replays the selection as one flat window
+    over the same (bucket, md5, key) total order — equivalent by
+    prefix-sum associativity — and hash-checks every per-doc epoch count.
+    Engine-side training-data surface (no counterpart in the reference)."""
+    from ocr_platform_spark.operators.sampling import epoch_plan
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    return (
+        epoch_plan(
+            toks,
+            "lang",
+            "doc_id",
+            "n_tokens",
+            _EPOCH_WEIGHTS,
+            _EPOCH_TOTAL_TOKENS,
+            n_buckets=_EPOCH_BUCKETS,
+            salt="ep",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            "n_epochs",
+            "planned_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "ingest_path_hygiene",
     r"""
@@ -5407,8 +5501,8 @@ _PRIORITY = [
     "jaccard_adjacent_docs",
     "ann_topk_quantized", "ann_lsh_topk", "ann_lsh_recall", "ann_pq_topk",
     "ann_ivfpq_topk", "ann_ivf_topk", "bitext_margin_pairs",
-    "corpus_bpe_merges", "corpus_bpe_merges_batched", "corpus_bpe_token_counts",
-    "doc_bpe_tokens",
+    "corpus_bpe_merges", "corpus_bpe_merges_delta", "corpus_bpe_merges_batched",
+    "corpus_bpe_token_counts", "doc_bpe_tokens", "corpus_epoch_plan",
     "doc_lm_score", "ccnet_bucket_sample", "doc_dsir_sample",
     "doc_topic_classifier",
     "doc_quality", "doc_gopher_rules", "doc_lang_id", "doc_repetition",

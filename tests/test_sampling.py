@@ -118,3 +118,91 @@ def test_mixture_sample(spark):
     import pytest
     with pytest.raises(ValueError):
         mixture_sample(df, "g", "k", "t", {"en": 700, "de": 400}, 100)
+
+
+def test_epoch_plan_branches_and_flat_window_equivalence(spark):
+    """Two-level prefix-sum selection == a flat single-window replay, on a
+    mixture that exercises multi-epoch upsampling (g 'up' needs 2 full
+    epochs + partial), whole-epoch + partial, and partial-only groups; an
+    unweighted group drops out."""
+    from pyspark.sql import Window
+
+    from ocr_platform_spark.operators.sampling import epoch_plan, hash_bucket
+
+    rows = []
+    for i in range(60):
+        rows.append((f"a{i:03d}", "up", 10))       # avail 600
+    for i in range(80):
+        rows.append((f"b{i:03d}", "mid", 10))      # avail 800
+    for i in range(100):
+        rows.append((f"c{i:03d}", "down", 10))     # avail 1000
+    for i in range(10):
+        rows.append((f"x{i:03d}", "xx", 10))       # unweighted
+    df = spark.createDataFrame(rows, "k string, g string, t long")
+
+    weights = {"up": 500, "mid": 300, "down": 200}
+    total = 3000  # req: up 1500 (2 full + 300 rem), mid 900 (1 full + 100), down 600 (0 full + 600)
+    out = epoch_plan(df, "g", "k", "t", weights, total, n_buckets=8, salt="s").cache()
+
+    assert out.where(F.col("g") == "xx").count() == 0
+    per_g = {
+        r["g"]: (r["mn"], r["mx"], r["planned"])
+        for r in out.groupBy("g")
+        .agg(
+            F.min("n_epochs").alias("mn"),
+            F.max("n_epochs").alias("mx"),
+            F.sum("planned_tokens").alias("planned"),
+        )
+        .collect()
+    }
+    # epoch structure: up = 2 or 3 epochs, mid = 1 or 2, down = 0/1 -> only 1s survive
+    assert per_g["up"][0] == 2 and per_g["up"][1] == 3
+    assert per_g["mid"][0] == 1 and per_g["mid"][1] == 2
+    assert per_g["down"][0] == 1 and per_g["down"][1] == 1
+    # planned totals cover the requirement, overshooting by < one doc (10)
+    for g, req in (("up", 1500), ("mid", 900), ("down", 600)):
+        assert req <= per_g[g][2] < req + 10 + 1
+
+    # flat-window replay (the oracle's formulation) must agree row-for-row
+    b = hash_bucket("k", 8, "s")
+    h = F.md5(F.concat(F.col("k").cast("string"), F.lit("s")))
+    w = (
+        Window.partitionBy("g")
+        .orderBy(b, h, F.col("k").cast("string"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    need = {"up": (2, 300), "mid": (1, 100), "down": (0, 600)}
+    flat = (
+        df.where(F.col("g").isin(*need))
+        .withColumn("cumpre", F.coalesce(F.sum("t").over(w), F.lit(0)))
+        .collect()
+    )
+    exp = {}
+    for r in flat:
+        full, rem = need[r["g"]]
+        n = full + (1 if r["cumpre"] < rem else 0)
+        if n > 0:
+            exp[r["k"]] = n
+    got = {r["k"]: r["n_epochs"] for r in out.collect()}
+    assert got == exp
+
+    # partitioning invariance
+    out2 = epoch_plan(
+        df.repartition(13), "g", "k", "t", weights, total, n_buckets=8, salt="s"
+    )
+    assert {(r["k"], r["n_epochs"]) for r in out2.collect()} == set(got.items())
+
+
+def test_epoch_plan_rem_zero_and_weight_validation(spark):
+    """rem == 0 (budget an exact multiple of availability) must yield pure
+    whole-epoch plans with no partial docs; bad weights raise."""
+    from ocr_platform_spark.operators.sampling import epoch_plan
+
+    df = spark.createDataFrame(
+        [(f"k{i}", "g", 5) for i in range(10)], "k string, g string, t long"
+    )
+    out = epoch_plan(df, "g", "k", "t", {"g": 1000}, 100, n_buckets=4).collect()
+    assert len(out) == 10 and all(r["n_epochs"] == 2 for r in out)
+
+    with pytest.raises(ValueError):
+        epoch_plan(df, "g", "k", "t", {"g": 900}, 100)
