@@ -84,6 +84,7 @@ HEADLINE = [
     "doc_tfidf_terms",
     "corpus_bpe_merges_delta",
     "corpus_epoch_plan",
+    "corpus_training_order",
 ]
 
 

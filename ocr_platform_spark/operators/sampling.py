@@ -220,6 +220,124 @@ def epoch_plan(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    sqrt_iters: int = 1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based mixture weights (the UniMax / multilingual-LM
+    recipe: sample group g proportional to ``share_g^(1/T)``, flattening
+    the head so low-resource groups are not drowned) — emitted as exact
+    per-mille integers that feed :func:`mixture_sample` / :func:`epoch_plan`.
+
+    Cross-engine exactness is the design constraint: ``pow`` is NOT
+    required to be correctly rounded by IEEE 754 and differs between
+    libms, so arbitrary temperatures cannot be hash-stable across engines.
+    ``sqrt`` IS correctly rounded everywhere, so temperatures are
+    restricted to repeated square roots: ``sqrt_iters=1`` → T=2,
+    ``2`` → T=4, ``0`` → T=1 (proportional). Each group's raw weight is
+    ``floor(scale · sqrt^·iters(A_g))`` — one correctly-rounded sqrt
+    chain, one exact multiply, one floor — after which EVERYTHING is
+    integer arithmetic: per-mille weights by the largest-remainder
+    (Hamilton) method, quota ``(1000·r_g) div R``, leftover seats to the
+    largest ``(1000·r_g) mod R`` (ties broken by group value), so the
+    weights sum to exactly 1000 in every engine.
+
+    Scale shape: one distributed aggregate to a dimension-sized (group,
+    avail) table; the remainder windows run over that tiny table. Returns
+    (group, avail_tokens, weight_per_mille) with weight > 0 rows only
+    (a group can get 0 seats when its raw weight is < 1/1000 of total)."""
+    if sqrt_iters < 0:
+        raise ValueError(f"sqrt_iters must be >= 0, got {sqrt_iters}")
+    avail = df.groupBy(group_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("avail_tokens")
+    ).where(F.col("avail_tokens") > 0)
+    raw = F.col("avail_tokens").cast("double")
+    for _ in range(sqrt_iters):
+        raw = F.sqrt(raw)
+    r = F.floor(raw * F.lit(float(scale))).cast("long")
+    # NB: Spark column resolution is case-insensitive — the total's name
+    # must not collide with "_r" up to case.
+    g = avail.withColumn("_r", r)
+    tot = Window.partitionBy()
+    g = g.withColumn("_rsum", F.sum("_r").over(tot)).withColumn(
+        "_quota", F.expr("(1000 * _r) div _rsum")
+    ).withColumn("_rem", F.expr("(1000 * _r) % _rsum"))
+    w_seats = Window.partitionBy().orderBy(
+        F.desc("_rem"), F.col(group_col).cast("string")
+    )
+    g = g.withColumn(
+        "_extra",
+        (F.row_number().over(w_seats) <= F.lit(1000) - F.sum("_quota").over(tot))
+        .cast("long"),
+    )
+    return (
+        g.select(
+            group_col,
+            "avail_tokens",
+            (F.col("_quota") + F.col("_extra")).cast("int").alias("weight_per_mille"),
+        )
+        .where(F.col("weight_per_mille") > 0)
+    )
+
+
+def collect_weights(weights: DataFrame, group_col: str) -> dict[str, int]:
+    """Driver-side dict of a (group, weight_per_mille) table — the
+    dimension-sized handoff into :func:`mixture_sample` / :func:`epoch_plan`
+    (groups are languages/sources: tens of rows, an intentional collect)."""
+    return {
+        r[group_col]: int(r["weight_per_mille"])
+        for r in weights.select(group_col, "weight_per_mille").collect()
+    }
+
+
+def training_order(
+    plan: DataFrame,
+    key_col: str,
+    n_shards: int,
+    epochs_col: str = "n_epochs",
+    salt: str = "",
+) -> DataFrame:
+    """Materialize an epoch plan (:func:`epoch_plan` output) into the
+    actual training feed order: one row per (document, epoch replica),
+    assigned to a shard and given a position within it — the layout a
+    trainer consumes (readers stream shards sequentially and interleave
+    across shards, so a global total order is never needed and never
+    materialized).
+
+    The replica key is ``key‖'#'‖epoch``, so replicas of an upsampled
+    document scatter independently across shards and positions (epoch 2 of
+    a doc is nowhere near epoch 1 — the property repeat-epoch training
+    needs). Shard = md5 bucket of the replica key; position = rank by
+    (md5, key, epoch) within the shard. Pure function of the plan: stable
+    across runs, cluster sizes, and engines.
+
+    Scale shape: the explode is map-side (``sequence`` over an int column);
+    the only shuffle is the per-shard window, and shards are corpus/n_shards
+    sized by construction — pick n_shards so a shard's (key, epoch) pairs
+    sort in one task (the rows carry no payload; text joins back by key at
+    read time, which is how shard manifests stay tiny)."""
+    kc = F.col(key_col).cast("string")
+    rep = plan.select(
+        key_col,
+        F.explode(F.sequence(F.lit(1), F.col(epochs_col))).alias("epoch"),
+    )
+    rk = F.concat(kc, F.lit("#"), F.col("epoch").cast("string"))
+    h = F.md5(F.concat(rk, F.lit(salt)))
+    shard = (
+        F.conv(F.substring(h, 1, _HEX_CHARS), 16, 10).cast("long") % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy("_h", kc, "epoch")
+    return (
+        rep.withColumn("shard", shard.cast("int"))
+        .withColumn("_h", h)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_h")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,

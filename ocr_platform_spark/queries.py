@@ -1442,10 +1442,12 @@ _EPOCH_TOTAL_TOKENS = 30_000
 _EPOCH_BUCKETS = 16
 
 
-def _epoch_oracle() -> str:
+def _epoch_plan_ctes() -> str:
+    """Shared WITH-body computing the epoch plan rows (``plan``):
+    the selection chain of ``corpus_epoch_plan``, reused verbatim by the
+    training-order oracle so the two can never drift apart."""
     values = ", ".join(f"('{g}', {w})" for g, w in _EPOCH_WEIGHTS.items())
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, lang,
         CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
@@ -1472,16 +1474,24 @@ def _epoch_oracle() -> str:
           PARTITION BY lang ORDER BY b, h, CAST(doc_id AS VARCHAR)
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumpre
       FROM ord
-    )
-    SELECT c.doc_id, c.lang, CAST(c.n_tokens AS INT) AS n_tokens,
-           CAST(n.fullep + CASE WHEN c.cumpre < n.rem THEN 1 ELSE 0 END AS INT)
-             AS n_epochs,
-           CAST(c.n_tokens
-                * (n.fullep + CASE WHEN c.cumpre < n.rem THEN 1 ELSE 0 END)
-               AS BIGINT) AS planned_tokens
-    FROM cum c JOIN need n ON c.lang = n.lang
-    WHERE n.fullep + CASE WHEN c.cumpre < n.rem THEN 1 ELSE 0 END > 0
-    ORDER BY c.doc_id
+    ),
+    plan AS (
+      SELECT c.doc_id, c.lang, CAST(c.n_tokens AS INT) AS n_tokens,
+             CAST(n.fullep + CASE WHEN c.cumpre < n.rem THEN 1 ELSE 0 END AS INT)
+               AS n_epochs,
+             CAST(c.n_tokens
+                  * (n.fullep + CASE WHEN c.cumpre < n.rem THEN 1 ELSE 0 END)
+                 AS BIGINT) AS planned_tokens
+      FROM cum c JOIN need n ON c.lang = n.lang
+      WHERE n.fullep + CASE WHEN c.cumpre < n.rem THEN 1 ELSE 0 END > 0
+    )"""
+
+
+def _epoch_oracle() -> str:
+    return f"""
+    WITH {_epoch_plan_ctes()}
+    SELECT doc_id, lang, n_tokens, n_epochs, planned_tokens
+    FROM plan ORDER BY doc_id
     """
 
 
@@ -1528,6 +1538,130 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "planned_tokens",
         )
         .orderBy("doc_id")
+    )
+
+
+_TEMP_SCALE = 1_000_000
+
+
+@q(
+    "corpus_temperature_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+          AS n_tokens
+      FROM documents
+    ),
+    avail AS (
+      SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+      FROM toks GROUP BY lang HAVING SUM(n_tokens) > 0
+    ),
+    raw AS (
+      SELECT lang, avail_tokens,
+             CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) * {float(_TEMP_SCALE)}) AS BIGINT) AS rw
+      FROM avail
+    ),
+    tot AS (
+      SELECT *, CAST(SUM(rw) OVER () AS BIGINT) AS rsum FROM raw
+    ),
+    quota AS (
+      SELECT lang, avail_tokens,
+             (1000 * rw) // rsum AS q, (1000 * rw) % rsum AS rem
+      FROM tot
+    ),
+    seats AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY rem DESC, lang)
+                  <= 1000 - CAST(SUM(q) OVER () AS BIGINT) AS BIGINT) AS extra
+      FROM quota
+    )
+    SELECT lang, avail_tokens, CAST(q + extra AS INT) AS weight_per_mille
+    FROM seats WHERE q + extra > 0 ORDER BY lang
+    """,
+)
+def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights (operators/sampling.
+    temperature_weights — the UniMax / multilingual-LM recipe: sample each
+    language proportional to ``share^(1/T)``, flattening the head). T=2 via
+    one correctly-rounded sqrt — the ONLY float op; IEEE 754 requires sqrt
+    (unlike pow) to be exactly rounded, so ``floor(sqrt(avail)·10^6)`` is
+    bit-identical in Spark and DuckDB — after which the largest-remainder
+    seat assignment is pure integer arithmetic, hash-checked end to end.
+    Weights sum to exactly 1000 and feed epoch_plan/mixture_sample.
+    Engine-side training-data surface (no counterpart in the reference)."""
+    from ocr_platform_spark.operators.sampling import temperature_weights
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("lang", TX.token_count("text").cast("long").alias("n_tokens"))
+    return (
+        temperature_weights(toks, "lang", "n_tokens", sqrt_iters=1, scale=_TEMP_SCALE)
+        .orderBy("lang")
+    )
+
+
+_ORDER_SHARDS = 8
+
+
+def _training_order_oracle() -> str:
+    return f"""
+    WITH {_epoch_plan_ctes()},
+    rep AS (
+      SELECT doc_id, CAST(unnest(generate_series(1, n_epochs)) AS INT) AS epoch
+      FROM plan
+    ),
+    keyed AS (
+      SELECT doc_id, epoch,
+             md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR) || 'to') AS h
+      FROM rep
+    ),
+    sharded AS (
+      SELECT doc_id, epoch, h,
+             CAST(CAST(('0x' || substr(h, 1, 6)) AS BIGINT) % {_ORDER_SHARDS} AS INT) AS shard
+      FROM keyed
+    )
+    SELECT doc_id, epoch, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY h, CAST(doc_id AS VARCHAR), epoch
+           ) AS INT) AS pos
+    FROM sharded
+    ORDER BY shard, pos
+    """
+
+
+@q("corpus_training_order", _training_order_oracle())
+def corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch plan materialized into the trainer's feed order
+    (operators/sampling.training_order): one row per (document, epoch
+    replica), md5-assigned to a shard with a deterministic position inside
+    it — readers stream shards and interleave, so no global total order is
+    ever materialized (a global row_number would serialize the corpus
+    through one task). Replica keys are ``doc#epoch``, so repeat epochs of
+    an upsampled doc scatter independently. The explode is map-side
+    (``sequence``); the one shuffle is the per-shard rank window. Oracle
+    replays plan → explode → shard → rank and hash-checks every position.
+    Engine-side training-data surface (no counterpart in the reference)."""
+    from ocr_platform_spark.operators.sampling import epoch_plan, training_order
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    plan = epoch_plan(
+        toks,
+        "lang",
+        "doc_id",
+        "n_tokens",
+        _EPOCH_WEIGHTS,
+        _EPOCH_TOTAL_TOKENS,
+        n_buckets=_EPOCH_BUCKETS,
+        salt="ep",
+    )
+    return (
+        training_order(plan, "doc_id", _ORDER_SHARDS, salt="to")
+        .select("doc_id", "epoch", "shard", "pos")
+        .orderBy("shard", "pos")
     )
 
 
@@ -5503,6 +5637,7 @@ _PRIORITY = [
     "ann_ivfpq_topk", "ann_ivf_topk", "bitext_margin_pairs",
     "corpus_bpe_merges", "corpus_bpe_merges_delta", "corpus_bpe_merges_batched",
     "corpus_bpe_token_counts", "doc_bpe_tokens", "corpus_epoch_plan",
+    "corpus_temperature_weights", "corpus_training_order",
     "doc_lm_score", "ccnet_bucket_sample", "doc_dsir_sample",
     "doc_topic_classifier",
     "doc_quality", "doc_gopher_rules", "doc_lang_id", "doc_repetition",

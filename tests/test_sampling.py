@@ -206,3 +206,107 @@ def test_epoch_plan_rem_zero_and_weight_validation(spark):
 
     with pytest.raises(ValueError):
         epoch_plan(df, "g", "k", "t", {"g": 900}, 100)
+
+
+def test_temperature_weights_flattening_and_python_mirror(spark):
+    """sqrt temperature flattens the head (low-resource share rises vs
+    proportional), weights sum to exactly 1000, and the whole chain matches
+    a pure-python mirror (sqrt is correctly rounded in every IEEE engine)."""
+    import math
+
+    from ocr_platform_spark.operators.sampling import (
+        collect_weights,
+        temperature_weights,
+    )
+
+    rows = [("big", 90_000), ("mid", 9_000), ("small", 1_000)]
+    df = spark.createDataFrame(
+        [(g, t) for g, t in rows], "g string, n long"
+    )
+    for iters in (0, 1, 2):
+        out = temperature_weights(df, "g", "n", sqrt_iters=iters)
+        got = collect_weights(out, "g")
+        # pure-python mirror of the exact arithmetic
+        r = {}
+        for g, t in rows:
+            x = float(t)
+            for _ in range(iters):
+                x = math.sqrt(x)
+            r[g] = math.floor(x * 1_000_000.0)
+        R = sum(r.values())
+        quota = {g: (1000 * v) // R for g, v in r.items()}
+        rem = {g: (1000 * v) % R for g, v in r.items()}
+        seats = 1000 - sum(quota.values())
+        for g in sorted(rem, key=lambda g: (-rem[g], g))[:seats]:
+            quota[g] += 1
+        exp = {g: w for g, w in quota.items() if w > 0}
+        assert got == exp, f"iters={iters}"
+        assert sum(got.values()) == 1000
+    # flattening: share of 'small' strictly rises with temperature
+    w0 = collect_weights(temperature_weights(df, "g", "n", sqrt_iters=0), "g")
+    w1 = collect_weights(temperature_weights(df, "g", "n", sqrt_iters=1), "g")
+    w2 = collect_weights(temperature_weights(df, "g", "n", sqrt_iters=2), "g")
+    assert w0.get("small", 0) < w1["small"] < w2["small"]
+    assert w0["big"] > w1["big"] > w2["big"]
+
+    with pytest.raises(ValueError):
+        temperature_weights(df, "g", "n", sqrt_iters=-1)
+
+
+def test_temperature_weights_into_epoch_plan(spark):
+    """The composed UniMax recipe: measured availability -> temperature
+    weights -> epoch plan. Planned totals hit each group's derived target
+    within one document."""
+    from ocr_platform_spark.operators.sampling import (
+        collect_weights,
+        epoch_plan,
+        temperature_weights,
+    )
+
+    rows = []
+    for i in range(50):
+        rows.append((f"a{i:02d}", "big", 20))
+    for i in range(10):
+        rows.append((f"b{i:02d}", "small", 10))
+    df = spark.createDataFrame(rows, "k string, g string, t long")
+    w = collect_weights(temperature_weights(df, "g", "t", sqrt_iters=1), "g")
+    assert sum(w.values()) == 1000
+    total = 2000
+    out = epoch_plan(df, "g", "k", "t", w, total, n_buckets=4)
+    planned = {
+        r["g"]: r["p"]
+        for r in out.groupBy("g").agg(F.sum("planned_tokens").alias("p")).collect()
+    }
+    for g, avail, max_doc in (("big", 1000, 20), ("small", 100, 10)):
+        req = (total * w[g]) // 1000
+        assert req <= planned[g] <= req + max_doc
+
+
+def test_training_order(spark):
+    """Every (key, epoch) replica appears exactly once, positions are dense
+    1..n per shard, the layout is a pure function of the plan (partitioning
+    invariance), and epoch replicas of one doc scatter across shards."""
+    from ocr_platform_spark.operators.sampling import training_order
+
+    plan = spark.createDataFrame(
+        [(f"d{i:03d}", 1 + i % 3) for i in range(90)], "k string, n_epochs int"
+    )
+    out = training_order(plan, "k", 4, salt="s").cache()
+    rows = out.collect()
+    assert len(rows) == sum(1 + i % 3 for i in range(90))
+    assert len({(r["k"], r["epoch"]) for r in rows}) == len(rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {s}"
+    # replicas of multi-epoch docs land in >1 shard somewhere
+    multi = [r for r in rows if r["k"] == "d002"]
+    assert len(multi) == 3
+    assert len({r["shard"] for r in multi}) > 1
+
+    out2 = training_order(plan.repartition(7), "k", 4, salt="s")
+    assert {(r["k"], r["epoch"], r["shard"], r["pos"]) for r in out2.collect()} == {
+        (r["k"], r["epoch"], r["shard"], r["pos"]) for r in rows
+    }
