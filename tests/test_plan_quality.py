@@ -191,3 +191,28 @@ def test_keyword_search_broadcasts_idf_and_takeordered(spark):
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # idf dimension broadcast
     assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
+
+
+def test_epoch_plan_windows_are_bucket_partitioned(spark):
+    """The epoch planner must never sort a whole group in one task: every
+    WindowExec over row-scale data partitions by (group, bucket); the only
+    group-partitioned window runs over the tiny (group, bucket) rollup.
+    The plan also broadcasts the rollup back to the row side."""
+    plan = _formatted(CATALOG["corpus_epoch_plan"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # no per-row python anywhere in the mixture/planner path
+    assert "BatchEvalPython" not in plan
+
+
+def test_training_order_has_no_global_sort_window(spark):
+    """Feed-order materialization partitions its rank window by shard —
+    a global row_number (empty partition spec over corpus rows) would
+    serialize the corpus through one task."""
+    plan = _formatted(CATALOG["corpus_training_order"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    # the shard rank window partitions by shard, not by nothing
+    import re
+
+    win_specs = re.findall(r"row_number\(\)[^\n]*windowspecdefinition\(([^,]+),", plan)
+    assert win_specs, "expected a row_number window in the plan"
+    assert all("shard" in s for s in win_specs), win_specs
