@@ -161,6 +161,9 @@ def run_corpus_build_job(
     classifier_weights: DataFrame | None = None,
     classifier_keep: tuple[str, ...] = (),
     shard_output: tuple[str, int] | None = None,
+    epoch_budget: int | None = None,
+    order_shards: int = 16,
+    mixture_sqrt_iters: int = 1,
     stage_prefix: str = "corpus_build",
 ) -> dict:
     """The engine's end-to-end story as ONE composed job: extract →
@@ -207,6 +210,15 @@ def run_corpus_build_job(
        sources/shards.py): the final corpus written as md5-bucketed shard
        directories with a write-audit manifest; manifest totals returned
        so callers can cross-check the survivor count against the bytes.
+    7. **Training plan** (``epoch_budget=<tokens>``;
+       operators/sampling.py): the mixture recipe over the final corpus —
+       per-language temperature weights (share^(1/T) via repeated
+       correctly-rounded sqrt, integer largest-remainder seats), the
+       token-budget epoch plan (whole repeat epochs + deterministic
+       partial epoch, two-level distributed prefix sum), and the sharded
+       trainer feed order (replica key ``doc#epoch``, md5 shard + dense
+       in-shard position). ``order_shards`` sizes the feed-order shards;
+       ``mixture_sqrt_iters`` is the temperature knob (1 → T=2).
 
     Returns the funnel report rows plus run metrics (extraction metrics,
     canonical-dup count, token totals, kept-doc count). The heavy text
@@ -423,6 +435,54 @@ def run_corpus_build_job(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
     ).first()
 
+    train_metrics = None
+    training_order_df = None
+    if epoch_budget is not None:
+        # mixture → epoch plan → feed order over the FINAL corpus: the
+        # token counts are already computed (the budget stage's column),
+        # so this tail never re-reads text except for the language key.
+        from ocr_platform_spark.functions.textfns import lang_id
+        from ocr_platform_spark.operators.sampling import (
+            collect_weights,
+            epoch_plan,
+            temperature_weights,
+            training_order,
+        )
+
+        langed = counted.select(
+            "doc_id", lang_id("text").alias("lang"), "n_tokens"
+        )
+        weights = collect_weights(
+            temperature_weights(
+                langed, "lang", "n_tokens", sqrt_iters=mixture_sqrt_iters
+            ),
+            "lang",
+        )
+        plan = epoch_plan(
+            langed,
+            "lang",
+            "doc_id",
+            "n_tokens",
+            weights,
+            epoch_budget,
+            salt=f"{stage_prefix}-plan",
+        )
+        training_order_df = training_order(
+            plan, "doc_id", order_shards, salt=f"{stage_prefix}-order"
+        )
+        p = plan.agg(
+            F.count("*").alias("docs"),
+            F.sum("planned_tokens").alias("toks"),
+            F.max("n_epochs").alias("max_epochs"),
+        ).first()
+        train_metrics = {
+            "weights_per_mille": weights,
+            "planned_docs": int(p["docs"]),
+            "planned_tokens": int(p["toks"] or 0),
+            "max_epochs": int(p["max_epochs"] or 0),
+            "order_shards": order_shards,
+        }
+
     shard_metrics = None
     if shard_output is not None:
         # final corpus lands as fixed md5-bucketed shards + write-audit
@@ -460,5 +520,7 @@ def run_corpus_build_job(
         "funnel": [tuple(r) for r in report.collect()],
         "kept_docs": totals["n_docs"],
         "kept_tokens": int(totals["n_tokens"] or 0),
+        "train_plan": train_metrics,
+        "training_order": training_order_df,
         "curated": counted,
     }

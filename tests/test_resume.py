@@ -370,3 +370,49 @@ def test_corpus_build_classifier_gate(spark, tmp_path):
     assert res_off["classifier_gate"] is None
     assert off_in - on_in == n_spam  # exactly the marker pages gated out
     docs.unpersist()
+
+
+def test_corpus_build_training_plan_tail(spark, tmp_path):
+    """epoch_budget wires the mixture → epoch-plan → feed-order tail into
+    the composed job: temperature weights sum to 1000, the plan covers
+    each language's derived requirement, and the feed order carries one
+    row per (doc, epoch) replica with dense in-shard positions."""
+    import unittest.mock as mock
+
+    import ocr_platform_spark.staging as staging
+    from ocr_platform_spark.plans.pipeline import run_corpus_build_job
+
+    docs = documents_df(spark, 80).cache()
+    with mock.patch.object(staging, "STAGE_ROOT", str(tmp_path / "stage")):
+        res = run_corpus_build_job(
+            spark,
+            docs,
+            str(tmp_path / "tbl"),
+            run_id="tp1",
+            epoch_budget=50_000,
+            order_shards=4,
+        )
+    tp = res["train_plan"]
+    assert tp is not None
+    assert sum(tp["weights_per_mille"].values()) == 1000
+    # upsampling happened: the budget is several times the kept tokens
+    assert res["kept_tokens"] < 50_000
+    assert tp["max_epochs"] >= 2
+    assert tp["planned_tokens"] >= 50_000 - 1000  # per-group undershoot < 1 doc
+    order = res["training_order"]
+    rows = order.collect()
+    assert len(rows) > tp["planned_docs"]  # replicas exceed distinct docs
+    assert len({(r["doc_id"], r["epoch"]) for r in rows}) == len(rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {s}"
+
+    # no tail without the knob
+    with mock.patch.object(staging, "STAGE_ROOT", str(tmp_path / "stage2")):
+        off = run_corpus_build_job(
+            spark, docs, str(tmp_path / "tbl2"), run_id="tp0"
+        )
+    assert off["train_plan"] is None and off["training_order"] is None
+    docs.unpersist()

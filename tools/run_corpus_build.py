@@ -54,6 +54,20 @@ def main() -> int:
         help="parquet dir of pretrained (bigram, c) reference counts",
     )
     ap.add_argument("--n-shards", type=int, default=64)
+    ap.add_argument(
+        "--epoch-budget",
+        type=int,
+        default=None,
+        help="training-plan token budget: emit temperature-mixture epoch "
+        "plan + sharded feed order over the final corpus",
+    )
+    ap.add_argument("--order-shards", type=int, default=16)
+    ap.add_argument(
+        "--mixture-sqrt-iters",
+        type=int,
+        default=1,
+        help="temperature knob: 0 -> proportional, 1 -> T=2, 2 -> T=4",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -83,8 +97,12 @@ def main() -> int:
         compression_band=band,
         lm_counts=lm_counts,
         shard_output=(args.output, args.n_shards) if args.output else None,
+        epoch_budget=args.epoch_budget,
+        order_shards=args.order_shards,
+        mixture_sqrt_iters=args.mixture_sqrt_iters,
     )
     res.pop("curated", None)  # DataFrame handle, not JSON
+    res.pop("training_order", None)  # DataFrame handle, not JSON
     print(json.dumps(res, default=str))
     return 0
 
