@@ -214,7 +214,7 @@ def _build_edge(
     rng: random.Random, lang: str
 ) -> tuple[bytes, str, str, str | None]:
     """Edge-case payloads; returns (bytes, expected_kind, expected_text, expected_error)."""
-    which = rng.randrange(8)
+    which = rng.randrange(10)
     if which == 0:  # empty body
         return (
             b"<html><head><title>t</title></head><body></body></html>",
@@ -263,6 +263,59 @@ def _build_edge(
             b"xxxxxxxx\nendstream endobj\ntrailer << >>\n%%EOF\n"
         )
         return pdf, "pdf", "", "pdf-flate-error"
+    if which == 8:  # RSS feed → the feed extraction branch
+        # expected text mirrors the fixture-pinned cleaning rule (CDATA
+        # unwrap → tag strip → entity unescape → ws collapse) BY HAND —
+        # goldens stay independent of the kernel under test
+        ft = _sentence_words(rng, 3, 6, lang)
+        items, exp_blocks = [], [ft]
+        for _ in range(rng.randint(2, 4)):
+            t = _sentence_words(rng, 4, 8, lang)
+            d1 = _sentence_words(rng, 10, 20, lang)
+            d2 = _sentence_words(rng, 3, 6, lang)
+            style = rng.randrange(3)
+            if style == 0:  # plain description
+                desc, exp = d1, d1
+            elif style == 1:  # CDATA-wrapped markup: tags strip to text
+                desc = f"<![CDATA[<b>{d1}</b> {d2}]]>"
+                exp = f"{d1} {d2}"
+            else:  # escaped entity survives unescape
+                desc = f"{d1} &amp; {d2}"
+                exp = f"{d1} & {d2}"
+            items.append(
+                f"<item><title>{t}</title><description>{desc}</description></item>"
+            )
+            exp_blocks += [t, exp]
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<rss version="2.0"><channel>'
+            f"<title>{ft}</title><link>https://example.com/</link>"
+            + "".join(items)
+            + "</channel></rss>"
+        )
+        return xml.encode("utf-8"), "feed", "\n\n".join(exp_blocks), None
+    if which == 9:  # Atom feed
+        ft = _sentence_words(rng, 3, 6, lang)
+        entries, exp_blocks = [], [ft]
+        for _ in range(rng.randint(2, 3)):
+            t = _sentence_words(rng, 4, 8, lang)
+            s = _sentence_words(rng, 10, 18, lang)
+            if rng.random() < 0.5:
+                # escaped markup in <content>: tags are stripped BEFORE
+                # entities are unescaped, so it survives as literal text
+                body = f'<content type="html">&lt;p&gt;{s}&lt;/p&gt;</content>'
+                exp = f"<p>{s}</p>"
+            else:
+                body = f"<summary>{s}</summary>"
+                exp = s
+            entries.append(f"<entry><title>{t}</title>{body}</entry>")
+            exp_blocks += [t, exp]
+        xml = (
+            '<?xml version="1.0"?>\n'
+            '<feed xmlns="http://www.w3.org/2005/Atom">'
+            f"<title>{ft}</title>" + "".join(entries) + "</feed>"
+        )
+        return xml.encode("utf-8"), "feed", "\n\n".join(exp_blocks), None
     # which == 5: PDF with a filter the kernel honestly can't decode
     pdf = (
         b"%PDF-1.4\n1 0 obj << /Length 8 /Filter /LZWDecode >> stream\n"
