@@ -2921,6 +2921,48 @@ def extract_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "extract_feed_blocks",
+    f"""
+    SELECT url,
+           CAST(COUNT(*) AS INT) AS n_blocks,
+           CAST(COUNT(CASE WHEN field = 'title' THEN 1 END) AS INT) AS n_items,
+           CAST(SUM(length(value)) AS BIGINT) AS block_chars,
+           CAST(MAX("end") AS INT) AS text_len
+    FROM read_parquet('{staged_glob("feed_spans")}')
+    GROUP BY url ORDER BY url
+    """,
+)
+def extract_feed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feed extraction branch (kernels/feed_extract.py) end to end:
+    synth corpus → dispatch routes RSS/Atom payloads to the feed kernel →
+    per-block spans exploded and staged → per-feed rollup (block count,
+    item count, block chars, text length from the max span end) aggregated
+    by BOTH engines over the same staged bytes. Block values and offsets
+    are hash-checked transitively: any kernel drift changes block_chars/
+    text_len. Byte-identity of the full text is pinned corpus-wide by the
+    golden drive (tests/test_extraction.py, tests/test_feed.py)."""
+    from ocr_platform_spark.operators.extract import extract_documents
+
+    ext = extract_documents(_synth_docs(spark)).where(
+        F.col("payload_kind") == "feed"
+    )
+    spans = ext.select("url", F.explode("spans").alias("s")).select(
+        "url", "s.field", "s.start", "s.end", "s.value"
+    )
+    staged = stage(spans, "feed_spans")
+    return (
+        staged.groupBy("url")
+        .agg(
+            F.count("*").cast("int").alias("n_blocks"),
+            F.count_if(F.col("field") == "title").cast("int").alias("n_items"),
+            F.sum(F.length("value")).cast("long").alias("block_chars"),
+            F.max("end").cast("int").alias("text_len"),
+        )
+        .orderBy("url")
+    )
+
+
+@q(
     "doc_para_dedup",
     f"""
     WITH corpus AS (SELECT url, text FROM read_parquet('{staged_glob("para_corpus")}')),
@@ -5626,7 +5668,8 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entry remains runnable and oracle-checked by tools/oracle_check.py and
 # tests/test_oracle_parity.py regardless of position.
 _PRIORITY = [
-    "extract_corpus_stats", "curation_funnel", "extract_per_host",
+    "extract_corpus_stats", "extract_feed_blocks", "curation_funnel",
+    "extract_per_host",
     "host_pagerank", "host_hits", "host_link_graph", "doc_dedup_clusters",
     "minhash_near_dups", "simhash_near_dups", "doc_exact_dups",
     "doc_dedup_survivors", "doc_para_dedup", "doc_repeated_spans",
