@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import re
 
+from ocr_platform_spark.kernels.feed_extract import looks_like_feed
 from ocr_platform_spark.kernels.html_extract import decode_html
 
 # Pre-href attribute run: complete attributes only (name, optional =value,
@@ -70,15 +71,57 @@ def resolve_href(src_url: str, href: str) -> str | None:
     return f"{scheme}://{host}{d}{href}"
 
 
+# Feed link elements: RSS carries the target as element text
+# (``<link>https://…</link>``), Atom as an href attribute
+# (``<link href="…" rel="alternate"/>``). One scan handles both: an href
+# attribute wins; otherwise a non-self-closing element contributes its
+# text. Attribute values are assumed quote-clean ('>' inside a quoted
+# feed attribute is vanishingly rare machine-generated XML).
+_LINK_OPEN_RE = re.compile(r"<link(\s[^>]*)?>", re.I | re.S)
+_HREF_ATTR_RE = re.compile(
+    r"(?:^|\s)href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"'/]+))", re.I
+)
+_LINK_CLOSE_RE = re.compile(r"</link\s*>", re.I)
+
+
+def _feed_hrefs(raw: str) -> list[str]:
+    out: list[str] = []
+    for m in _LINK_OPEN_RE.finditer(raw):
+        attrs = m.group(1) or ""
+        ha = _HREF_ATTR_RE.search(attrs)
+        if ha:
+            out.append(ha.group(1) or ha.group(2) or ha.group(3) or "")
+            continue
+        if attrs.rstrip().endswith("/"):
+            continue  # self-closing without href
+        c = _LINK_CLOSE_RE.search(raw, m.end())
+        if c:
+            out.append(raw[m.end() : c.start()].strip())
+    return out
+
+
+def _raw_hrefs(src_url: str, data: bytes) -> tuple[str, list[str]]:
+    """(decoded_payload, unresolved hrefs in document order) — feeds scan
+    ``<link>`` elements, pages scan ``<a href>`` anchors."""
+    raw = decode_html(data)
+    if looks_like_feed(data):
+        return raw, _feed_hrefs(raw)
+    return raw, [
+        m.group(1) or m.group(2) or m.group(3) or ""
+        for m in _ANCHOR_RE.finditer(raw)
+    ]
+
+
 def extract_links(src_url: str, data: bytes) -> list[str]:
-    """All resolved outlink URLs of a page, document order, duplicates
-    kept (the caller decides whether multiplicity matters)."""
+    """All resolved outlink URLs of a page OR feed, document order,
+    duplicates kept (the caller decides whether multiplicity matters).
+    Feed payloads contribute their ``<link>`` targets — the crawl-frontier
+    edges syndication XML exists to provide."""
     if not data:
         return []
-    raw = decode_html(data)
+    _, hrefs = _raw_hrefs(src_url, data)
     out: list[str] = []
-    for m in _ANCHOR_RE.finditer(raw):
-        href = m.group(1) or m.group(2) or m.group(3) or ""
+    for href in hrefs:
         resolved = resolve_href(src_url, href)
         if resolved is not None:
             out.append(resolved)
@@ -117,10 +160,18 @@ def extract_links_with_anchors(src_url: str, data: bytes) -> list[tuple[str, str
     closing '>' and the first following ``</a>``, inner tags stripped,
     whitespace collapsed, truncated to {max} chars. A missing ``</a>``
     (truncated page) yields an empty anchor rather than swallowing the
-    rest of the document.""".format(max=_MAX_ANCHOR_CHARS)
+    rest of the document. Feed payloads yield the same edge set as
+    :func:`extract_links` with empty anchor text (feed ``<link>``
+    elements carry no anchor).""".format(max=_MAX_ANCHOR_CHARS)
     if not data:
         return []
     raw = decode_html(data)
+    if looks_like_feed(data):
+        return [
+            (r, "")
+            for r in (resolve_href(src_url, h) for h in _feed_hrefs(raw))
+            if r is not None
+        ]
     out: list[tuple[str, str]] = []
     for m in _ANCHOR_RE.finditer(raw):
         href = m.group(1) or m.group(2) or m.group(3) or ""

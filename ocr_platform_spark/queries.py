@@ -4103,7 +4103,9 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg AS (SELECT src_host, COUNT(*) AS out_deg FROM e GROUP BY src_host),
     hosts AS (SELECT DISTINCT host FROM
               (SELECT src_host AS host FROM e UNION ALL SELECT dst_host AS host FROM e)),
-    seeds AS (SELECT host FROM hosts WHERE CAST(substr(host, 6, 2) AS INT) < 8),
+    seeds AS (SELECT host FROM hosts
+              WHERE host LIKE 'site-%'
+                AND TRY_CAST(substr(host, 6, 2) AS INT) < 8),
     e2 AS (
       SELECT src_host, dst_host, FALSE AS phantom FROM e
       UNION ALL
@@ -4156,7 +4158,13 @@ def host_trustrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edges.select(F.col("dst_host").alias("host")))
         .distinct()
     )
-    seeds = hosts.where(F.substring("host", 6, 2).cast("int") < 8)
+    # try_cast + prefix guard: the graph also contains non-site hosts
+    # (feed <link> targets like example.com), which must not crash the
+    # seed rule under ANSI casting
+    seeds = hosts.where(
+        F.col("host").startswith("site-")
+        & (F.substring("host", 6, 2).try_cast("int") < 8)
+    )
     return host_trustrank(
         edges, seeds, iterations=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE
     )

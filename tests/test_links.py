@@ -346,3 +346,46 @@ def test_host_trustrank_seeded_flow(spark, tmp_path):
         ).collect()
     }
     assert durable == got
+
+
+def test_feed_link_extraction():
+    """Feed payloads contribute <link> targets: RSS element text, Atom
+    href attributes; self-closing no-href links skipped; both link
+    functions agree on the edge set."""
+    from ocr_platform_spark.kernels.links import (
+        extract_links,
+        extract_links_with_anchors,
+    )
+
+    rss = (
+        b'<?xml version="1.0"?>\n<rss version="2.0"><channel>'
+        b"<title>T</title><link>https://site.test/home</link>"
+        b"<item><title>a</title><link>/posts/1</link></item>"
+        b"<item><title>b</title><link>https://other.test/x#frag</link></item>"
+        b"</channel></rss>"
+    )
+    got = extract_links("https://site.test/feed.xml", rss)
+    assert got == [
+        "https://site.test/home",
+        "https://site.test/posts/1",
+        "https://other.test/x",  # fragment dropped, cross-host kept
+    ]
+    anchored = extract_links_with_anchors("https://site.test/feed.xml", rss)
+    assert anchored == [(u, "") for u in got]
+
+    atom = (
+        b'<feed xmlns="http://www.w3.org/2005/Atom"><title>t</title>'
+        b'<link rel="self" href="https://site.test/atom"/>'
+        b'<entry><title>e</title><link href="https://site.test/e/1"/></entry>'
+        b'<entry><title>f</title><link rel="alternate"/></entry>'
+        b"</feed>"
+    )
+    got = extract_links("https://site.test/atom", atom)
+    assert got == ["https://site.test/atom", "https://site.test/e/1"]
+
+    # an HTML page is untouched by the feed path even if it mentions <link>
+    html = (
+        b'<html><head><link rel="stylesheet" href="/css"></head>'
+        b'<body><a href="/page">go</a></body></html>'
+    )
+    assert extract_links("https://h.test/", html) == ["https://h.test/page"]
