@@ -102,3 +102,79 @@ def test_corpus_feed_goldens_match_kernel():
         assert text == d["expected_text"], d["url"]
         assert err is None
     assert n_feed > 20  # ~1% of docs are feeds (2 of 10 edge cases)
+
+
+# --- adversarial fuzz ---------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    # text fragments loaded with the characters the cleaning chain cares
+    # about: entity starts, tag brackets, CDATA terminators, whitespace runs
+    _frag = st.text(
+        alphabet="ab &<>;[]/!-\n\té",
+        max_size=24,
+    )
+
+    def _mk_item(title, body, wrap_cdata, as_entry):
+        tag = "entry" if as_entry else "item"
+        btag = "summary" if as_entry else "description"
+        b = f"<![CDATA[{body}]]>" if wrap_cdata else body
+        return f"<{tag}><title>{title}</title><{btag}>{b}</{btag}></{tag}>"
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        ft=_frag,
+        items=st.lists(
+            st.tuples(_frag, _frag, st.booleans()), min_size=0, max_size=4
+        ),
+        as_entry=st.booleans(),
+        truncate=st.integers(min_value=0, max_value=40),
+    )
+    def test_feed_kernel_invariants(ft, items, as_entry, truncate):
+        """Never raises; spans index text exactly; text is the join of
+        span values; byte-determinism."""
+        from ocr_platform_spark.kernels.feed_extract import extract_feed
+
+        root = "feed" if as_entry else "rss"
+        body = "".join(_mk_item(t, b, c, as_entry) for t, b, c in items)
+        doc = f"<{root}><title>{ft}</title>{body}</{root}>"
+        data = doc.encode("utf-8")
+        if truncate:
+            data = data[:-truncate] if truncate < len(data) else b"<rss>"
+        text, spans, err = extract_feed(data)
+        assert err is None
+        assert text == "\n\n".join(v for _, _, _, v in spans)
+        for field, s, e, v in spans:
+            assert field in ("feed-title", "title", "body")
+            assert text[s:e] == v
+            assert v == v.strip() and v != ""
+        text2, spans2, err2 = extract_feed(data)
+        assert (text2, spans2, err2) == (text, spans, err)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        hrefs=st.lists(
+            st.text(alphabet="ab/:#?.%-", max_size=20), min_size=0, max_size=5
+        ),
+        attr_form=st.booleans(),
+    )
+    def test_feed_link_invariants(hrefs, attr_form):
+        """Feed link scan never raises; every resolved link has an http(s)
+        scheme and no fragment."""
+        from ocr_platform_spark.kernels.links import extract_links
+
+        if attr_form:
+            body = "".join(f'<link href="{h}"/>' for h in hrefs)
+        else:
+            body = "".join(f"<link>{h}</link>" for h in hrefs)
+        data = f"<rss><channel>{body}</channel></rss>".encode()
+        out = extract_links("https://src.test/a/b", data)
+        for u in out:
+            assert u.startswith(("http://", "https://"))
+            assert "#" not in u
