@@ -85,6 +85,7 @@ HEADLINE = [
     "corpus_bpe_merges_delta",
     "corpus_epoch_plan",
     "corpus_training_order",
+    "events_zorder_layout",
 ]
 
 

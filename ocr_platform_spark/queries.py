@@ -2920,6 +2920,70 @@ def extract_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from ocr_platform_spark.operators.layout import zorder_sql
+
+    return f"""
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             CAST(user_id AS BIGINT) AS uid
+      FROM events
+    ),
+    rng AS (SELECT MIN(ep) AS xlo, MAX(ep) AS xhi,
+                   MIN(uid) AS ylo, MAX(uid) AS yhi FROM ev),
+    q AS (
+      SELECT ep, uid,
+             ((ep - xlo) * 256) // (xhi - xlo + 1) AS qx,
+             ((uid - ylo) * 256) // (yhi - ylo + 1) AS qy
+      FROM ev, rng
+    ),
+    z AS (SELECT ep, uid, {zorder_sql("qx", "qy", 8)} AS zval FROM q)
+    SELECT CAST(zval >> 12 AS INT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ep) AS BIGINT) AS ep_min, CAST(MAX(ep) AS BIGINT) AS ep_max,
+           CAST(MIN(uid) AS BIGINT) AS uid_min, CAST(MAX(uid) AS BIGINT) AS uid_max,
+           CAST(MIN(zval) AS BIGINT) AS z_min, CAST(MAX(zval) AS BIGINT) AS z_max
+    FROM z GROUP BY 1 ORDER BY 1
+    """
+
+
+@q("events_zorder_layout", _zorder_oracle())
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout planning (operators/layout.py) over
+    the events fact table: quantize (epoch seconds, user_id) to an 8-bit
+    grid from table stats, interleave to a z-value, shard into 16 fixed
+    z-ranges. The per-file report (counts, both-dimension bounding boxes,
+    z extents) is hash-checked — the oracle recomputes quantization,
+    bit interleave, and sharding with identical integer arithmetic. The
+    measured pruning benefit (bounding-box volume vs a time-sorted
+    layout, read from real parquet footers) is pinned in
+    tests/test_layout.py. Engine-side layout surface (no counterpart in
+    the reference)."""
+    from ocr_platform_spark.operators.layout import zorder_layout
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("ep"), F.col("user_id").cast("long").alias("uid")
+    )
+    r = ev.agg(
+        F.min("ep").alias("xlo"), F.max("ep").alias("xhi"),
+        F.min("uid").alias("ylo"), F.max("uid").alias("yhi"),
+    ).first()
+    lay = zorder_layout(
+        ev, "ep", (r["xlo"], r["xhi"]), "uid", (r["ylo"], r["yhi"]),
+        bits=8, file_bits=4,
+    )
+    return (
+        lay.groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ep").alias("ep_min"), F.max("ep").alias("ep_max"),
+            F.min("uid").alias("uid_min"), F.max("uid").alias("uid_max"),
+            F.min("zval").alias("z_min"), F.max("zval").alias("z_max"),
+        )
+        .orderBy("file_id")
+    )
+
+
 @q(
     "extract_feed_blocks",
     f"""
@@ -5677,7 +5741,7 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py regardless of position.
 _PRIORITY = [
     "extract_corpus_stats", "extract_feed_blocks", "curation_funnel",
-    "extract_per_host",
+    "extract_per_host", "events_zorder_layout",
     "host_pagerank", "host_hits", "host_link_graph", "doc_dedup_clusters",
     "minhash_near_dups", "simhash_near_dups", "doc_exact_dups",
     "doc_dedup_survivors", "doc_para_dedup", "doc_repeated_spans",
