@@ -81,3 +81,54 @@ def test_spark_submit_extraction_and_resume(spark, tmp_path):
     m3 = _submit(["--input", inp2, "--table", table, "--run-id", "ship3"])
     assert m3["rows"] == 30
     assert SnapshotTable(table).read_data(spark).count() == 180
+
+
+def test_py_files_zip_is_self_sufficient(spark, tmp_path):
+    """The cluster story proper: a driver script OUTSIDE the repo, cwd
+    outside the repo, package importable ONLY through --py-files zip.
+    Catches anything the zip builder forgot to package."""
+    from ocr_platform_spark.operators.corpus_spark import documents_df
+    from ocr_platform_spark.session import _ship_package
+
+    # build/refresh the zip with the same builder the sessions use
+    _ship_package(spark)
+    import tempfile
+
+    zpath = os.path.join(
+        tempfile.gettempdir(), "ocr_platform_spark-pyfiles.zip"
+    )
+    assert os.path.exists(zpath)
+
+    docs = documents_df(spark, 60, golden=True)
+    inp = str(tmp_path / "docs")
+    docs.select("url", "warc_ts", "html", "text", "lang").write.parquet(inp)
+
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        """
+import json, sys
+from pyspark.sql import SparkSession
+from ocr_platform_spark.plans.pipeline import run_extraction_job
+
+spark = SparkSession.builder.getOrCreate()
+docs = spark.read.parquet(sys.argv[1])
+m = run_extraction_job(spark, docs, sys.argv[2], run_id="zipship")
+print(json.dumps({"rows": m["rows"], "committed": m["committed"]}))
+spark.stop()
+"""
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            shutil.which("spark-submit"),
+            "--master", "local[4]",
+            "--conf", "spark.ui.showConsoleProgress=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zpath,
+            str(driver), inp, str(tmp_path / "tbl"),
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path), env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line) == {"rows": 60, "committed": True}
