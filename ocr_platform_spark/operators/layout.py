@@ -34,6 +34,12 @@ def quantize(col: Column | str, lo: int, hi: int, bits: int) -> Column:
     must be recorded with it (changing them re-lays-out the table)."""
     if hi <= lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if (int(hi) - int(lo) + 1) * (1 << bits) >= 1 << 53:
+        # the exact-division trick needs the scaled offset inside the
+        # double-exact integer range; epoch-seconds × 16 bits is ~2e14,
+        # comfortably inside — a violation means bits is too wide for the
+        # domain, which should fail loudly, not round silently
+        raise ValueError(f"(hi-lo+1)·2^bits must stay below 2^53 ({lo}..{hi}, {bits} bits)")
     c = F.col(col) if isinstance(col, str) else col
     clamped = F.greatest(F.lit(int(lo)), F.least(F.lit(int(hi)), c.cast("long")))
     num = (clamped - F.lit(int(lo))) * F.lit(1 << bits)

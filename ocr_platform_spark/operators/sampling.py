@@ -254,10 +254,19 @@ def temperature_weights(
     avail = df.groupBy(group_col).agg(
         F.sum(F.col(tokens_col).cast("long")).alias("avail_tokens")
     ).where(F.col("avail_tokens") > 0)
-    raw = F.col("avail_tokens").cast("double")
-    for _ in range(sqrt_iters):
-        raw = F.sqrt(raw)
-    r = F.floor(raw * F.lit(float(scale))).cast("long")
+    if sqrt_iters == 0:
+        # proportional: use the token counts directly. Hamilton seats are
+        # invariant under exact common scaling (floor(1000·c·a / (c·R)) ==
+        # floor(1000·a / R), remainders scale by c preserving order), and
+        # avail·scale would overflow int64 at 10^15-token corpora where
+        # avail alone cannot.
+        r = F.col("avail_tokens")
+    else:
+        raw = F.col("avail_tokens").cast("double")
+        for _ in range(sqrt_iters):
+            raw = F.sqrt(raw)
+        # sqrt(10^15) ≈ 3.2e7, ×10^6 ≈ 3.2e13 — exact in doubles and int64
+        r = F.floor(raw * F.lit(float(scale))).cast("long")
     # NB: Spark column resolution is case-insensitive — the total's name
     # must not collide with "_r" up to case.
     g = avail.withColumn("_r", r)
