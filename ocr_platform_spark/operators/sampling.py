@@ -120,6 +120,7 @@ def epoch_plan(
     total_tokens: int,
     n_buckets: int = 16,
     salt: str = "",
+    max_epochs: int | None = None,
 ) -> DataFrame:
     """Token-budget epoch planner — the step that turns a curated corpus
     plus a target mixture into the actual TRAINING PLAN, including
@@ -148,6 +149,16 @@ def epoch_plan(
        above is all-out, and only the single boundary bucket per group
        runs an intra-bucket window — partitioned by (group, bucket), so
        the sort is 1/n_buckets of the group and parallel across groups.
+
+    Sizing: only the single boundary bucket per group sorts its rows in
+    one task, so pick ``n_buckets ≳ group_rows / rows_per_task`` for the
+    largest group (the default 16 suits dimension-scale groups; a
+    10^10-row language needs thousands). ``max_epochs`` caps the whole
+    epochs per document (published recipes cap repeat exposure; an
+    uncapped tiny group with a large weight would otherwise plan
+    unboundedly many replicas) — the partial epoch still fills, so a
+    capped group can deliver fewer tokens than its target, exactly like
+    :func:`mixture_sample`'s take-all cap.
 
     The catalog oracle replays the selection as one flat window over the
     same total order (equivalent by prefix-sum associativity) and checks
@@ -182,6 +193,14 @@ def epoch_plan(
             F.expr("_req % _avail").alias("_rem"),
         )
     )
+    if max_epochs is not None:
+        if max_epochs < 1:
+            raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+        # cap whole epochs at max_epochs - 1 so full + partial <= cap;
+        # a capped group keeps its partial epoch (rem unchanged)
+        need = need.withColumn(
+            "_full", F.least(F.col("_full"), F.lit(int(max_epochs) - 1))
+        )
     roll = d.groupBy(group_col, "_b").agg(F.sum("_tok").alias("_bsum"))
     wb = (
         Window.partitionBy(group_col)

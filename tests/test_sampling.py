@@ -310,3 +310,30 @@ def test_training_order(spark):
     assert {(r["k"], r["epoch"], r["shard"], r["pos"]) for r in out2.collect()} == {
         (r["k"], r["epoch"], r["shard"], r["pos"]) for r in rows
     }
+
+
+def test_epoch_plan_max_epochs_cap(spark):
+    """max_epochs caps whole epochs (full+partial <= cap); the partial
+    epoch still fills; uncapped groups are unchanged."""
+    from ocr_platform_spark.operators.sampling import epoch_plan
+
+    rows = [(f"a{i}", "tiny", 10) for i in range(5)]  # avail 50
+    rows += [(f"b{i}", "big", 10) for i in range(50)]  # avail 500
+    df = spark.createDataFrame(rows, "k string, g string, t long")
+    # tiny gets 500 of 1000 tokens -> req 500 = 10 full epochs of 50
+    weights = {"tiny": 500, "big": 500}
+    out = epoch_plan(df, "g", "k", "t", weights, 1000, n_buckets=4,
+                     max_epochs=3).collect()
+    per_g = {}
+    for r in out:
+        per_g.setdefault(r["g"], []).append(r["n_epochs"])
+    assert max(per_g["tiny"]) <= 3
+    # capped: delivers at most cap*avail tokens, less than its 500 target
+    assert sum(10 * n for n in per_g["tiny"]) <= 3 * 50
+    # big needs 500 of 500 avail -> exactly 1 epoch, cap of 3 irrelevant
+    assert set(per_g["big"]) == {1}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        epoch_plan(df, "g", "k", "t", weights, 1000, max_epochs=0)
