@@ -24,9 +24,14 @@ from pyspark.sql import Column, functions as F
 def _nfc_batch(texts):
     rows = []
     for t in texts:
-        raw = t or ""
-        norm = unicodedata.normalize("NFC", raw)
-        rows.append((norm, len(raw), len(norm)))
+        if t is None:
+            # propagate NULL (DuckDB's nfc_normalize(NULL) is NULL too);
+            # coercing to '' would let a NULL document hash/dedup as the
+            # empty string
+            rows.append((None, None, None))
+            continue
+        norm = unicodedata.normalize("NFC", t)
+        rows.append((norm, len(t), len(norm)))
     return pd.DataFrame(rows, columns=["norm", "len_before", "len_after"])
 
 
@@ -52,7 +57,10 @@ def with_nfc(df, text_col: str, out_prefix: str = ""):
     return df.withColumn("_n", nfc_normalize_udf()(F.col(text_col))).select(
         "*",
         F.col("_n.norm").alias(f"{p}norm"),
-        (F.col("_n.norm") != F.col(text_col)).alias(f"{p}changed"),
+        # null-safe: a NULL text is "unchanged" (False), not NULL — a
+        # plain != would make where(changed) AND where(~changed) both
+        # silently drop NULL rows
+        (~F.col("_n.norm").eqNullSafe(F.col(text_col))).alias(f"{p}changed"),
         F.col("_n.len_before").alias(f"{p}len_before"),
         F.col("_n.len_after").alias(f"{p}len_after"),
     ).drop("_n")

@@ -78,8 +78,12 @@ def resolve_href(src_url: str, href: str) -> str | None:
 # text. Attribute values are assumed quote-clean ('>' inside a quoted
 # feed attribute is vanishingly rare machine-generated XML).
 _LINK_OPEN_RE = re.compile(r"<link(\s[^>]*)?>", re.I | re.S)
+# quoted forms only: XML requires quoted attribute values, and an
+# unquoted branch cannot distinguish a URL's trailing '/' from the
+# self-close '/>' (an earlier variant truncated unquoted hrefs at the
+# first '/', losing the edge entirely)
 _HREF_ATTR_RE = re.compile(
-    r"(?:^|\s)href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"'/]+))", re.I
+    r"(?:^|\s)href\s*=\s*(?:\"([^\"]*)\"|'([^']*)')", re.I
 )
 _LINK_CLOSE_RE = re.compile(r"</link\s*>", re.I)
 
@@ -90,7 +94,7 @@ def _feed_hrefs(raw: str) -> list[str]:
         attrs = m.group(1) or ""
         ha = _HREF_ATTR_RE.search(attrs)
         if ha:
-            out.append(ha.group(1) or ha.group(2) or ha.group(3) or "")
+            out.append(ha.group(1) or ha.group(2) or "")
             continue
         if attrs.rstrip().endswith("/"):
             continue  # self-closing without href

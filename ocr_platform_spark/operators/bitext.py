@@ -66,10 +66,16 @@ def margin_mine_pairs(
         F.col("item_id").alias("x_id"),
         _c6("cosine").alias("c"),
     )
+    # Normalization is the PAPER's: divide by the constant 2k, so a side
+    # with fewer than k candidates has its missing neighbors contribute
+    # zero cosine — the neighborhood mean is deliberately diluted (the
+    # pinned small-corpus tests rely on it, and at mining scale
+    # |candidates| >> k always). A count-aware mean (divide by actual
+    # neighbors) is the other defensible choice; it would raise sparse
+    # sides' denominators and admit fewer pairs.
     s_x = xy.groupBy("x_id").agg(F.sum("c").alias("s_x"))
     s_y = yx.groupBy("y_id").agg(F.sum("c").alias("s_y"))
     den = F.col("s_x") + F.col("s_y")
-    num = F.lit(2 * k) * F.col("c")
     pairs = (
         xy.withColumnRenamed("c", "c_xy")
         .join(F.broadcast(s_x), "x_id")

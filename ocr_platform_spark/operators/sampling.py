@@ -348,7 +348,10 @@ def training_order(
     sort in one task (the rows carry no payload; text joins back by key at
     read time, which is how shard manifests stay tiny)."""
     kc = F.col(key_col).cast("string")
-    rep = plan.select(
+    # guard n_epochs > 0 here, not just in epoch_plan: Spark's
+    # sequence(1, 0) DESCENDS to [1, 0], so an unfiltered plan row would
+    # fabricate two phantom replicas (including an "epoch 0")
+    rep = plan.where(F.col(epochs_col) > 0).select(
         key_col,
         F.explode(F.sequence(F.lit(1), F.col(epochs_col))).alias("epoch"),
     )
@@ -406,13 +409,20 @@ def mixture_sample(
     avail = df.groupBy(group_col).agg(
         F.sum(F.col(tokens_col).cast("long")).alias("_avail")
     )
+    # two-step division keeps every intermediate inside int64 at corpus
+    # scale: the one-step (T·w·buckets) div (1000·avail) would overflow
+    # past T ≈ 9.2e12 at the 1000-bucket default (100 TB of text is
+    # ~2e13 tokens). Step one is the whole-token requirement req =
+    # (T·w) div 1000 (safe to T ≈ 9.2e15); step two scales by buckets
+    # (req·buckets ≤ T·buckets, safe to T ≈ 9.2e15 at 1000 buckets).
+    # The catalog oracle mirrors the same two-step expression.
     thr = avail.join(wdf, group_col).select(
         group_col,
         F.least(
             F.lit(n_buckets).cast("long"),
             F.expr(
-                f"(CAST({int(total_tokens)} AS BIGINT) * _w * {int(n_buckets)})"
-                f" div (1000 * _avail)"
+                f"(((CAST({int(total_tokens)} AS BIGINT) * _w) div 1000)"
+                f" * {int(n_buckets)}) div _avail"
             ),
         ).alias("_thr"),
     )

@@ -1393,7 +1393,8 @@ def _mixture_oracle() -> str:
     thr AS (
       SELECT a.lang,
         least(CAST(1000 AS BIGINT),
-              (CAST({_MIX_TOTAL_TOKENS} AS BIGINT) * w.w * 1000) // (1000 * a.avail))
+              (((CAST({_MIX_TOTAL_TOKENS} AS BIGINT) * w.w) // 1000) * 1000)
+                // a.avail)
           AS thr
       FROM avail a JOIN w ON a.lang = w.lang
     )
