@@ -10,11 +10,13 @@ backreferences), so the driver's oracle comparison verifies the redacted
 bytes exactly.
 
 Chain order is part of the contract: **email → IPv4 → phone**, each stage
-matching against the previous stage's output. An email's domain may embed
-an IP (``user@10.0.0.1``) and its local part may embed phone-shaped digit
-runs — redacting emails first means those bytes are gone before the later
-patterns look, making the three counts disjoint and the output independent
-of any single-pattern overlap ambiguity.
+matching against the previous stage's output. An email's local part may
+embed phone-shaped digit runs (``a212-555-0199@x.com``) — redacting emails
+first means those bytes are gone before the phone pattern looks, keeping
+the counts disjoint. (An IP-domain address like ``user@10.0.0.1`` is NOT
+an email to EMAIL_RE — it requires an alphabetic TLD — so that case is
+counted by the IPv4 stage as ``user@<IP>``; the chain order does not
+change it.)
 
 The reference has no redaction pass (it stores extracted values verbatim);
 this module is part of the engine's own training-data surface
@@ -29,8 +31,13 @@ from pyspark.sql import Column, functions as F
 # Java regex and RE2; {m,n} quantifiers and non-capturing groups likewise.
 EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-# US-shaped: optional +1 / 1 prefix, (area) or area, then 3-4 split.
-PHONE_RE = r"(?:\+?1[ .\-]?)?\(?\d{3}\)?[ .\-]\d{3}[ .\-]?\d{4}\b"
+# US-shaped: optional +1 / 1- prefix, (area) or area, then 3-4 split.
+# Anchored at BOTH ends without lookaround: digit-led starts carry \b (a
+# longer digit run like '123456 789-0123' must not have its tail
+# redacted), '+' and '(' starts need none; area parens must balance.
+PHONE_RE = (
+    r"(?:\+1[ .\-]?|\b1[ .\-])?(?:\(\d{3}\)|\b\d{3})[ .\-]\d{3}[ .\-]?\d{4}\b"
+)
 
 EMAIL_TOKEN = "<EMAIL>"
 IPV4_TOKEN = "<IP>"

@@ -181,7 +181,10 @@ def classify_map_side(
         preds: list[str | None] = []
         scores: list[int | None] = []
         for t in texts:
-            stream = ws.sub(" ", (t or "").lower()).strip().split(" ")
+            # .strip(" ") not .strip(): bare strip is unicode-aware and
+            # would remove e.g. U+00A0 where the relational twin's JVM
+            # trim (ASCII space) does not — breaking row-for-row parity
+            stream = ws.sub(" ", (t or "").lower()).strip(" ").split(" ")
             toks = stream if per_occurrence else set(stream)
             acc: dict[str, int] = {}
             for tok in toks:
@@ -198,7 +201,10 @@ def classify_map_side(
             scores.append(best[1])
         return pd.DataFrame({"predicted": preds, "score": scores})
 
-    out = docs.select(
+    # NULL text emits no row relationally (explode of a null token array);
+    # filter here too rather than coercing to '' — '' can be a trained
+    # vocabulary token, which would give NULL docs a phantom verdict
+    out = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), _clf(F.col(text_col)).alias("r")
     ).select(id_col, "r.predicted", "r.score")
     return out.where(F.col("predicted").isNotNull())

@@ -106,7 +106,9 @@ def mark_contaminated(
         per_doc.select("id", F.explode("_grams").alias("g"))
         .join(F.broadcast(eval_grams), "g")
         .groupBy("id")
-        .agg(F.countDistinct("g").alias("n_hits"))
+        # grams are array_distinct-ed per doc above, so a plain count is
+        # already distinct — countDistinct would add a second hash pass
+        .agg(F.count("*").alias("n_hits"))
     )
     return (
         per_doc.select("id", F.size("_grams").alias("n_grams"))

@@ -180,6 +180,10 @@ def lm_score_map_side(
     _score.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
     score = pandas_udf(out_type)(_score)
 
+    # NULL text scores like '' (one OOV shingle, lm_keep False) in BOTH
+    # twins — the relational lm_score coalesces the shingle array, so a
+    # NULL doc is present with (1, 1, 0); parity is pinned on exactly
+    # this case (doc 105) in tests/test_lmscore.py
     scored = docs.select(
         F.col(id_col).alias("id"), score(F.col(text_col)).alias("_s")
     ).select("id", "_s.n_bigrams", "_s.n_oov", "_s.bits_total")

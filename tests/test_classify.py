@@ -104,6 +104,22 @@ def test_tie_break_and_oov_handling(spark):
     ms = {r["doc_id"]: r["predicted"] for r in classify_map_side(probe, w, "doc_id", "text").collect()}
     assert ms == got
 
+    # NULL text emits no verdict in EITHER twin — even when '' is a
+    # trained vocabulary token (empty training doc below), a NULL doc
+    # must not inherit its weights via the '' coercion
+    train2 = spark.createDataFrame(
+        [(1, "", "A"), (2, "", "A"), (3, "alpha", "B"), (4, "alpha", "B")],
+        "doc_id long, text string, lab string",
+    )
+    w2 = train_class_token_weights(train2, "lab", "doc_id", "text", min_count=1)
+    probe2 = spark.createDataFrame(
+        [(20, None), (21, ""), (22, "alpha")], "doc_id long, text string"
+    )
+    rel2 = {r["doc_id"]: r["predicted"] for r in classify_documents(probe2, w2, "doc_id", "text").collect()}
+    ms2 = {r["doc_id"]: r["predicted"] for r in classify_map_side(probe2, w2, "doc_id", "text").collect()}
+    assert rel2 == ms2
+    assert 20 not in rel2 and rel2[21] == "A" and rel2[22] == "B"
+
 
 def _freq_corpus(spark, n=300):
     """Every class emits every token (presence ~uninformative per token);

@@ -53,3 +53,22 @@ def test_bare_10_digits_not_matched(spark):
     rows = _run(spark, ["order 4155550134 shipped"])
     assert rows[0].clean == "order 4155550134 shipped"
     assert rows[0].phone == 0
+
+
+def test_phone_not_matched_inside_longer_digit_runs(spark):
+    # a digit-led phone shape must not have its tail carved out of a
+    # longer identifier run; explicit starts (+1, parens) still match
+    rows = _run(
+        spark,
+        [
+            "serial 123456 789-0123 logged",       # tail of an ID run
+            "call +1 (415) 555-0134 now",
+            "call 1-415-555-0134 now",
+            "call (415) 555-0134 now",
+            "call 415 555 0134 now",
+        ],
+    )
+    assert rows[0].clean == "serial 123456 789-0123 logged"
+    assert rows[0].phone == 0
+    for r in rows[1:]:
+        assert "<PHONE>" in r.clean and r.phone == 1
