@@ -91,8 +91,13 @@ def with_bloom_flag(
         (F.col("pos") / 64).cast("long").alias("word_idx"),
         F.expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").alias("mask"),
     )
+    # hint broadcast only while the bitmap actually fits an executor
+    # (~8 bytes/word + row overhead; 64 MB of bits = 5e8 bits). Beyond
+    # that the hint would force a driver collect of the whole bitmap —
+    # let AQE pick shuffle-hash instead, as the module doc promises.
+    words_side = F.broadcast(words) if n_bits <= 512 * 1024 * 1024 else words
     hits = (
-        probes.join(F.broadcast(words), "word_idx", "left")
+        probes.join(words_side, "word_idx", "left")
         .select(
             "_bk",
             (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")) != 0).alias(

@@ -21,10 +21,9 @@ join, whose key cardinality grows with the corpus → parallelizes freely.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ocr_platform_spark.operators.dedup import (
-    _bucket_pairs,
     _staged,
     hashed_shingle_sets,
     minhash_bands,
@@ -76,7 +75,9 @@ class SignatureStore:
         n = staged.count()
         if n == 0:
             self.table.discard_staged(run_id)
-            return staged
+            # NOT `staged`: that frame reads the files just discarded and
+            # would fail on any downstream action
+            return new_sigs.limit(0)
         lineage = staged.groupBy().agg(F.count("*").alias("input_count")).select(
             F.lit(-1).alias("partition_id"),
             "input_count",
@@ -116,11 +117,20 @@ def incremental_near_duplicates(
     k = store.k
 
     def banded(df: DataFrame) -> DataFrame:
-        return df.select(
+        b = df.select(
             "id",
             F.posexplode(minhash_bands("sig", k, rows_per_band)).alias(
                 "band_id", "band_hash"
             ),
+        )
+        # the same deterministic mega-bucket trim as the batch path
+        # (dedup._bucket_pairs): a spam cluster of m identical docs would
+        # otherwise emit O(m_new · m) candidate rows from one bucket
+        wb = Window.partitionBy("band_id", "band_hash").orderBy(F.col("id"))
+        return (
+            b.withColumn("_rn", F.row_number().over(wb))
+            .where(F.col("_rn") <= max_bucket)
+            .drop("_rn")
         )
 
     new_b = banded(new_sigs)

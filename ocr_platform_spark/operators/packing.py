@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from ocr_platform_spark.operators.sampling import hash_bucket
 
-_OUT_DDL = "doc_id long, shard_id long, seq_id long, fill_after long"
+def _out_ddl(id_type: str) -> str:
+    # the id column keeps its source type (ids are strings in the dedup
+    # family, longs in the TPC-H tables — a hardcoded `long` would crash
+    # Arrow conversion on string keys)
+    return f"doc_id {id_type}, shard_id long, seq_id long, fill_after long"
 
 
 def pack_sequences(
@@ -74,7 +78,8 @@ def pack_sequences(
             }
         )
 
-    return base.groupBy("shard_id").applyInPandas(pack, _OUT_DDL)
+    id_type = dict(df.dtypes)[id_col]
+    return base.groupBy("shard_id").applyInPandas(pack, _out_ddl(id_type))
 
 
 def sequence_rollup(packed: DataFrame) -> DataFrame:

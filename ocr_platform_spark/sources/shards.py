@@ -79,7 +79,9 @@ def write_sharded(
         .agg(*aggs)
         .orderBy("shard_id")
     )
-    manifest.repartition(1).write.mode("overwrite").parquet(
-        os.path.join(path, "_manifest")
-    )
-    return manifest
+    mpath = os.path.join(path, "_manifest")
+    manifest.repartition(1).write.mode("overwrite").parquet(mpath)
+    # return a READER of the persisted manifest, not the lazy aggregate:
+    # the audit scan over every written shard would otherwise re-execute
+    # on each caller action
+    return spark.read.parquet(mpath).orderBy("shard_id")

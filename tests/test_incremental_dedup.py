@@ -67,3 +67,24 @@ def test_exact_copy_estimates_one(spark, tmp_path):
     new2 = store.ingest(b2, "doc_id", "text", run_id="r2")
     pairs = incremental_near_duplicates(store, new2, threshold=0.9).collect()
     assert len(pairs) == 1 and pairs[0]["est_jaccard"] == 1.0
+
+
+def test_ingest_all_known_batch_returns_usable_empty_frame(spark, tmp_path):
+    """A fully-known batch discards its stage; the returned frame must be
+    empty AND actionable (not a reader of the just-deleted files)."""
+    from ocr_platform_spark.operators.incremental_dedup import (
+        SignatureStore,
+        incremental_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"common text body shared {i} words here") for i in range(8)],
+        "doc_id string, text string",
+    )
+    store = SignatureStore(str(tmp_path / "sigs"))
+    first = store.ingest(docs, "doc_id", "text", "r1")
+    assert first.count() == 8
+    again = store.ingest(docs, "doc_id", "text", "r2")
+    assert again.count() == 0  # must not raise file-not-found
+    pairs = incremental_near_duplicates(store, again)
+    assert pairs.count() == 0

@@ -66,3 +66,17 @@ def test_pack_is_deterministic_across_partitioning(spark):
         map(tuple, pack_sequences(df.repartition(7), "doc_id", "w", 1500, 4).collect())
     )
     assert a == b
+
+
+def test_pack_sequences_string_ids(spark):
+    """The id column keeps its source type — string keys (the dedup-family
+    id shape) must pack, not crash Arrow conversion on a hardcoded long."""
+    from ocr_platform_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(f"url-{i:03d}", 40) for i in range(30)], "u string, n long"
+    )
+    out = pack_sequences(df, "u", "n", budget=100, n_shards=4).collect()
+    assert len(out) == 30
+    assert all(isinstance(r["doc_id"], str) for r in out)
+    assert all(r["fill_after"] <= 100 for r in out)
