@@ -116,7 +116,51 @@ def _host_blurb(host: str) -> str:
     )
 
 
-def _build_html(rng: random.Random, lang: str, host: str | None = None) -> tuple[bytes, str]:
+# og:locale forms per corpus language (deterministic, no rng draw)
+_OG_LOCALE = {"en": "en_US", "de": "de_DE", "fr": "fr_FR", "es": "es_ES", "hi": "hi_IN"}
+
+
+def _head_metadata(
+    meta_rng: random.Random, lang: str, url: str | None, title: str
+) -> str:
+    """<head> metadata block (description / canonical / og:* / robots /
+    hreflang alternates) drawn from a FORKED rng so the main content
+    stream — and with it every historical expected_text — is untouched.
+    The content kernel drops <head> wholesale, so expected main text is
+    independent of anything emitted here; the page-metadata kernel
+    (kernels/page_meta.py) is the consumer."""
+    parts: list[str] = [f'<meta charset="utf-8">']
+    if meta_rng.random() < 0.7:
+        desc = _sentence_words(meta_rng, 8, 16, lang)
+        parts.append(f'<meta name="description" content="{desc}">')
+    if url is not None and meta_rng.random() < 0.75:
+        # ~1 in 5 canonicals point at a normalized variant of the url
+        # (trailing tracking params stripped pattern), the rest self-refer
+        canon = url if meta_rng.random() < 0.8 else url.rsplit("/", 1)[0] + "/"
+        # attribute order varies: both orders must parse identically
+        if meta_rng.random() < 0.5:
+            parts.append(f'<link rel="canonical" href="{canon}">')
+        else:
+            parts.append(f'<link href="{canon}" rel="canonical">')
+    if meta_rng.random() < 0.6:
+        parts.append(f'<meta property="og:title" content="{title}">')
+        parts.append(f'<meta property="og:locale" content="{_OG_LOCALE[lang]}">')
+    if meta_rng.random() < 0.1:
+        robots = meta_rng.choice(("noindex", "noindex,nofollow", "nofollow"))
+        parts.append(f'<meta name="robots" content="{robots}">')
+    for alt in sorted(meta_rng.sample(_LANGS, k=meta_rng.randrange(0, 4))):
+        if alt != lang and url is not None:
+            parts.append(f'<link rel="alternate" hreflang="{alt}" href="{url}?hl={alt}">')
+    return "".join(parts)
+
+
+def _build_html(
+    rng: random.Random,
+    lang: str,
+    host: str | None = None,
+    url: str | None = None,
+    meta_rng: random.Random | None = None,
+) -> tuple[bytes, str]:
     """Boilerplate-wrapped page; returns (bytes, expected_main_text)."""
     title = _sentence_words(rng, 3, 6, lang)
     heading = title.capitalize()
@@ -168,10 +212,15 @@ def _build_html(rng: random.Random, lang: str, host: str | None = None) -> tuple
         "<footer><p>copyright 2025 example org</p>"
         f"<ul>{_nav_links(rng, 4)}</ul></footer>"
     )
+    meta = (
+        _head_metadata(meta_rng, lang, url, title) if meta_rng is not None else ""
+    )
     html = (
-        "<!DOCTYPE html><html><head><title>"
+        f'<!DOCTYPE html><html lang="{lang}"><head><title>'
         + title
-        + "</title><style>body{margin:0}</style>"
+        + "</title>"
+        + meta
+        + "<style>body{margin:0}</style>"
         + '<script>var x = "tracking";</script></head><body>'
         + "".join(body_parts)
         + "</body></html>"
@@ -214,7 +263,7 @@ def _build_edge(
     rng: random.Random, lang: str
 ) -> tuple[bytes, str, str, str | None]:
     """Edge-case payloads; returns (bytes, expected_kind, expected_text, expected_error)."""
-    which = rng.randrange(10)
+    which = rng.randrange(12)
     if which == 0:  # empty body
         return (
             b"<html><head><title>t</title></head><body></body></html>",
@@ -316,6 +365,46 @@ def _build_edge(
             f"<title>{ft}</title>" + "".join(entries) + "</feed>"
         )
         return xml.encode("utf-8"), "feed", "\n\n".join(exp_blocks), None
+    if which == 10:  # sitemap <urlset>: locs (+freshness metadata) are the text
+        host = f"site-{rng.randrange(40):02d}.example.org"
+        locs = []
+        entries = []
+        for _ in range(rng.randint(3, 8)):
+            loc = f"https://{host}/page/{rng.randrange(10**12):012d}"
+            locs.append(loc)
+            lastmod = (
+                f"<lastmod>2025-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}</lastmod>"
+                if rng.random() < 0.7
+                else ""
+            )
+            cf = (
+                f"<changefreq>{rng.choice(('daily', 'weekly', 'monthly'))}</changefreq>"
+                if rng.random() < 0.4
+                else ""
+            )
+            entries.append(f"<url><loc>{loc}</loc>{lastmod}{cf}</url>")
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(entries)
+            + "</urlset>"
+        )
+        return xml.encode("utf-8"), "sitemap", "\n".join(locs), None
+    if which == 11:  # <sitemapindex>: child sitemaps, CDATA-wrapped locs
+        host = f"site-{rng.randrange(40):02d}.example.org"
+        locs = [
+            f"https://{host}/sitemap-{i}.xml" for i in range(rng.randint(2, 5))
+        ]
+        entries = "".join(
+            f"<sitemap><loc><![CDATA[{loc}]]></loc></sitemap>" for loc in locs
+        )
+        xml = (
+            '<?xml version="1.0"?>\n<sitemapindex '
+            'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + entries
+            + "</sitemapindex>"
+        )
+        return xml.encode("utf-8"), "sitemap", "\n".join(locs), None
     # which == 5: PDF with a filter the kernel honestly can't decode
     pdf = (
         b"%PDF-1.4\n1 0 obj << /Length 8 /Filter /LZWDecode >> stream\n"
@@ -398,7 +487,8 @@ def gen_doc(
     warc_ts = _EPOCH + dt.timedelta(seconds=(doc_id * 9973) % (30 * 86400))
     r = rng.random()
     if r < 0.85:
-        html, expected = _build_html(rng, lang, host)
+        meta_rng = random.Random(f"meta-{seed}-{doc_id}")
+        html, expected = _build_html(rng, lang, host, url=url, meta_rng=meta_rng)
         kind, err = "html", None
     elif r < 0.95:
         html, expected = _build_pdf(rng, lang)

@@ -20,6 +20,10 @@ import re
 
 from ocr_platform_spark.kernels.feed_extract import looks_like_feed
 from ocr_platform_spark.kernels.html_extract import decode_html
+from ocr_platform_spark.kernels.sitemap_extract import (
+    looks_like_sitemap,
+    sitemap_entries,
+)
 
 # Pre-href attribute run: complete attributes only (name, optional =value,
 # quoted values may contain '>'), each followed by whitespace — so
@@ -105,9 +109,12 @@ def _feed_hrefs(raw: str) -> list[str]:
 
 
 def _raw_hrefs(src_url: str, data: bytes) -> tuple[str, list[str]]:
-    """(decoded_payload, unresolved hrefs in document order) — feeds scan
-    ``<link>`` elements, pages scan ``<a href>`` anchors."""
+    """(decoded_payload, unresolved hrefs in document order) — sitemaps
+    contribute their ``<loc>`` entries, feeds scan ``<link>`` elements,
+    pages scan ``<a href>`` anchors (sniff order mirrors the dispatch)."""
     raw = decode_html(data)
+    if looks_like_sitemap(data):
+        return raw, [e["loc"] for e in sitemap_entries(data)]
     if looks_like_feed(data):
         return raw, _feed_hrefs(raw)
     return raw, [
@@ -164,12 +171,22 @@ def extract_links_with_anchors(src_url: str, data: bytes) -> list[tuple[str, str
     closing '>' and the first following ``</a>``, inner tags stripped,
     whitespace collapsed, truncated to {max} chars. A missing ``</a>``
     (truncated page) yields an empty anchor rather than swallowing the
-    rest of the document. Feed payloads yield the same edge set as
-    :func:`extract_links` with empty anchor text (feed ``<link>``
-    elements carry no anchor).""".format(max=_MAX_ANCHOR_CHARS)
+    rest of the document. Feed and sitemap payloads yield the same edge
+    set as :func:`extract_links` with empty anchor text (feed ``<link>``
+    and sitemap ``<loc>`` elements carry no anchor).""".format(
+        max=_MAX_ANCHOR_CHARS
+    )
     if not data:
         return []
     raw = decode_html(data)
+    if looks_like_sitemap(data):
+        return [
+            (r, "")
+            for r in (
+                resolve_href(src_url, e["loc"]) for e in sitemap_entries(data)
+            )
+            if r is not None
+        ]
     if looks_like_feed(data):
         return [
             (r, "")

@@ -40,6 +40,7 @@ from ocr_platform_spark.operators.select_mapping import (
     map_select_single_vocab,
     score_select_column,
 )
+from ocr_platform_spark.operators.robots_txt import robots_oracle_sql
 from ocr_platform_spark.operators.sampling import oracle_bucket_sql
 from ocr_platform_spark.staging import stage, staged_glob
 
@@ -2921,6 +2922,42 @@ def extract_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _page_meta_oracle() -> str:
+    from ocr_platform_spark.kernels.page_meta import FIELDS, sql_exprs
+
+    e = sql_exprs("raw")
+    cols = ",\n           ".join(f"{e[f]} AS {f}" for f in FIELDS)
+    return f"""
+    SELECT url,
+           {cols},
+           {e["n_hreflang"]} AS n_hreflang
+    FROM read_parquet('{staged_glob("page_meta")}')
+    ORDER BY url
+    """
+
+
+@q("extract_page_metadata", _page_meta_oracle())
+def extract_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The <head> metadata face of the extraction tier
+    (kernels/page_meta.py): synth corpus → one mapInArrow pass emitting the
+    charset-decoded payload plus (title, description, canonical, lang,
+    og:*, robots, hreflang count) per url. The decoded payload is staged
+    and the oracle REPLAYS every field's regular expression in DuckDB
+    (RE2) over identical characters — ``sql_exprs`` derives the SQL from
+    the same compiled patterns the kernel searches, so this is a
+    cross-engine check of the parse itself (dialect-parity contract
+    documented in the kernel), not a rollup of kernel output. Per-doc
+    rows hash-checked; reference metadata face:
+    ``ocr_backend/app/api/document_routes.py`` (document name/metadata
+    listing)."""
+    from ocr_platform_spark.kernels.page_meta import FIELDS
+    from ocr_platform_spark.operators.extract import page_metadata_df
+
+    meta = page_metadata_df(_synth_docs(spark))
+    staged = stage(meta, "page_meta")
+    return staged.select("url", *FIELDS, "n_hreflang").orderBy("url")
+
+
 def _zorder_oracle() -> str:
     from ocr_platform_spark.operators.layout import zorder_sql
 
@@ -3022,6 +3059,56 @@ def extract_feed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("field") == "title").cast("int").alias("n_items"),
             F.sum(F.length("value")).cast("long").alias("block_chars"),
             F.max("end").cast("int").alias("text_len"),
+        )
+        .orderBy("url")
+    )
+
+
+@q(
+    "extract_sitemap_entries",
+    f"""
+    SELECT url,
+           CAST(COUNT(CASE WHEN field = 'loc' THEN 1 END) AS INT) AS n_locs,
+           CAST(COUNT(CASE WHEN field = 'lastmod' THEN 1 END) AS INT) AS n_lastmod,
+           CAST(COUNT(CASE WHEN field = 'changefreq' THEN 1 END) AS INT) AS n_changefreq,
+           CAST(SUM(CASE WHEN field = 'loc' THEN length(value) END) AS BIGINT) AS loc_chars,
+           CAST(MAX("end") AS INT) AS text_len,
+           MIN(CASE WHEN field = 'lastmod' THEN value END) AS earliest_lastmod
+    FROM read_parquet('{staged_glob("sitemap_spans")}')
+    GROUP BY url ORDER BY url
+    """,
+)
+def extract_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sitemap extraction branch (kernels/sitemap_extract.py) end to
+    end: synth corpus → dispatch routes <urlset>/<sitemapindex> payloads
+    to the sitemap kernel → per-entry spans (loc + freshness metadata)
+    exploded and staged → per-sitemap rollup (loc count, metadata
+    coverage, loc chars, text length, earliest lastmod) aggregated by
+    BOTH engines over the same staged bytes. Loc values and offsets are
+    hash-checked transitively via loc_chars/text_len; byte-identity of
+    the full text is pinned by the golden drive (tests/test_sitemap.py)."""
+    from ocr_platform_spark.operators.extract import extract_documents
+
+    ext = extract_documents(_synth_docs(spark)).where(
+        F.col("payload_kind") == "sitemap"
+    )
+    spans = ext.select("url", F.explode("spans").alias("s")).select(
+        "url", "s.field", "s.start", "s.end", "s.value"
+    )
+    staged = stage(spans, "sitemap_spans")
+    return (
+        staged.groupBy("url")
+        .agg(
+            F.count_if(F.col("field") == "loc").cast("int").alias("n_locs"),
+            F.count_if(F.col("field") == "lastmod").cast("int").alias("n_lastmod"),
+            F.count_if(F.col("field") == "changefreq").cast("int").alias("n_changefreq"),
+            F.sum(F.when(F.col("field") == "loc", F.length("value")))
+            .cast("long")
+            .alias("loc_chars"),
+            F.max("end").cast("int").alias("text_len"),
+            F.min(F.when(F.col("field") == "lastmod", F.col("value"))).alias(
+                "earliest_lastmod"
+            ),
         )
         .orderBy("url")
     )
@@ -4104,6 +4191,117 @@ def host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _synth_docs(spark)
     edges = stage(host_edges(extract_outlinks(docs)), "host_edges", partitions=4)
     return host_degree_stats(edges)
+
+
+@q(
+    "crawl_fetch_schedule",
+    f"""
+    WITH e AS (SELECT * FROM read_parquet('{staged_glob("frontier_edges")}')),
+    crawled AS (SELECT url FROM read_parquet('{staged_glob("frontier_crawled")}')),
+    cand AS (
+      SELECT dst_url AS url, COUNT(DISTINCT src_url) AS n_referrers
+      FROM e GROUP BY 1
+    ),
+    fresh AS (
+      SELECT c.url, regexp_extract(c.url, '^https?://([^/?#]+)', 1) AS host,
+             c.n_referrers
+      FROM cand c ANTI JOIN crawled w ON c.url = w.url
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                                   ORDER BY n_referrers DESC, url) AS rnk
+      FROM fresh
+    )
+    SELECT url, host, n_referrers,
+           CAST((rnk - 1) // 2 AS INT) AS wave,
+           CAST((rnk - 1) % 2 AS INT) AS slot
+    FROM ranked WHERE rnk <= 6
+    ORDER BY host, wave, slot, url
+    """,
+)
+def crawl_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl face composed end-to-end: anchor kernel → url-level edge
+    list (staged) → frontier = distinct targets minus already-crawled urls
+    (left-anti, the resume shape) ranked by distinct referrers → politeness
+    schedule (operators/frontier.py: ≤2 fetches per host per wave, 3-wave
+    generate-cycle cap expressed as a row_number filter so Catalyst runs a
+    partial top-k before the host shuffle). The oracle replays frontier
+    build, host parse, ranking, and wave/slot assignment from the same
+    staged edges — the whole schedule is hash-checked cross-engine."""
+    from ocr_platform_spark.operators.frontier import build_frontier, fetch_schedule
+    from ocr_platform_spark.operators.linkgraph import extract_outlinks
+
+    docs = _synth_docs(spark)
+    edges = stage(extract_outlinks(docs), "frontier_edges", partitions=4)
+    crawled = stage(docs.select("url"), "frontier_crawled")
+    sched = fetch_schedule(build_frontier(edges, crawled), per_wave=2, max_waves=3)
+    return sched.select("url", "host", "n_referrers", "wave", "slot").orderBy(
+        "host", "wave", "slot", "url"
+    )
+
+
+def _robots_texts() -> list[tuple[str, str]]:
+    """Deterministic robots.txt per corpus host, exercising every branch
+    of the parse contract: comments, foreign-agent groups (ignored),
+    multi-agent groups containing ``*``, allow/disallow longest-prefix
+    interplay, exact ties (→ allow), empty values (no rule), non-rule
+    fields (Crawl-delay), mixed-case field names."""
+    out = []
+    for i in range(40):
+        host = f"site-{i:02d}.example.org"
+        parts = [f"# robots for {host}", ""]
+        if i % 7 == 0:
+            parts += ["User-agent: evilbot", "Disallow: /", ""]
+        parts += ["User-Agent: *"]
+        if i % 2 == 0:
+            parts += ["Disallow: /page/", "Allow: /page/000"]
+        if i % 3 == 0:
+            parts += ["disallow: /x"]
+        if i % 5 == 0:
+            parts += ["Disallow: /sitemap-"]
+        if i % 4 == 1:
+            parts += ["Disallow: /lorem", "Allow: /lorem"]  # tie → allow
+        parts += ["Disallow:", "Crawl-delay: 2  # ignored field"]
+        if i % 6 == 0:
+            parts += ["", "User-agent: otherbot", "User-agent: *", "Disallow: /w"]
+        out.append((host, "\n".join(parts)))
+    return out
+
+
+@q(
+    "crawl_robots_filter",
+    # the oracle string is built by the operator module so the two parses
+    # share one source of truth (see robots_txt.robots_oracle_sql)
+    robots_oracle_sql(staged_glob("robots_raw"), staged_glob("robots_frontier")),
+)
+def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level politeness end to end: synthetic per-host robots.txt
+    (staged raw) + the outlink frontier (staged) → relational robots.txt
+    parse (operators/robots_txt.py: section grouping by window, ``*``-agent
+    selection, prefix rules) → longest-prefix allow/disallow decision per
+    frontier URL. The oracle replays the ENTIRE chain — line split,
+    grouping, rule extraction, longest-match, tie-to-allow — from the same
+    staged raw text: a full cross-engine proof of the parser, not a rollup.
+    Hosts with no robots.txt (off-corpus targets) default to allowed."""
+    from ocr_platform_spark.operators.frontier import build_frontier
+    from ocr_platform_spark.operators.linkgraph import extract_outlinks
+    from ocr_platform_spark.operators.robots_txt import (
+        robots_decisions,
+        robots_rules,
+    )
+
+    docs = _synth_docs(spark)
+    robots = stage(
+        spark.createDataFrame(_robots_texts(), "host string, text string"),
+        "robots_raw",
+    )
+    frontier = stage(
+        build_frontier(extract_outlinks(docs), docs.select("url")).select(
+            "url", "host"
+        ),
+        "robots_frontier",
+    )
+    return robots_decisions(frontier, robots_rules(robots)).orderBy("url")
 
 
 _PR_SCALE, _PR_DAMP, _PR_ITER = 10**9, 85, 10
@@ -5741,7 +5939,9 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entry remains runnable and oracle-checked by tools/oracle_check.py and
 # tests/test_oracle_parity.py regardless of position.
 _PRIORITY = [
-    "extract_corpus_stats", "extract_feed_blocks", "curation_funnel",
+    "extract_corpus_stats", "extract_page_metadata", "extract_sitemap_entries",
+    "extract_feed_blocks", "crawl_fetch_schedule", "crawl_robots_filter",
+    "curation_funnel",
     "extract_per_host", "events_zorder_layout",
     "host_pagerank", "host_hits", "host_link_graph", "doc_dedup_clusters",
     "minhash_near_dups", "simhash_near_dups", "doc_exact_dups",

@@ -81,6 +81,7 @@ def test_corpus_build_honor_noindex(spark, tmp_path):
 
     import ocr_platform_spark.staging as staging
     from ocr_platform_spark.operators.corpus_spark import documents_df
+    from ocr_platform_spark.operators.robots import meta_robots_flags
     from ocr_platform_spark.plans.pipeline import run_corpus_build_job
 
     docs = documents_df(spark, 40).cache()
@@ -93,6 +94,13 @@ def test_corpus_build_honor_noindex(spark, tmp_path):
             F.concat(F.lit(b'<meta name="robots" content="noindex">'), F.col("html")),
         ).otherwise(F.col("html")),
     )
+    # the corpus now carries organic <meta name="robots"> noindex pages
+    # (corpus._head_metadata): the honored gate must drop those AND the
+    # injected opt-out — measure the organic count instead of assuming 0
+    n_noindex = (
+        meta_robots_flags(tagged).where(F.col("noindex")).count()
+    )
+    assert n_noindex >= 1  # at least the injected page
     with mock.patch.object(staging, "STAGE_ROOT", str(tmp_path / "s1")):
         res = run_corpus_build_job(
             spark, tagged, str(tmp_path / "t1"), run_id="r1", honor_noindex=True
@@ -101,5 +109,5 @@ def test_corpus_build_honor_noindex(spark, tmp_path):
         res_off = run_corpus_build_job(
             spark, tagged, str(tmp_path / "t2"), run_id="r2", honor_noindex=False
         )
-    assert res["extraction"]["rows"] == res_off["extraction"]["rows"] - 1
+    assert res["extraction"]["rows"] == res_off["extraction"]["rows"] - n_noindex
     docs.unpersist()
