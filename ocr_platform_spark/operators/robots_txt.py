@@ -48,10 +48,11 @@ def path_of(url_col: str | F.Column = "url") -> F.Column:
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
-def robots_rules(robots: DataFrame, host_col: str = "host", text_col: str = "text") -> DataFrame:
-    """(host, rule ∈ {allow, disallow}, prefix, plen) — the ``*``-agent
-    prefix rules of each host's robots.txt, parsed relationally per the
-    module contract."""
+def _star_group_lines(
+    robots: DataFrame, host_col: str = "host", text_col: str = "text"
+) -> DataFrame:
+    """(host, pos, field, value) for every line inside a ``*``-agent group
+    — the shared front half of :func:`robots_rules` / :func:`crawl_delays`."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line0"),
@@ -85,8 +86,15 @@ def robots_rules(robots: DataFrame, host_col: str = "host", text_col: str = "tex
         .select("host", "g")
         .distinct()
     )
+    return grouped.join(star, ["host", "g"]).select("host", "pos", "field", "value")
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host", text_col: str = "text") -> DataFrame:
+    """(host, rule ∈ {allow, disallow}, prefix, plen) — the ``*``-agent
+    prefix rules of each host's robots.txt, parsed relationally per the
+    module contract."""
     return (
-        grouped.join(star, ["host", "g"])
+        _star_group_lines(robots, host_col, text_col)
         .where(F.col("field").isin("allow", "disallow") & (F.col("value") != ""))
         .select(
             "host",
@@ -94,6 +102,28 @@ def robots_rules(robots: DataFrame, host_col: str = "host", text_col: str = "tex
             F.col("value").alias("prefix"),
             F.length("value").cast("int").alias("plen"),
         )
+    )
+
+
+# Strict digit-run gate for Crawl-delay values. A plain try_cast would
+# DRIFT cross-engine on fractional values (Spark truncates '1.5'→1, DuckDB
+# rounds '1.5'→2); the regex admits only whole non-negative seconds ≤9
+# digits (no int overflow) and is shared verbatim with the oracle.
+_DELAY_RE = "^[0-9]{1,9}$"
+
+
+def crawl_delays(
+    robots: DataFrame, host_col: str = "host", text_col: str = "text"
+) -> DataFrame:
+    """(host, delay_s) — the ``*``-agent Crawl-delay, integer seconds.
+    Values that are not a plain digit run are ignored (fractional-second
+    delays are out of contract — see ``_DELAY_RE``); multiple valid lines
+    take the MINIMUM, breaking ties toward politeness deterministically."""
+    g = _star_group_lines(robots, host_col, text_col)
+    return (
+        g.where((F.col("field") == "crawl-delay") & F.col("value").rlike(_DELAY_RE))
+        .groupBy("host")
+        .agg(F.min(F.col("value").cast("int")).cast("int").alias("delay_s"))
     )
 
 
@@ -135,10 +165,12 @@ def apply_robots_txt(frontier: DataFrame, rules: DataFrame) -> DataFrame:
     return frontier.join(allowed, "url", "left_semi")
 
 
-def robots_oracle_sql(robots_glob: str, frontier_glob: str) -> str:
-    """The DuckDB twin of robots_rules ∘ robots_decisions, from the same
-    staged raw text — kept next to the operators so the two parses cannot
-    drift silently."""
+def _oracle_front_cte(robots_glob: str, frontier_glob: str) -> str:
+    """Shared CTE chain (raw text → star-group lines → prefix rules →
+    per-url longest-prefix lengths) — the DuckDB twin of
+    ``_star_group_lines`` / ``robots_rules`` / the match half of
+    ``robots_decisions``, kept next to the operators so the parses cannot
+    drift silently. Callers append their own tail after this ``WITH``."""
     return f"""
     WITH robots AS (SELECT * FROM read_parquet('{robots_glob}')),
     split AS (SELECT host, string_split(text, chr(10)) AS ls FROM robots),
@@ -167,11 +199,15 @@ def robots_oracle_sql(robots_glob: str, frontier_glob: str) -> str:
       SELECT *, SUM(newg) OVER (PARTITION BY host ORDER BY pos) AS g FROM flagged
     ),
     star AS (SELECT DISTINCT host, g FROM grp WHERE is_ua AND value = '*'),
-    rules AS (
-      SELECT r.host, r.field AS rule, r.value AS prefix,
-             CAST(length(r.value) AS INT) AS plen
+    star_lines AS (
+      SELECT r.host, r.pos, r.field, r.value
       FROM grp r JOIN star s ON r.host = s.host AND r.g = s.g
-      WHERE r.field IN ('allow', 'disallow') AND r.value <> ''
+    ),
+    rules AS (
+      SELECT host, field AS rule, value AS prefix,
+             CAST(length(value) AS INT) AS plen
+      FROM star_lines
+      WHERE field IN ('allow', 'disallow') AND value <> ''
     ),
     f AS (
       SELECT url, host,
@@ -185,9 +221,43 @@ def robots_oracle_sql(robots_glob: str, frontier_glob: str) -> str:
              CAST(MAX(CASE WHEN r.rule = 'disallow' THEN r.plen END) AS INT) AS dis_len
       FROM f JOIN rules r ON f.host = r.host AND starts_with(f.path, r.prefix)
       GROUP BY f.url
-    )
+    )"""
+
+
+def robots_oracle_sql(robots_glob: str, frontier_glob: str) -> str:
+    """The DuckDB twin of robots_rules ∘ robots_decisions, from the same
+    staged raw text — a full cross-engine replay of the parse."""
+    return f"""
+    {_oracle_front_cte(robots_glob, frontier_glob)}
     SELECT f.url, f.host, f.path, m.allow_len, m.dis_len,
            COALESCE(m.dis_len, -1) <= COALESCE(m.allow_len, -1) AS allowed
     FROM f LEFT JOIN m ON f.url = m.url
     ORDER BY f.url
+    """
+
+
+def crawl_delay_schedule_oracle_sql(robots_glob: str, frontier_glob: str) -> str:
+    """DuckDB twin of crawl_delays ∘ robots_decisions ∘ the per-host
+    schedule rollup (see queries.crawl_delay_schedule) — same staged raw
+    text, same strict digit gate as ``_DELAY_RE``."""
+    return f"""
+    {_oracle_front_cte(robots_glob, frontier_glob)},
+    delays AS (
+      SELECT host, CAST(MIN(CAST(value AS INT)) AS INT) AS delay_s
+      FROM star_lines
+      WHERE field = 'crawl-delay' AND regexp_matches(value, '^[0-9]{{1,9}}$')
+      GROUP BY host
+    ),
+    allowed AS (
+      SELECT f.host
+      FROM f LEFT JOIN m ON f.url = m.url
+      WHERE COALESCE(m.dis_len, -1) <= COALESCE(m.allow_len, -1)
+    ),
+    agg AS (SELECT host, COUNT(*) AS n_allowed FROM allowed GROUP BY host)
+    SELECT a.host,
+           CAST(COALESCE(d.delay_s, 1) AS INT) AS delay_s,
+           a.n_allowed,
+           CAST(COALESCE(d.delay_s, 1) * (a.n_allowed - 1) AS BIGINT) AS est_crawl_s
+    FROM agg a LEFT JOIN delays d ON a.host = d.host
+    ORDER BY a.host
     """

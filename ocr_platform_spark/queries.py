@@ -40,7 +40,10 @@ from ocr_platform_spark.operators.select_mapping import (
     map_select_single_vocab,
     score_select_column,
 )
-from ocr_platform_spark.operators.robots_txt import robots_oracle_sql
+from ocr_platform_spark.operators.robots_txt import (
+    crawl_delay_schedule_oracle_sql,
+    robots_oracle_sql,
+)
 from ocr_platform_spark.operators.sampling import oracle_bucket_sql
 from ocr_platform_spark.staging import stage, staged_glob
 
@@ -4244,14 +4247,16 @@ def _robots_texts() -> list[tuple[str, str]]:
     """Deterministic robots.txt per corpus host, exercising every branch
     of the parse contract: comments, foreign-agent groups (ignored),
     multi-agent groups containing ``*``, allow/disallow longest-prefix
-    interplay, exact ties (→ allow), empty values (no rule), non-rule
-    fields (Crawl-delay), mixed-case field names."""
+    interplay, exact ties (→ allow), empty values (no rule), mixed-case
+    field names, and the Crawl-delay branches (min-of-many, fractional
+    ignored, foreign-group delay ignored)."""
     out = []
     for i in range(40):
         host = f"site-{i:02d}.example.org"
         parts = [f"# robots for {host}", ""]
         if i % 7 == 0:
-            parts += ["User-agent: evilbot", "Disallow: /", ""]
+            # foreign group: its Disallow AND its Crawl-delay are ignored
+            parts += ["User-agent: evilbot", "Disallow: /", "Crawl-delay: 99", ""]
         parts += ["User-Agent: *"]
         if i % 2 == 0:
             parts += ["Disallow: /page/", "Allow: /page/000"]
@@ -4261,7 +4266,11 @@ def _robots_texts() -> list[tuple[str, str]]:
             parts += ["Disallow: /sitemap-"]
         if i % 4 == 1:
             parts += ["Disallow: /lorem", "Allow: /lorem"]  # tie → allow
-        parts += ["Disallow:", "Crawl-delay: 2  # ignored field"]
+        parts += ["Disallow:", "Crawl-delay: 2  # comment stripped"]
+        if i % 4 == 2:
+            parts += ["Crawl-delay: 1.5"]  # fractional → out of contract
+        if i % 9 == 0:
+            parts += ["crawl-delay: 1"]  # min(1, 2) → 1
         if i % 6 == 0:
             parts += ["", "User-agent: otherbot", "User-agent: *", "Disallow: /w"]
         out.append((host, "\n".join(parts)))
@@ -4302,6 +4311,55 @@ def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "robots_frontier",
     )
     return robots_decisions(frontier, robots_rules(robots)).orderBy("url")
+
+
+@q(
+    "crawl_delay_schedule",
+    crawl_delay_schedule_oracle_sql(
+        staged_glob("delay_robots"), staged_glob("delay_frontier")
+    ),
+)
+def crawl_delay_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness budget: Crawl-delay parse (min of the valid
+    ``*``-agent lines, strict digit gate — operators/robots_txt.crawl_delays)
+    joined onto the robots-allowed frontier fan-in, estimating the serial
+    fetch time a single-connection-per-host crawler needs
+    (``delay_s × (n_allowed − 1)``; hosts without a valid delay default to
+    1 s). The oracle replays the ENTIRE chain from the staged raw
+    robots.txt — grouping, delay extraction, allow/disallow decision,
+    rollup. Delay table is host-dimension sized → broadcast join."""
+    from ocr_platform_spark.operators.frontier import build_frontier
+    from ocr_platform_spark.operators.linkgraph import extract_outlinks
+    from ocr_platform_spark.operators.robots_txt import (
+        crawl_delays,
+        robots_decisions,
+        robots_rules,
+    )
+
+    docs = _synth_docs(spark)
+    robots = stage(
+        spark.createDataFrame(_robots_texts(), "host string, text string"),
+        "delay_robots",
+    )
+    frontier = stage(
+        build_frontier(extract_outlinks(docs), docs.select("url")).select(
+            "url", "host"
+        ),
+        "delay_frontier",
+    )
+    allowed = robots_decisions(frontier, robots_rules(robots)).where(F.col("allowed"))
+    per_host = allowed.groupBy("host").agg(F.count("*").alias("n_allowed"))
+    delay = F.coalesce(F.col("delay_s"), F.lit(1)).cast("int")
+    return (
+        per_host.join(F.broadcast(crawl_delays(robots)), "host", "left")
+        .select(
+            "host",
+            delay.alias("delay_s"),
+            "n_allowed",
+            (delay.cast("bigint") * (F.col("n_allowed") - 1)).alias("est_crawl_s"),
+        )
+        .orderBy("host")
+    )
 
 
 _PR_SCALE, _PR_DAMP, _PR_ITER = 10**9, 85, 10
@@ -5213,6 +5271,85 @@ def doc_topic_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = corpus.where(F.col("doc_id") % 5 == 0)
     weights = train_class_token_weights(train, "label", "doc_id", "text", min_count=2)
     pred = classify_documents(test, weights, "doc_id", "text")
+    return confusion_matrix(pred, test, "doc_id", "label")
+
+
+@q(
+    "doc_topic_classifier_tf",
+    f"""
+    WITH t AS (
+      SELECT doc_id, label, regexp_split_to_array(text, ' ') AS toks
+      FROM read_parquet('{staged_glob("clf_tf_corpus")}')
+    ),
+    tok AS (SELECT doc_id, label, unnest(toks) AS token FROM t),
+    counts AS (
+      SELECT label, token, COUNT(*) AS c
+      FROM tok WHERE doc_id % 5 <> 0 GROUP BY 1, 2
+    ),
+    totals AS (SELECT label, SUM(c) AS class_total FROM counts GROUP BY 1),
+    w AS (
+      SELECT counts.label, token,
+             CAST(length(bin((c * 16384) // class_total)) AS INT) AS w
+      FROM counts JOIN totals ON counts.label = totals.label
+      WHERE c >= 2
+    ),
+    scored AS (
+      SELECT tok.doc_id, tok.label AS actual, w.label AS cand, SUM(w.w) AS score
+      FROM tok JOIN w ON tok.token = w.token
+      WHERE tok.doc_id % 5 = 0
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, actual, cand AS predicted FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT actual, predicted, COUNT(*) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY actual, predicted
+    """,
+)
+def doc_topic_classifier_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial twin of ``doc_topic_classifier`` — the
+    frequency-signal corpus case (operators/classify.py
+    ``mode="multinomial"`` + ``per_occurrence=True``). Every class shares
+    the SAME 12-token vocabulary, so token PRESENCE carries zero signal
+    (the Bernoulli model is structurally blind here); each class instead
+    over-samples its own 4-token block (~2× frequency). Weights are the
+    bit length of a 2^14-scaled integer P(token|class) — exact in both
+    engines — and scoring sums weights per OCCURRENCE. The oracle retrains
+    the whole model from the staged corpus and reproduces every held-out
+    prediction, like its presence-mode sibling."""
+    from ocr_platform_spark.operators.classify import (
+        classify_documents,
+        confusion_matrix,
+        train_class_token_weights,
+    )
+
+    vocab = F.array(*[F.lit(t) for t in _CLF_VOCAB[:12]])
+    labels = F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma"))
+    cls = F.pmod("id", F.lit(3))
+    # token draw: r ∈ [0, 18); r < 12 → uniform over the shared vocab,
+    # r ≥ 12 → the class's own 4-token block (the frequency skew)
+    def _tok(j):
+        r = F.pmod(F.xxhash64(F.col("id"), j), F.lit(18))
+        idx = F.when(r < 12, r).otherwise(cls * 4 + F.pmod(r, F.lit(4)))
+        return F.element_at(vocab, (idx + 1).cast("int"))
+
+    base = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(labels, (cls + 1).cast("int")).alias("label"),
+        F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(0), F.lit(39)), _tok)
+        ).alias("text"),
+    )
+    corpus = stage(base, "clf_tf_corpus")
+    train = corpus.where(F.col("doc_id") % 5 != 0)
+    test = corpus.where(F.col("doc_id") % 5 == 0)
+    weights = train_class_token_weights(
+        train, "label", "doc_id", "text", min_count=2, mode="multinomial"
+    )
+    pred = classify_documents(test, weights, "doc_id", "text", per_occurrence=True)
     return confusion_matrix(pred, test, "doc_id", "label")
 
 

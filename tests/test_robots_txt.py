@@ -115,3 +115,42 @@ def test_apply_robots_txt_filters_frontier(spark):
 def test_path_of_keeps_query_string(spark):
     df = spark.createDataFrame([Row(url="https://h.org/p?a=1#f")])
     assert df.select(path_of("url").alias("p")).first()["p"] == "/p?a=1#f"
+
+
+def _delays(spark, texts):
+    from ocr_platform_spark.operators.robots_txt import crawl_delays
+
+    df = spark.createDataFrame(
+        [Row(host=h, text=t) for h, t in texts], "host string, text string"
+    )
+    return {r["host"]: r["delay_s"] for r in crawl_delays(df).collect()}
+
+
+def test_crawl_delay_star_group_only(spark):
+    d = _delays(
+        spark,
+        [
+            ("a.org", ROBOTS),  # Crawl-delay: 5 in the * group
+            ("b.org", "User-agent: evilbot\nCrawl-delay: 9\n"),  # foreign only
+            ("c.org", "User-agent: *\nDisallow: /x\n"),  # no delay line
+        ],
+    )
+    assert d == {"a.org": 5}
+
+
+def test_crawl_delay_min_of_valid_lines(spark):
+    text = (
+        "User-agent: *\n"
+        "Crawl-delay: 7\n"
+        "crawl-delay: 3  # comment\n"
+        "Crawl-delay: 1.5\n"   # fractional → out of contract, ignored
+        "Crawl-delay: -2\n"    # negative → ignored
+        "Crawl-delay: abc\n"   # non-numeric → ignored
+    )
+    assert _delays(spark, [("h.org", text)]) == {"h.org": 3}
+
+
+def test_crawl_delay_overlong_digit_run_ignored(spark):
+    # >9 digits would overflow int32; the strict gate drops it
+    text = "User-agent: *\nCrawl-delay: 9999999999\nCrawl-delay: 4\n"
+    assert _delays(spark, [("h.org", text)]) == {"h.org": 4}
