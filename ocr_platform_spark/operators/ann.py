@@ -826,6 +826,102 @@ def ivfpq_adc_topk(
     )
 
 
+def ivfpq_model_tables(spark, centroids: np.ndarray, codebooks: np.ndarray):
+    """(cents_df, cb_df) — the trained IVF-PQ model as RELATIONAL tables:
+    ``(list_id, cvec array<double>)`` and ``(m_idx, code, sub
+    array<double>)``. n_lists + m·k_codes rows total (model-sized, always
+    broadcastable). Staging these lets ANY engine reconstruct
+    x̂ = c_list + concat_j cb_j[code_j] from the codes alone — the
+    index-only refine path of :func:`ivfpq_refined_topk`."""
+    spark_ = spark
+    cents_df = spark_.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "list_id int, cvec array<double>",
+    )
+    cb_df = spark_.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in codebooks[j][c]])
+            for j in range(codebooks.shape[0])
+            for c in range(codebooks.shape[1])
+        ],
+        "m_idx int, code int, sub array<double>",
+    )
+    return cents_df, cb_df
+
+
+def ivfpq_reconstruct(
+    codes: DataFrame, cents_df: DataFrame, cb_df: DataFrame, scale: int = 1000
+) -> DataFrame:
+    """(id, xq array<long>) — quantized RECONSTRUCTED vectors, pure
+    relational ops: explode the m codes, broadcast-join the codebook
+    subvectors, ordered flatten, add the coarse centroid, quantize.
+
+    This is the refine stage a 10^9-vector deployment actually runs: the
+    raw embeddings (4·dim bytes/vector) are too big to join against a
+    shortlist cheaply, but x̂ is derivable from the m-byte codes plus the
+    broadcast model — no second pass over the corpus. Binary64 addition is
+    correctly rounded in every engine, so the reconstruction (and its
+    quantization) is bit-identical cross-engine from the same staged
+    model tables."""
+    sub = codes.select(
+        "id", "list_id", F.posexplode("codes").alias("m_idx", "code")
+    ).join(F.broadcast(cb_df), ["m_idx", "code"])
+    resid = sub.groupBy("id", "list_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m_idx", "sub"))),
+                lambda s: s.sub,
+            )
+        ).alias("resid")
+    )
+    return resid.join(F.broadcast(cents_df), "list_id").select(
+        "id",
+        _quantize(
+            F.zip_with("cvec", "resid", lambda a, b: a + b), scale
+        ).alias("xq"),
+    )
+
+
+def ivfpq_refined_topk(
+    shortlist: DataFrame,
+    codes: DataFrame,
+    cents_df: DataFrame,
+    cb_df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Re-rank an ADC shortlist by exact quantized cosine against
+    reconstructed vectors (:func:`ivfpq_reconstruct`) — the index-only
+    sibling of :func:`quantized_rank_candidates`, which needs the raw
+    vectors. Only the shortlist rows are reconstructed-and-scored; the
+    query side (dimension-sized) broadcasts."""
+    recon = ivfpq_reconstruct(
+        codes.join(shortlist.select(F.col("item_id").alias("id")).distinct(), "id", "left_semi"),
+        cents_df,
+        cb_df,
+        scale,
+    )
+    qz = queries.select(
+        F.col(id_col).alias("query_id"), _quantize(F.col(vec_col), scale).alias("q_v")
+    )
+    j = (
+        shortlist.join(F.broadcast(qz), "query_id")
+        .join(recon.withColumnRenamed("id", "item_id"), "item_id")
+        .select("query_id", "item_id", _quantized_cosine("q_v", "xq").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("item_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 DEFAULT_LSH_LADDER: tuple[tuple[int, int], ...] = (
     (1, 0),
     (2, 0),

@@ -2713,6 +2713,82 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.quantized_rank_candidates(short, emb, k=10).orderBy("query_id", "rank")
 
 
+_IVFPQ_REFINE_SQL = f"""
+    WITH codes AS (SELECT * FROM read_parquet('{staged_glob("rec_codes")}')),
+    cb AS (SELECT * FROM read_parquet('{staged_glob("rec_cb")}')),
+    cents AS (SELECT * FROM read_parquet('{staged_glob("rec_cents")}')),
+    short AS (SELECT * FROM read_parquet('{staged_glob("rec_short")}')),
+    terms AS (
+      SELECT id, list_id, CAST(i - 1 AS INT) AS m_idx, CAST(codes[i] AS INT) AS code
+      FROM (SELECT id, list_id, codes,
+                   unnest(generate_series(1, len(codes))) AS i FROM codes)
+    ),
+    resid AS (
+      SELECT id, list_id, flatten(list(sub ORDER BY m_idx)) AS resid
+      FROM terms JOIN cb USING (m_idx, code)
+      GROUP BY id, list_id
+    ),
+    recon AS (
+      SELECT id,
+             list_transform(list_zip(cvec, resid),
+                            p -> CAST(round((p[1] + p[2]) * 1000) AS BIGINT)) AS xq
+      FROM resid JOIN cents USING (list_id)
+    ),
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT s.query_id, s.item_id,
+             list_sum(list_transform(list_zip(q.v, r.xq), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(q.v, x -> x * x)) AS nq,
+             list_sum(list_transform(r.xq, x -> x * x)) AS ni
+      FROM short s JOIN qz q ON s.query_id = q.vec_id JOIN recon r ON s.item_id = r.id
+    ),
+    scored AS (
+      SELECT query_id, item_id,
+             CASE WHEN nq > 0 AND ni > 0
+                  THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ni AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM pairs
+    )
+    SELECT query_id, item_id, cosine, CAST(rk AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@q("ann_ivfpq_refine_topk", _IVFPQ_REFINE_SQL)
+def ann_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with INDEX-ONLY refine — the 10^9-vector deployment shape:
+    ADC shortlist-50, then re-rank against vectors RECONSTRUCTED from the
+    index (x̂ = coarse centroid + residual codebook entries,
+    operators/ann.ivfpq_reconstruct) instead of re-fetching raw
+    embeddings, which at that scale cost a second corpus pass. The model
+    itself is staged as two relational tables (n_lists + m·k rows), so the
+    oracle replays reconstruction, quantization, and the cosine re-rank
+    exactly — binary64 addition is correctly rounded in both engines.
+    Reconstruction ≡ numpy is pinned in tests/test_ann.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, cb = ann.train_ivfpq(emb, n_lists=8, m=8, k_codes=16)
+    codes = stage(ann.ivfpq_encode(emb, cents, cb), "rec_codes")
+    cents_raw, cb_raw = ann.ivfpq_model_tables(spark, cents, cb)
+    cents_df = stage(cents_raw, "rec_cents")
+    cb_df = stage(cb_raw, "rec_cb")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    luts, biases = ann.ivfpq_query_tables(queries_df, cents, cb, n_probe=4)
+    short = stage(
+        ann.ivfpq_adc_topk(codes, luts, biases, k=50).select("query_id", "item_id"),
+        "rec_short",
+    )
+    return ann.ivfpq_refined_topk(
+        short, codes, cents_df, cb_df, queries_df
+    ).orderBy("query_id", "rank")
+
+
 @q("ann_ivf_topk", _ann_tail_sql("ann_ivf_cands"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: deterministic coarse k-means quantizer,

