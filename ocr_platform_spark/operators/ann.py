@@ -190,6 +190,65 @@ def quantized_verify_pairs(
     return j.where(F.col("cosine") >= threshold)
 
 
+def hard_negatives(
+    items: DataFrame,
+    positives: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """Denoised hard-negative mining for retrieval/contrastive training
+    data (the DPR / RocketQA recipe): for each (query, positive) pair, the
+    top-k most-similar corpus items that are NOT the positive and score
+    strictly BELOW the positive — candidates outscoring the labeled
+    positive are presumed unlabeled true matches (false negatives) and
+    must not be trained against as negatives.
+
+    ``positives`` is ``(query_id, pos_id)``; queries live in the same
+    embedding table. Scores are the exact quantized cosine, so ranks,
+    scores and the denoising gate (a strict ``<`` between two identically
+    derived doubles) reproduce bit-for-bit in any engine.
+
+    Scale shape: the query side is training-pair-sized (a dimension) —
+    it broadcasts, and the corpus is scanned once. At 10^9 items swap the
+    crossJoin for any candidate generator in this module (LSH/IVF/PQ) and
+    keep this exact scoring + denoise tail unchanged."""
+    pos = positives.select("query_id", "pos_id")
+    qz = items.select(
+        F.col(id_col).alias("query_id"), _quantize(F.col(vec_col), scale).alias("q_v")
+    ).join(pos.select("query_id").distinct(), "query_id", "left_semi")
+    it = items.select(
+        F.col(id_col).alias("item_id"), _quantize(F.col(vec_col), scale).alias("i_v")
+    )
+    scored = (
+        it.crossJoin(F.broadcast(qz))
+        .where(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id", _quantized_cosine("q_v", "i_v").alias("cosine"))
+    )
+    pos_scores = scored.join(
+        F.broadcast(pos),
+        (scored.query_id == pos.query_id) & (scored.item_id == pos.pos_id),
+    ).select(scored.query_id, "pos_id", F.col("cosine").alias("pos_cosine"))
+    negs = (
+        scored.join(F.broadcast(pos_scores), "query_id")
+        .where((F.col("item_id") != F.col("pos_id")) & (F.col("cosine") < F.col("pos_cosine")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("item_id"))
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "pos_id",
+            F.col("item_id").alias("neg_id"),
+            "cosine",
+            "pos_cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Deterministic Gaussian hyperplanes (seeded; same on every worker)."""
     return np.random.RandomState(seed).standard_normal((dim, n_planes)).astype(np.float64)

@@ -94,3 +94,56 @@ def margin_mine_pairs(
         .select("x_id", "y_id", "c_xy", "s_x", "s_y", "margin")
         .orderBy("x_id")
     )
+
+
+# --- URL-matched candidate pairing (the recall stage before margin mining) —
+
+# one language-marker shape: a two-letter path segment right after the host
+# ("https://host/en/rest"). Kept deliberately RE2∩`re`-safe so the DuckDB
+# oracle can apply the identical pattern (see URL_LANG_PATTERN users).
+URL_LANG_PATTERN = r"^https?://([^/]+)/([a-z]{2})/(.*)$"
+
+
+def url_matched_pairs(docs: DataFrame, pivot_lang: str = "en") -> DataFrame:
+    """ParaCrawl/WMT-style URL-matching bitext candidates: two pages are a
+    candidate translation pair when their URLs are IDENTICAL after removing
+    the language marker ("/en/" vs "/fr/" folders on the same site) — the
+    high-precision recall stage run before embedding-based margin mining
+    (:func:`margin_mine_pairs` then scores the candidates).
+
+    ``docs`` needs (doc_id, lang, url). Per (stripped key, lang) the
+    smallest doc_id represents the page (mirror-duplicate collapse);
+    output is one row per (pivot-language page × other-language page)
+    sharing a key:
+
+        (key, doc_pivot, url_pivot, doc_xx, url_xx, lang_xx)
+
+    Everything is regexp_extract + one equi-join on the stripped key —
+    pure relational, no kernel. Scale shape: the join key is
+    (host, path), so co-located with any url-hash bucketing; each side is
+    the corpus filtered by language, and per-key groups are mirror-sized
+    (a handful of languages), never corpus-sized."""
+    parsed = docs.select(
+        "doc_id",
+        "lang",
+        "url",
+        F.regexp_extract("url", URL_LANG_PATTERN, 2).alias("url_lang"),
+        F.concat(
+            F.regexp_extract("url", URL_LANG_PATTERN, 1),
+            F.lit("/"),
+            F.regexp_extract("url", URL_LANG_PATTERN, 3),
+        ).alias("key"),
+    ).where(F.col("url_lang") != "")
+    reps = parsed.groupBy("key", "url_lang").agg(
+        F.min("doc_id").alias("doc_id"), F.min_by("url", "doc_id").alias("url")
+    )
+    piv = reps.where(F.col("url_lang") == pivot_lang).select(
+        "key", F.col("doc_id").alias("doc_pivot"), F.col("url").alias("url_pivot")
+    )
+    oth = reps.where(F.col("url_lang") != pivot_lang).select(
+        "key",
+        F.col("doc_id").alias("doc_xx"),
+        F.col("url").alias("url_xx"),
+        F.col("url_lang").alias("lang_xx"),
+    )
+    return piv.join(oth, "key").orderBy("key", "lang_xx")

@@ -2469,6 +2469,118 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_mine_pairs(xs, ys, k=4, threshold_x100=105)
 
 
+@q(
+    "bitext_url_candidates",
+    """
+    WITH u AS (
+      SELECT doc_id, lang,
+             'https://' || source || '.example.org/' || lang || '/page-'
+               || CAST(doc_id % 25 AS VARCHAR) || '.html' AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^https?://([^/]+)/([a-z]{2})/(.*)$', 2) AS url_lang,
+             regexp_extract(url, '^https?://([^/]+)/([a-z]{2})/(.*)$', 1) || '/' ||
+             regexp_extract(url, '^https?://([^/]+)/([a-z]{2})/(.*)$', 3) AS key
+      FROM u WHERE regexp_extract(url, '^https?://([^/]+)/([a-z]{2})/(.*)$', 2) <> ''
+    ),
+    reps AS (
+      SELECT key, url_lang, MIN(doc_id) AS doc_id, MIN(url) AS url
+      FROM parsed GROUP BY key, url_lang
+    )
+    SELECT p.key, p.doc_id AS doc_pivot, p.url AS url_pivot,
+           o.doc_id AS doc_xx, o.url AS url_xx, o.url_lang AS lang_xx
+    FROM reps p JOIN reps o USING (key)
+    WHERE p.url_lang = 'en' AND o.url_lang <> 'en'
+    ORDER BY key, lang_xx
+    """,
+)
+def bitext_url_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-matched bitext candidates (operators/bitext.url_matched_pairs;
+    the ParaCrawl/WMT recall stage): pages whose URLs are identical after
+    stripping the language folder ("/en/" vs "/fr/" on one site) pair as
+    candidate translations — run BEFORE embedding margin mining, which
+    then scores these candidates. The corpus tables carry no URLs, so the
+    query derives them deterministically from (source, lang, doc_id) —
+    both engines build the same strings, then the oracle replays the
+    marker parse, mirror-collapse (min doc_id per key+lang) and the
+    key equi-join. Note ``MIN(url)`` ≡ url of ``MIN(doc_id)`` here: within
+    a (key, lang) group urls differ only by the doc-invariant parts."""
+    from ocr_platform_spark.operators.bitext import url_matched_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/"),
+            F.col("lang"),
+            F.lit("/page-"),
+            (F.col("doc_id") % 25).cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+    )
+    return url_matched_pairs(d, pivot_lang="en")
+
+
+@q(
+    "retrieval_hard_negatives",
+    """
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    pos AS (SELECT vec_id AS query_id, vec_id + 100 AS pos_id FROM embeddings WHERE vec_id < 8),
+    pairs AS (
+      SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+             list_sum(list_transform(list_zip(q.v, i.v), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(q.v, x -> x * x)) AS nq,
+             list_sum(list_transform(i.v, x -> x * x)) AS ni
+      FROM qz q JOIN pos ON q.vec_id = pos.query_id
+      JOIN qz i ON i.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT query_id, item_id,
+             CASE WHEN nq > 0 AND ni > 0
+                  THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ni AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM pairs
+    ),
+    ps AS (
+      SELECT s.query_id, p.pos_id, s.cosine AS pos_cosine
+      FROM scored s JOIN pos p ON s.query_id = p.query_id AND s.item_id = p.pos_id
+    ),
+    negs AS (
+      SELECT s.query_id, ps.pos_id, s.item_id AS neg_id, s.cosine, ps.pos_cosine
+      FROM scored s JOIN ps ON s.query_id = ps.query_id
+      WHERE s.item_id <> ps.pos_id AND s.cosine < ps.pos_cosine
+    )
+    SELECT query_id, pos_id, neg_id, cosine, pos_cosine, CAST(rk AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neg_id) AS rk
+      FROM negs
+    ) WHERE rk <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoised hard-negative mining (operators/ann.hard_negatives; the
+    DPR/RocketQA contrastive-training recipe): for each labeled
+    (query, positive) pair, the top-5 most-similar corpus items scoring
+    strictly below the positive — near-misses train the ranker, while
+    candidates OUTSCORING the positive are presumed unlabeled true matches
+    (false negatives) and are excluded. Labeled pairs are synthesized
+    deterministically (query q ↔ q+100); exact quantized cosines make the
+    ranks, scores and the denoising gate identical cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), (F.col("vec_id") + 100).alias("pos_id")
+    )
+    return ann.hard_negatives(emb, pos, k=5).orderBy("query_id", "rank")
+
+
 #: Quantized-cosine scoring + top-k over a staged candidate table — the
 #: exact (oracle-checkable) tail shared by the LSH and IVF queries. The
 #: candidate set itself comes from the numpy bucketing kernels; staging it
@@ -5485,6 +5597,113 @@ def url_bloom_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_false_neg"),
         )
         .withColumn("n_pending", F.lit(n_pending).cast("long"))
+    )
+
+
+@q(
+    "url_revisit_diff",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             {oracle_bucket_sql("doc_id", 3, "rv")} AS b3,
+             {oracle_bucket_sql("doc_id", 2, "rvc")} = 0 AS c1,
+             {oracle_bucket_sql("doc_id", 2, "rvd")} = 0 AS c2
+      FROM documents
+    ),
+    snaps AS (
+      SELECT doc_id, 0 AS cycle, text AS snap_text FROM d
+      UNION ALL
+      SELECT doc_id, 1, CASE WHEN c1 THEN text || ' rev1' ELSE text END
+      FROM d WHERE b3 < 2
+      UNION ALL
+      SELECT doc_id, 2,
+             CASE WHEN c2 THEN (CASE WHEN c1 THEN text || ' rev1' ELSE text END) || ' rev2'
+                  ELSE (CASE WHEN c1 THEN text || ' rev1' ELSE text END) END
+      FROM d WHERE b3 = 0
+    ),
+    dig AS (
+      SELECT doc_id, cycle, md5(snap_text) AS digest,
+             lag(md5(snap_text)) OVER (PARTITION BY doc_id ORDER BY cycle) AS prev
+      FROM snaps
+    ),
+    flags AS (
+      SELECT doc_id, cycle,
+             CASE WHEN prev IS NULL THEN FALSE ELSE digest <> prev END AS changed
+      FROM dig
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+           CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+           CAST(MAX(cycle) AS INT) AS latest_cycle,
+           arg_max(changed, cycle) AS latest_changed,
+           CAST(CASE WHEN COUNT(*) > 1
+                THEN (SUM(CASE WHEN changed THEN 1 ELSE 0 END) * 1000) // (COUNT(*) - 1)
+                ELSE 0 END AS BIGINT) AS change_rate_pm
+    FROM flags GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def url_revisit_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl change detection — the CDX/WARC-revisit shape: a crawler
+    refetches pages across cycles, and only content whose digest CHANGED
+    should re-enter extraction (unchanged snapshots become 'revisit'
+    records, the other half of the Bloom/anti-join resume story). The
+    corpus has one snapshot per doc, so revisit cycles are synthesized
+    deterministically (md5-bucketed: 2/3 of docs get a second fetch, 1/3 a
+    third; a bucketed subset mutates per cycle). Per page: digest lag
+    comparison per cycle → change count, latest-cycle changed flag (the
+    reprocess gate), and an integer per-mille change rate — the adaptive
+    revisit-frequency signal (change-rate-proportional scheduling).
+    One window + one aggregate, both partitioned on doc_id — at 10^12
+    snapshots this shuffles each url's handful of rows once."""
+    from ocr_platform_spark.operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b3 = hash_bucket("doc_id", 3, "rv")
+    c1 = hash_bucket("doc_id", 2, "rvc") == 0
+    c2 = hash_bucket("doc_id", 2, "rvd") == 0
+    t1 = F.when(c1, F.concat(F.col("text"), F.lit(" rev1"))).otherwise(F.col("text"))
+    t2 = F.when(c2, F.concat(t1, F.lit(" rev2"))).otherwise(t1)
+    snaps = (
+        d.select("doc_id", F.lit(0).alias("cycle"), F.col("text").alias("snap_text"))
+        .unionByName(
+            d.where(b3 < 2).select("doc_id", F.lit(1).alias("cycle"), t1.alias("snap_text"))
+        )
+        .unionByName(
+            d.where(b3 == 0).select("doc_id", F.lit(2).alias("cycle"), t2.alias("snap_text"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("cycle")
+    flags = snaps.select(
+        "doc_id",
+        "cycle",
+        F.md5("snap_text").alias("digest"),
+        F.lag(F.md5("snap_text")).over(w).alias("prev"),
+    ).select(
+        "doc_id",
+        "cycle",
+        F.when(F.col("prev").isNull(), F.lit(False))
+        .otherwise(F.col("digest") != F.col("prev"))
+        .alias("changed"),
+    )
+    n_changes = F.sum(F.when(F.col("changed"), 1).otherwise(0)).cast("long")
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_snapshots"),
+            n_changes.alias("n_changes"),
+            F.max("cycle").cast("int").alias("latest_cycle"),
+            F.max_by("changed", "cycle").alias("latest_changed"),
+        )
+        .withColumn(
+            "change_rate_pm",
+            F.when(
+                F.col("n_snapshots") > 1,
+                F.expr("(n_changes * 1000) div (n_snapshots - 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -286,3 +286,60 @@ def test_ivfpq_refined_topk_matches_raw_vector_rerank_shape(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert set(per_q) == {0, 1, 2, 3}
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_hard_negatives_denoise_gate_and_exclusions(spark):
+    """Candidates outscoring the positive (false negatives) are dropped,
+    as are the query itself and the positive; survivors rank by cosine
+    with deterministic ties."""
+
+    def vec(i, mag):
+        v = [0.0] * 4
+        v[i] = mag
+        return v
+
+    # query 0 along axis 0; positive 100 at cos≈1; 200 ALSO at cos≈1 but
+    # listed as a negative candidate (false negative — must be gated out
+    # only if it outscores the positive; equal rounded score is kept out
+    # too because the gate is strict <).
+    emb = spark.createDataFrame(
+        [
+            (0, vec(0, 1.0)),
+            (100, vec(0, 0.9)),          # positive, cosine 1.0
+            (200, [0.9, 0.01, 0.0, 0.0]),  # slightly off-axis, just below 1.0
+            (201, [0.7, 0.7, 0.0, 0.0]),   # cos ≈ 0.707
+            (202, vec(1, 1.0)),            # orthogonal, cos 0
+            (203, [1.0, 0.02, 0.0, 0.0]),  # cos > positive? no: pos is 1.0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    from ocr_platform_spark.operators.ann import hard_negatives
+
+    pos = spark.createDataFrame([(0, 100)], "query_id long, pos_id long")
+    rows = hard_negatives(emb, pos, k=10).collect()
+    ids = [r["neg_id"] for r in rows]
+    assert 0 not in ids and 100 not in ids
+    # all survivors scored strictly below the positive
+    assert all(r["cosine"] < r["pos_cosine"] for r in rows)
+    # ranks are 1..n ordered by cosine desc
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[0]["cosine"] >= rows[-1]["cosine"]
+
+
+def test_hard_negatives_false_negative_excluded(spark):
+    """A candidate strictly outscoring the positive never appears."""
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (100, [0.8, 0.6]),   # positive, cosine 0.8
+            (200, [1.0, 0.1]),   # cosine ≈ 0.995 > positive → excluded
+            (201, [0.5, 0.9]),   # cosine ≈ 0.486 < positive → kept
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    from ocr_platform_spark.operators.ann import hard_negatives
+
+    pos = spark.createDataFrame([(0, 100)], "query_id long, pos_id long")
+    rows = hard_negatives(emb, pos, k=10).collect()
+    assert [r["neg_id"] for r in rows] == [201]

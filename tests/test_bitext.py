@@ -72,3 +72,46 @@ def test_partitioning_invariance(spark):
     b = margin_mine_pairs(xs.repartition(5), ys.repartition(7), k=3,
                           threshold_x100=0).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_url_matched_pairs_pairing_and_collapse(spark):
+    from ocr_platform_spark.operators.bitext import url_matched_pairs
+
+    docs = spark.createDataFrame(
+        [
+            # key a.com/p.html: en mirror-dup (7 and 3 -> keep 3), fr + de pair
+            (7, "en", "https://a.com/en/p.html"),
+            (3, "en", "https://a.com/en/p.html"),
+            (4, "fr", "https://a.com/fr/p.html"),
+            (5, "de", "https://a.com/de/p.html"),
+            # key b.com/q: only fr -> no pair (no en pivot)
+            (6, "fr", "https://b.com/fr/q"),
+            # marker must be exactly two lowercase letters right after host
+            (8, "en", "https://c.com/eng/p.html"),
+            (9, "en", "https://c.com/EN/p.html"),
+            (10, "en", "https://c.com/p.html"),
+        ],
+        "doc_id long, lang string, url string",
+    )
+    rows = url_matched_pairs(docs).collect()
+    assert [(r["key"], r["doc_pivot"], r["doc_xx"], r["lang_xx"]) for r in rows] == [
+        ("a.com/p.html", 3, 5, "de"),
+        ("a.com/p.html", 3, 4, "fr"),
+    ]
+    assert rows[0]["url_pivot"] == "https://a.com/en/p.html"
+    assert rows[0]["url_xx"] == "https://a.com/de/p.html"
+
+
+def test_url_matched_pairs_pivot_parameter(spark):
+    from ocr_platform_spark.operators.bitext import url_matched_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fr", "https://a.com/fr/p"),
+            (2, "en", "https://a.com/en/p"),
+            (3, "zh", "https://a.com/zh/p"),
+        ],
+        "doc_id long, lang string, url string",
+    )
+    rows = url_matched_pairs(docs, pivot_lang="fr").collect()
+    assert sorted((r["doc_xx"], r["lang_xx"]) for r in rows) == [(2, "en"), (3, "zh")]
