@@ -86,6 +86,11 @@ HEADLINE = [
     "corpus_epoch_plan",
     "corpus_training_order",
     "events_zorder_layout",
+    # round-3 closing additions
+    "crawl_fetch_schedule",
+    "retrieval_hard_negatives",
+    "bitext_url_candidates",
+    "url_revisit_diff",
 ]
 
 
