@@ -216,3 +216,48 @@ def test_training_order_has_no_global_sort_window(spark):
     win_specs = re.findall(r"row_number\(\)[^\n]*windowspecdefinition\(([^,]+),", plan)
     assert win_specs, "expected a row_number window in the plan"
     assert all("shard" in s for s in win_specs), win_specs
+
+
+def test_hard_negatives_broadcasts_training_pairs(spark):
+    """Hard-negative mining scans the corpus once: the query vectors and
+    the (query, positive) label table are training-pair-sized and must
+    broadcast (a shuffle on the corpus side keyed by query_id would
+    re-partition 10^9 items for a dimension-sized probe); the top-k
+    window partitions by query_id, never empty-spec."""
+    import re
+
+    plan = _formatted(CATALOG["retrieval_hard_negatives"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    # query side arrives via broadcast: the crossJoin scoring stage is a
+    # BroadcastNestedLoopJoin, the pos/pos_scores joins BroadcastHashJoin
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    win_specs = re.findall(
+        r"row_number\(\)[^\n]*windowspecdefinition\(([^,]+),", plan
+    )
+    assert win_specs and all("query_id" in s for s in win_specs), win_specs
+
+
+def test_bitext_url_candidates_equi_join_no_window(spark):
+    """URL-matched pairing is one equi-join on the stripped key — no
+    cartesian corner, no per-row Python, no window at all (the
+    mirror-collapse is a plain aggregate)."""
+    plan = _formatted(CATALOG["bitext_url_candidates"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_url_revisit_diff_windows_partition_by_doc(spark):
+    """Revisit change detection shuffles each url's handful of snapshot
+    rows once: the digest lag window and the final aggregate both key on
+    doc_id; an empty-spec window would serialize 10^12 snapshots through
+    one task."""
+    import re
+
+    plan = _formatted(CATALOG["url_revisit_diff"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    win_specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert win_specs and all("doc_id" in s for s in win_specs), win_specs
