@@ -234,7 +234,12 @@ def hard_negatives(
         scored.join(F.broadcast(pos_scores), "query_id")
         .where((F.col("item_id") != F.col("pos_id")) & (F.col("cosine") < F.col("pos_cosine")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("item_id"))
+    # top-k is PER (query, positive) PAIR — a query with several labeled
+    # positives mines k negatives against each one (each pair has its own
+    # denoising threshold), matching the contrastive-batch construction.
+    w = Window.partitionBy("query_id", "pos_id").orderBy(
+        F.desc("cosine"), F.col("item_id")
+    )
     return (
         negs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -2559,7 +2559,7 @@ def bitext_url_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE s.item_id <> ps.pos_id AND s.cosine < ps.pos_cosine
     )
     SELECT query_id, pos_id, neg_id, cosine, pos_cosine, CAST(rk AS INT) AS rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neg_id) AS rk
+      SELECT *, row_number() OVER (PARTITION BY query_id, pos_id ORDER BY cosine DESC, neg_id) AS rk
       FROM negs
     ) WHERE rk <= 5
     ORDER BY query_id, rank

@@ -343,3 +343,35 @@ def test_hard_negatives_false_negative_excluded(spark):
     pos = spark.createDataFrame([(0, 100)], "query_id long, pos_id long")
     rows = hard_negatives(emb, pos, k=10).collect()
     assert [r["neg_id"] for r in rows] == [201]
+
+
+def test_hard_negatives_per_positive_partitions(spark):
+    """A query with two labeled positives mines a separate top-k against
+    each one — each pair carries its own denoising threshold."""
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (100, [0.9, 0.436]),  # strong positive, cosine ≈ 0.90
+            (101, [0.3, 0.954]),  # weak positive, cosine ≈ 0.30
+            (200, [0.8, 0.6]),    # cosine 0.8: below pos 100, above pos 101
+            (201, [0.1, 0.995]),  # cosine ≈ 0.10: below both
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    from ocr_platform_spark.operators.ann import hard_negatives
+
+    pos = spark.createDataFrame(
+        [(0, 100), (0, 101)], "query_id long, pos_id long"
+    )
+    rows = hard_negatives(emb, pos, k=5).collect()
+    by_pos = {}
+    for r in rows:
+        by_pos.setdefault(r["pos_id"], []).append(r["neg_id"])
+    # vs the strong positive: 200, 201 and the OTHER positive 101 all
+    # score below it (cross-listed positives are legitimate negatives
+    # for a different pair); vs the weak positive only 201 survives
+    assert sorted(by_pos[100]) == [101, 200, 201]
+    assert by_pos[101] == [201]
+    # ranks restart per pair
+    assert sorted(r["rank"] for r in rows if r["pos_id"] == 100) == [1, 2, 3]
