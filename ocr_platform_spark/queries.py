@@ -3353,6 +3353,59 @@ def doc_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_chunk_plan",
+    r"""
+    WITH split AS (
+      SELECT doc_id, string_split_regex(text, '\n{2,}') AS ps FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS idx, ps[i] AS para
+      FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM split)
+      WHERE length(ps[i]) >= 1
+    ),
+    toks AS (
+      SELECT doc_id, idx, para,
+             CAST(len(list_filter(string_split_regex(para, '\s+'), x -> x <> ''))
+                  AS BIGINT) AS tok
+      FROM paras
+    ),
+    cum AS (
+      SELECT doc_id, idx, para, tok,
+             COALESCE(SUM(tok) OVER (PARTITION BY doc_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(cum_before // 40 AS INT) AS chunk_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(idx) AS INT) AS start_idx
+    FROM cum GROUP BY doc_id, cum_before // 40
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-boundary chunking under a 40-token budget
+    (operators/chunking.chunk_paragraphs) — the segmentation pass between
+    extraction and encoding that re-cuts long pages for fixed-window
+    encoders without splitting mid-paragraph. Chunk assignment is
+    cumulative-offset bucketing (paragraph joins chunk
+    ``tokens_before div budget``): one doc-partitioned window cumsum
+    decides every boundary, so the oracle replays the whole plan — split,
+    whitespace token count, cumsum, integer-div bucketing, in-order
+    rejoin — and the chunk text is verified byte-for-byte cross-engine."""
+    from ocr_platform_spark.operators.chunking import chunk_paragraphs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        chunk_paragraphs(d, "doc_id", "text", budget_tokens=40)
+        .select("doc_id", "chunk_id", "text", "n_paras", "n_tokens", "start_idx")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@q(
     "extract_per_host",
     f"""
     SELECT host, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
