@@ -89,6 +89,7 @@ HEADLINE = [
     # round-3 closing additions
     "crawl_fetch_schedule",
     "retrieval_hard_negatives",
+    "bitext_url_scored",
     "bitext_url_candidates",
     "url_revisit_diff",
 ]

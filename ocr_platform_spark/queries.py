@@ -2526,6 +2526,110 @@ def bitext_url_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "bitext_url_scored",
+    """
+    WITH u AS (
+      SELECT doc_id, lang,
+             'https://' || source || '.example.org/' || lang || '/page-'
+               || CAST(doc_id % 25 AS VARCHAR) || '.html' AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^https?://([^/]+)/([a-z]{2})/(.*)$', 2) AS url_lang,
+             regexp_extract(url, '^https?://([^/]+)/([a-z]{2})/(.*)$', 1) || '/' ||
+             regexp_extract(url, '^https?://([^/]+)/([a-z]{2})/(.*)$', 3) AS key
+      FROM u WHERE regexp_extract(url, '^https?://([^/]+)/([a-z]{2})/(.*)$', 2) <> ''
+    ),
+    reps AS (
+      SELECT key, url_lang, MIN(doc_id) AS doc_id
+      FROM parsed GROUP BY key, url_lang
+    ),
+    cand AS (
+      SELECT p.key, p.doc_id AS doc_pivot, o.doc_id AS doc_xx, o.url_lang AS lang_xx
+      FROM reps p JOIN reps o USING (key)
+      WHERE p.url_lang = 'en' AND o.url_lang <> 'en'
+    ),
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT c.key, c.doc_pivot, c.doc_xx, c.lang_xx,
+             list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS dot,
+             list_sum(list_transform(a.v, x -> x * x)) AS na,
+             list_sum(list_transform(b.v, x -> x * x)) AS nb
+      FROM cand c
+      JOIN qz a ON a.vec_id = c.doc_pivot % 500
+      JOIN qz b ON b.vec_id = c.doc_xx % 500
+    )
+    SELECT key, doc_pivot, doc_xx, lang_xx,
+           CASE WHEN na > 0 AND nb > 0
+                THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+                ELSE 0.0 END AS cosine,
+           CASE WHEN na > 0 AND nb > 0
+                THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+                ELSE 0.0 END >= 0.5 AS accepted
+    FROM s ORDER BY key, lang_xx, doc_xx
+    """,
+)
+def bitext_url_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ParaCrawl shape: URL-matched candidate pairs
+    (operators/bitext.url_matched_pairs — the recall stage) flowed into
+    embedding similarity scoring (the precision stage) — each candidate
+    pair scored by the exact quantized cosine of its two document
+    embeddings plus the ≥0.5 accept gate. Documents map to the embeddings
+    table by the deterministic synthetic assignment ``doc_id % 500``
+    (both engines derive it identically). Scale shape: the two
+    embedding joins are plain equi-joins on the derived vec key —
+    candidate-sized probes against the embedding table, co-partitionable
+    at 10^12 rows; scoring is the shared exact-integer cosine tail."""
+    from ocr_platform_spark.operators.ann import _quantize, _quantized_cosine
+    from ocr_platform_spark.operators.bitext import url_matched_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/"),
+            F.col("lang"),
+            F.lit("/page-"),
+            (F.col("doc_id") % 25).cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+    )
+    cands = url_matched_pairs(d, pivot_lang="en").select(
+        "key", "doc_pivot", "doc_xx", "lang_xx"
+    )
+    qz = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding"), 1000).alias("v")
+    )
+    j = (
+        cands.join(
+            qz.select(F.col("vec_id").alias("_va_id"), F.col("v").alias("va")),
+            (F.col("doc_pivot") % 500) == F.col("_va_id"),
+        )
+        .join(
+            qz.select(F.col("vec_id").alias("_vb_id"), F.col("v").alias("vb")),
+            (F.col("doc_xx") % 500) == F.col("_vb_id"),
+        )
+        .select(
+            "key",
+            "doc_pivot",
+            "doc_xx",
+            "lang_xx",
+            _quantized_cosine("va", "vb").alias("cosine"),
+        )
+    )
+    return j.withColumn("accepted", F.col("cosine") >= 0.5).orderBy(
+        "key", "lang_xx", "doc_xx"
+    )
+
+
+@q(
     "retrieval_hard_negatives",
     """
     WITH qz AS (
