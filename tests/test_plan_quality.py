@@ -261,3 +261,24 @@ def test_url_revisit_diff_windows_partition_by_doc(spark):
     assert "BatchEvalPython" not in plan
     win_specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert win_specs and all("doc_id" in s for s in win_specs), win_specs
+
+
+def test_chunk_plan_windows_partition_by_doc(spark):
+    """The chunk cumsum window partitions by document — an empty-spec
+    window would serialize every paragraph of 10^12 docs through one
+    task."""
+    import re
+
+    plan = _formatted(CATALOG["doc_chunk_plan"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    win_specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert win_specs and all("id" in s for s in win_specs), win_specs
+
+
+def test_bitext_url_scored_equi_joins_only(spark):
+    """The composed bitext scorer is equi-joins end to end (candidate key,
+    then two vec-key probes) — no cartesian corner, no per-row Python."""
+    plan = _formatted(CATALOG["bitext_url_scored"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
