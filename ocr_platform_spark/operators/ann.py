@@ -210,6 +210,12 @@ def hard_negatives(
     scores and the denoising gate (a strict ``<`` between two identically
     derived doubles) reproduce bit-for-bit in any engine.
 
+    ALL of a query's labeled positives are excluded from its negative
+    pool (anti-join on the full positives table), not just the current
+    pair's — a query with several labeled positives must never mine one
+    of its own positives as a negative for another pair, or weak labeled
+    positives passing the strict-< gate become label noise.
+
     Scale shape: the query side is training-pair-sized (a dimension) —
     it broadcasts, and the corpus is scanned once. At 10^9 items swap the
     crossJoin for any candidate generator in this module (LSH/IVF/PQ) and
@@ -230,9 +236,14 @@ def hard_negatives(
         F.broadcast(pos),
         (scored.query_id == pos.query_id) & (scored.item_id == pos.pos_id),
     ).select(scored.query_id, "pos_id", F.col("cosine").alias("pos_cosine"))
+    # anti-join against ALL the query's labeled positives (not only the
+    # current pair's pos_id): cross-listed positives are label noise, not
+    # hard negatives, regardless of which pair is being mined
+    all_pos = pos.select("query_id", F.col("pos_id").alias("item_id"))
     negs = (
-        scored.join(F.broadcast(pos_scores), "query_id")
-        .where((F.col("item_id") != F.col("pos_id")) & (F.col("cosine") < F.col("pos_cosine")))
+        scored.join(F.broadcast(all_pos), ["query_id", "item_id"], "left_anti")
+        .join(F.broadcast(pos_scores), "query_id")
+        .where(F.col("cosine") < F.col("pos_cosine"))
     )
     # top-k is PER (query, positive) PAIR — a query with several labeled
     # positives mines k negatives against each one (each pair has its own

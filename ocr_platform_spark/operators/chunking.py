@@ -14,9 +14,11 @@ fill: paragraph p joins the chunk numbered ``tokens_before_p div budget``.
 One window cumsum per document decides every boundary — deterministic,
 order-stable, and exactly replayable in plain SQL (the catalog oracle
 does), unlike greedy fill whose boundaries need a sequential scan. An
-oversized paragraph is never split: it owns its bucket (and the ids of the
-buckets it spans stay unused, so chunk ids within a doc are increasing but
-not necessarily contiguous).
+oversized paragraph is never split; it joins whatever chunk its cumulative
+offset falls in (possibly alongside preceding small paragraphs, so a chunk
+can exceed the budget), and only the ids of the tail buckets it spans stay
+unused — chunk ids within a doc are increasing but not necessarily
+contiguous.
 
 Scale shape: the paragraph explode is map-side; the cumsum window and the
 chunk regroup both partition by document (doc-sized partitions, bounded);

@@ -114,6 +114,7 @@ def lm_score_map_side(
     keep_bits_num: int = 3,
     keep_bits_den: int = 1,
     max_oov_pct: int = 10,
+    max_vocab_rows: int = 2_000_000,
 ) -> DataFrame:
     """Map-side twin of :func:`lm_score`: the pruned count table is
     COLLECTED and BROADCAST to the workers, and each document is scored in
@@ -127,7 +128,13 @@ def lm_score_map_side(
     Output and semantics are IDENTICAL to :func:`lm_score` — the Python
     tokenizer mirrors ``word_shingles`` exactly (Java-\\s whitespace class,
     single-space split, <n-word docs yield one shingle) and the pytest
-    differential pins the two plans row-for-row."""
+    differential pins the two plans row-for-row.
+
+    The driver-side collect is GUARDED, not trusted: a bounded
+    ``limit(max_vocab_rows + 1)`` probe (never a full count over an
+    unpruned table) checks the vocabulary actually fits before
+    collecting; above the bound the call transparently falls back to the
+    relational :func:`lm_score` twin, whose output is row-identical."""
     import re as _re
 
     import pandas as pd
@@ -139,9 +146,23 @@ def lm_score_map_side(
     from pyspark.sql.functions import pandas_udf
 
     spark = docs.sparkSession
-    # vocabulary-sized collect (the pruned Zipf head) — same bound as the
-    # fuzzy mapper's vocabulary broadcast
-    table = {r["bigram"]: int(r["c"]) for r in counts.collect()}
+    # vocabulary-sized collect (the pruned Zipf head) — but verify the
+    # caller's min_count actually pruned before trusting it: probe with a
+    # bounded limit (reads at most max_vocab_rows+1 rows, never the full
+    # table) and fall back to the shuffle-side twin if the bound is blown
+    probe = counts.limit(max_vocab_rows + 1).collect()
+    if len(probe) > max_vocab_rows:
+        return lm_score(
+            docs,
+            counts,
+            id_col,
+            text_col,
+            n=n,
+            keep_bits_num=keep_bits_num,
+            keep_bits_den=keep_bits_den,
+            max_oov_pct=max_oov_pct,
+        )
+    table = {r["bigram"]: int(r["c"]) for r in probe}
     bc = spark.sparkContext.broadcast(table)
     # Java \s (ASCII whitespace), NOT Python's unicode-aware \s — the
     # normalizer must match functions/textfns.normalized_text exactly

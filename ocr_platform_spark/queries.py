@@ -2486,7 +2486,7 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u WHERE regexp_extract(url, '^https?://([^/]+)/([a-z]{2})/(.*)$', 2) <> ''
     ),
     reps AS (
-      SELECT key, url_lang, MIN(doc_id) AS doc_id, MIN(url) AS url
+      SELECT key, url_lang, MIN(doc_id) AS doc_id, arg_min(url, doc_id) AS url
       FROM parsed GROUP BY key, url_lang
     )
     SELECT p.key, p.doc_id AS doc_pivot, p.url AS url_pivot,
@@ -2505,8 +2505,10 @@ def bitext_url_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     query derives them deterministically from (source, lang, doc_id) —
     both engines build the same strings, then the oracle replays the
     marker parse, mirror-collapse (min doc_id per key+lang) and the
-    key equi-join. Note ``MIN(url)`` ≡ url of ``MIN(doc_id)`` here: within
-    a (key, lang) group urls differ only by the doc-invariant parts."""
+    key equi-join. The representative url is ``arg_min(url, doc_id)`` on
+    BOTH engines (Spark ``min_by``) — the same expression, so on real
+    corpora where one stripped key maps to scheme/query-string url
+    variants the operator and oracle cannot drift."""
     from ocr_platform_spark.operators.bitext import url_matched_pairs
 
     d = _t(spark, sf_dir, "documents").select(
@@ -2660,7 +2662,9 @@ def bitext_url_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     negs AS (
       SELECT s.query_id, ps.pos_id, s.item_id AS neg_id, s.cosine, ps.pos_cosine
       FROM scored s JOIN ps ON s.query_id = ps.query_id
-      WHERE s.item_id <> ps.pos_id AND s.cosine < ps.pos_cosine
+      WHERE s.cosine < ps.pos_cosine
+        AND NOT EXISTS (SELECT 1 FROM pos p2
+                        WHERE p2.query_id = s.query_id AND p2.pos_id = s.item_id)
     )
     SELECT query_id, pos_id, neg_id, cosine, pos_cosine, CAST(rk AS INT) AS rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id, pos_id ORDER BY cosine DESC, neg_id) AS rk

@@ -87,3 +87,33 @@ def test_map_side_scorer_matches_relational(spark):
     a = sorted(map(tuple, lm_score(docs, counts, "doc_id", "text").collect()))
     b = sorted(map(tuple, lm_score_map_side(docs, counts, "doc_id", "text").collect()))
     assert a == b
+
+
+def test_map_side_scorer_vocab_guard_falls_back(spark):
+    """When the pruned vocabulary exceeds max_vocab_rows, lm_score_map_side
+    must NOT collect it — it falls back to the relational twin and still
+    returns row-identical results (and no BatchEvalPython/broadcast dict
+    path is taken, which we can't observe directly, so we pin the output
+    and the fact that the guard path produces the relational plan shape:
+    a join on the bigram key appears in the explained plan)."""
+    from ocr_platform_spark.operators.lmscore import lm_score, lm_score_map_side
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * (i % 3 + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    from ocr_platform_spark.operators.lmscore import reference_bigram_counts
+
+    counts = reference_bigram_counts(ref, "doc_id", "text", min_count=2)
+    docs = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "out of vocab")],
+        "doc_id long, text string",
+    )
+    guarded = lm_score_map_side(docs, counts, "doc_id", "text", max_vocab_rows=1)
+    # fallback plan is the relational twin: the count table joins on the
+    # gram key instead of being collected into a Python dict
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "bigram" in plan
+    a = sorted(map(tuple, lm_score(docs, counts, "doc_id", "text").collect()))
+    b = sorted(map(tuple, guarded.collect()))
+    assert a == b
