@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ocr_platform_spark.functions.textfns import fingerprint, normalized_text, word_shingles
 
@@ -656,6 +656,66 @@ def char_gram_postings(
         F.posexplode(char_kgram_hashes(F.col(text_col), k, normalized=True)).alias(
             "pos", "h"
         ),
+    )
+
+
+def winnowed_gram_postings(
+    df: DataFrame, id_col: str, text_col: str, k: int = 30, w: int = 8
+) -> DataFrame:
+    """(id, pos, h) — SAMPLED positional k-gram postings: per document,
+    only each w-window's minimum (h, pos) survives (winnowing selection,
+    Schleimer/Wilkerson/Aiken). Emits ~2/(w+1) of the grams, cutting
+    :func:`char_gram_postings`' per-character 30-60× shuffle amplification
+    — the 100-TB shape for ExactSubstr marking — while keeping the
+    worst-case guarantee: any substring of length ≥ w + k − 1 shared by
+    two documents contributes AT LEAST one sampled posting, with the SAME
+    hash, in BOTH documents.
+
+    Why winnowing and not a position stride (pos ≡ 0 mod s): stride
+    sampling is alignment-DEPENDENT. A repeat at offset 100 in one doc
+    and offset 103 in another samples different content-relative phases;
+    the same-content grams are then never co-sampled and the repeat is
+    invisible to the ≥min_df hash filter, however long it is. Window-min
+    selection depends only on the CONTENT of the surrounding w grams, so
+    both occurrences of a shared substring select the same relative
+    positions (tie-break: smallest hash, then smallest position — a pure
+    data-value order, replayable anywhere).
+
+    Downstream contract: feed :func:`repeated_spans` unchanged. With
+    w ≤ k, consecutive sampled positions inside one long repeat are at
+    most w apart, so island merging (gap tolerance k) merges exactly as
+    with full postings; marked span edges are advisory within w−1 chars
+    of the exact operator's (narrower, never wider — every sampled
+    repeated gram is a repeated gram), matching the module's declared
+    'advisory marking, exact byte check at cut time' contract.
+    Differentials pinned in tests/test_dedup.py: sampled spans ⊆ exact
+    spans, and every planted shared substring ≥ w+k−1 (including
+    misaligned offsets) is covered.
+
+    Map-side only: the selection runs inside the per-row array expression
+    BEFORE the explode — the unsampled grams never become rows, so the
+    reduction happens ahead of the shuffle, not after it."""
+    if w > k:
+        raise ValueError("w must be <= k so island merging stays gap-free")
+    from ocr_platform_spark.functions.textfns import bind_once, char_kgram_hashes
+
+    def select_of(grams: Column) -> Column:
+        pairs = F.transform(
+            grams, lambda h, i: F.struct(h.alias("h"), i.cast("int").alias("pos"))
+        )
+        return F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(pairs) - F.lit(w - 1), F.lit(1))
+                ),
+                lambda j: F.array_min(F.slice(pairs, j, w)),
+            )
+        )
+
+    sel = bind_once(char_kgram_hashes(F.col(text_col), k, normalized=True), select_of)
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sel).alias("_s"))
+        .select("id", F.col("_s.pos").alias("pos"), F.col("_s.h").alias("h"))
     )
 
 

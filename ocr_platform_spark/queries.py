@@ -2095,6 +2095,61 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_repeated_spans_strided",
+    f"""
+    WITH p AS (SELECT * FROM read_parquet('{staged_glob("span_postings_w")}')),
+    rep AS (
+      SELECT h FROM (SELECT h, id FROM p GROUP BY h, id)
+      GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    m AS (SELECT p.id, p.pos FROM p JOIN rep USING (h)),
+    pe AS (
+      SELECT id, pos,
+             MAX(pos + 30) OVER (
+               PARTITION BY id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM m
+    ),
+    i AS (
+      SELECT id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM pe
+    )
+    SELECT id AS doc_id, MIN(pos) AS span_start, MAX(pos) + 30 AS span_end
+    FROM i GROUP BY id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def doc_repeated_spans_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr repeated-span marking over SAMPLED postings — the
+    100-TB shape of doc_repeated_spans. The per-character posting table
+    (30-60× the corpus text through a corpus-wide shuffle) is replaced by
+    winnowing-sampled postings (~2/(w+1) of the grams, selected map-side
+    BEFORE the explode, so the reduction happens ahead of the shuffle);
+    any cross-doc shared substring of length ≥ w+k−1 = 37 still marks.
+    Content-defined (window-min) sampling, NOT a position stride — stride
+    phases don't survive offset misalignment between documents (see
+    operators/dedup.winnowed_gram_postings). Downstream span merging is
+    the identical integer pipeline, replayed by the oracle from the
+    staged sampled postings; the sampling itself is differentially pinned
+    against the exact operator in tests/test_dedup.py."""
+    d = _t(spark, sf_dir, "documents")
+    posts = stage(
+        dedup.winnowed_gram_postings(d, "doc_id", "text", k=30, w=8),
+        "span_postings_w",
+        partitions=8,
+    )
+    return (
+        dedup.repeated_spans(posts, k=30, min_df=2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@q(
     "doc_strip_spans",
     f"""
     WITH p AS (SELECT * FROM read_parquet('{staged_glob("cut_postings")}')),

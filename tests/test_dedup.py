@@ -299,3 +299,100 @@ def test_strip_repeated_spans_surgery(spark):
     # kept text is the literal complement of the cut for a carrier doc
     assert got[1]["text"].startswith("Unique opening sentence one.")
     assert got[1]["text"].endswith("And a unique tail here.")
+
+
+def test_winnowed_postings_subset_and_selection(spark):
+    """winnowed_gram_postings emits a subset of char_gram_postings rows,
+    at reduced density, and the selection matches a pure-Python winnow
+    (window-min by (h, pos)) over the full posting list."""
+    from ocr_platform_spark.operators.dedup import (
+        char_gram_postings,
+        winnowed_gram_postings,
+    )
+
+    K, W = 10, 4
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank."),
+        (2, "Pack my box with five dozen liquor jugs before the storm arrives."),
+        (3, "short"),  # sub-k doc: one gram, must survive sampling
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    full = [(r["id"], r["pos"], r["h"]) for r in char_gram_postings(df, "doc_id", "text", K).collect()]
+    samp = [(r["id"], r["pos"], r["h"]) for r in winnowed_gram_postings(df, "doc_id", "text", K, W).collect()]
+    assert set(samp) <= set(full)
+    assert len(samp) < len(full)
+    # Python reference replay of the window-min selection
+    by_doc = {}
+    for did, pos, h in sorted(full):
+        by_doc.setdefault(did, []).append((h, pos))
+    expected = set()
+    for did, grams in by_doc.items():
+        grams.sort(key=lambda t: t[1])  # position order
+        n = len(grams)
+        for j in range(max(n - W + 1, 1)):
+            h, pos = min(grams[j : j + W])
+            expected.add((did, pos, h))
+    assert set(samp) == expected
+    assert (3, 0) in {(d, p) for d, p, _ in samp}  # sub-k doc sampled
+
+
+def test_winnowed_spans_cover_misaligned_repeats(spark):
+    """The scale contract of the strided marker: sampled spans are always
+    CONTAINED in the exact operator's spans, and every planted shared
+    substring of length >= w+k-1 is covered even when its offsets are
+    misaligned across documents — the case that breaks position-stride
+    sampling (phases pos % s differ between carriers, so stride-sampled
+    same-content grams never co-occur)."""
+    from ocr_platform_spark.operators.dedup import (
+        char_gram_postings,
+        repeated_spans,
+        winnowed_gram_postings,
+    )
+
+    K, W = 10, 4
+    blurb = "All rights reserved worldwide by the operator of this site."
+    assert len(blurb) >= W + K - 1
+    # misaligned prefixes: 0, 103, 47 chars — no common residue mod any
+    # stride s in 2..8, so a pos % s sampler would co-sample nothing
+    texts = [
+        (1, blurb + " unique tail one follows here."),
+        (2, "x" * 103 + blurb + " other tail."),
+        (3, "y" * 47 + blurb),
+        (4, "No shared fragments here, guaranteed: zq xv jk wp mn bt."),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    exact = {}
+    for r in repeated_spans(char_gram_postings(df, "doc_id", "text", K), k=K, min_df=2).collect():
+        exact.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+    samp = {}
+    posts_w = winnowed_gram_postings(df, "doc_id", "text", K, W)
+    for r in repeated_spans(posts_w, k=K, min_df=2).collect():
+        samp.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+    # containment: every sampled span sits inside an exact span
+    for did, spans in samp.items():
+        for a, b in spans:
+            assert any(ea <= a and b <= eb for ea, eb in exact.get(did, [])), (did, a, b)
+    # coverage: each planted blurb occurrence overlaps a sampled span
+    starts = {1: 0, 2: 103, 3: 47}
+    for did, s0 in starts.items():
+        s1 = s0 + len(blurb)
+        assert any(a < s1 and s0 < b for a, b in samp.get(did, [])), did
+    assert 4 not in samp
+    # and the edges are advisory-close: within w-1 grams of exact
+    for did, spans in samp.items():
+        for (a, b), (ea, eb) in zip(sorted(spans), sorted(exact[did])):
+            assert a - ea <= W - 1 and eb - b <= W - 1
+
+    # demonstrate the stride counterexample this design avoids: docs 1 and
+    # 2 carry the blurb at offsets 0 and 103 — 103 % s != 0 for every
+    # stride s in 2..8, so a pos % s == 0 sampler emits DISJOINT phases of
+    # the blurb in the two docs and co-samples no blurb gram at any of
+    # those strides (the repeat would be invisible to the min_df filter)
+    by_id = dict(texts)
+    for s in range(2, 9):
+        sets = []
+        for did in (1, 2):
+            t = by_id[did]
+            sets.append({t[p : p + K] for p in range(0, max(len(t) - K + 1, 1)) if p % s == 0})
+        shared = {g for g in sets[0] & sets[1] if g in blurb}
+        assert not shared, (s, shared)
