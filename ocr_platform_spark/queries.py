@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ocr_platform_spark.functions import conversions as C
 from ocr_platform_spark.functions import textfns as TX
-from ocr_platform_spark.operators import ann, dedup
+from ocr_platform_spark.operators import ann, dedup, embed
 from ocr_platform_spark.operators.select_mapping import (
     map_select_single_vocab,
     score_select_column,
@@ -2742,6 +2742,224 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), (F.col("vec_id") + 100).alias("pos_id")
     )
     return ann.hard_negatives(emb, pos, k=5).orderBy("query_id", "rank")
+
+
+#: DuckDB recompute of the deterministic trigram-hash embedder — every
+#: derived-embedding oracle shares this single source of truth
+#: (operators/embed.derived_embeddings_cte).
+_DEMB = embed.derived_embeddings_cte()
+
+
+@q(
+    "doc_embedding",
+    f"""
+    WITH {_DEMB}
+    SELECT doc_id, embedding, n_grams FROM demb ORDER BY doc_id
+    """,
+)
+def doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text→embedding (operators/embed.hashed_ngram_embedding;
+    the feature-hashing trick): hashed char-trigram features with a
+    hash-derived sign, summed into 64 signed integer buckets. The oracle
+    RECOMPUTES every vector from the raw parquet — normalize, slide
+    trigrams, 31-bit modular polynomial hash, bucket+sign, scatter-add —
+    with no staging, closing the synthetic-input dependency of the
+    semantic/retrieval family (see the *_derived twins). Map-side only:
+    one Arrow pass, no shuffle, no model."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        embed.hashed_ngram_embedding(d, "doc_id", "text")
+        .select(F.col("id").alias("doc_id"), "embedding", "n_grams")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "ann_derived_topk",
+    f"""
+    WITH {_DEMB},
+    qz AS (SELECT doc_id AS vec_id, list_transform(embedding, x -> x * 1000) AS v
+           FROM demb),
+    pairs AS (
+      SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+             list_sum(list_transform(list_zip(q.v, i.v), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(q.v, x -> x * x)) AS nq,
+             list_sum(list_transform(i.v, x -> x * x)) AS ni
+      FROM qz q, qz i
+      WHERE q.vec_id < 8 AND i.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT query_id, item_id,
+             CASE WHEN nq > 0 AND ni > 0
+                  THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ni AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM pairs
+    )
+    SELECT query_id, item_id, cosine, CAST(rk AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def ann_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over embeddings DERIVED FROM TEXT (the
+    doc_embedding operator) instead of the pregenerated embeddings table —
+    text → vector → retrieval verified end to end from the raw parquet by
+    one oracle, nothing staged. Counts are exact in float32, so the ×1000
+    quantization is exact and ranks/scores agree bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    emb_d = embed.hashed_ngram_embedding(d, "doc_id", "text", as_float=True).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    return ann.quantized_topk(emb_d, emb_d.where(F.col("vec_id") < 8), k=5)
+
+
+@q(
+    "semantic_dedup_derived",
+    rf"""
+    WITH {_DEMB},
+    a AS (
+      SELECT id, cluster, cent_sim FROM read_parquet('{staged_glob("semdedup_assign_d")}')
+    ),
+    qz AS (SELECT doc_id AS vec_id, list_transform(embedding, x -> x * 1000) AS v
+           FROM demb),
+    m AS (SELECT a.id, a.cluster, a.cent_sim, qz.v FROM a JOIN qz ON a.id = qz.vec_id),
+    p0 AS (
+      SELECT x.id AS x_id, x.cent_sim AS x_cs, y.id AS y_id, y.cent_sim AS y_cs,
+             list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(x.v, t -> t * t)) AS nx,
+             list_sum(list_transform(y.v, t -> t * t)) AS ny
+      FROM m x JOIN m y ON x.cluster = y.cluster AND x.id <> y.id
+    ),
+    p AS (
+      SELECT x_id, x_cs, y_id, y_cs,
+             CAST(round(CASE WHEN nx > 0 AND ny > 0
+                  THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))), 6)
+                  ELSE 0.0 END * 1000000) AS BIGINT) AS c
+      FROM p0
+    ),
+    s AS (
+      SELECT x_id, CAST(COUNT(*) AS INT) AS n_dup_neighbors,
+             MAX(CASE WHEN y_cs < x_cs OR (y_cs = x_cs AND y_id < x_id)
+                 THEN 1 ELSE 0 END) = 1 AS has_better
+      FROM p WHERE c >= 900000 GROUP BY x_id
+    )
+    SELECT a.id AS vec_id, a.cluster, a.cent_sim,
+           COALESCE(s.n_dup_neighbors, 0) AS n_dup_neighbors,
+           COALESCE(s.has_better, FALSE) AS is_dup
+    FROM a LEFT JOIN s ON a.id = s.x_id
+    ORDER BY vec_id
+    """,
+)
+def semantic_dedup_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup over embeddings DERIVED FROM TEXT — the full semantic-dedup
+    loop (text → trigram-hash vector → IVF cluster → within-cluster
+    ε-ball keep-outliers rule) with only the trained-model assignment
+    staged; the oracle recomputes the vectors from raw parquet AND every
+    within-cluster verdict. Trigram-count embeddings of same-boilerplate
+    pages score high cosine, so the gate runs at ε=0.90 (real near-dups,
+    not the near-orthogonal synthetic-vector convention)."""
+    from ocr_platform_spark.operators.semdedup import (
+        assign_with_centroid_sim,
+        semantic_duplicates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    emb_d = embed.hashed_ngram_embedding(d, "doc_id", "text", as_float=True).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    cents = ann.train_ivf(emb_d, n_lists=16)
+    a = stage(assign_with_centroid_sim(emb_d, cents), "semdedup_assign_d")
+    return semantic_duplicates(emb_d, a, threshold_q6=900000)
+
+
+@q(
+    "bitext_url_scored_derived",
+    f"""
+    WITH {_DEMB},
+    u AS (
+      SELECT doc_id, lang,
+             'https://' || source || '.example.org/' || lang || '/page-'
+               || CAST(doc_id % 25 AS VARCHAR) || '.html' AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^https?://([^/]+)/([a-z]{{2}})/(.*)$', 2) AS url_lang,
+             regexp_extract(url, '^https?://([^/]+)/([a-z]{{2}})/(.*)$', 1) || '/' ||
+             regexp_extract(url, '^https?://([^/]+)/([a-z]{{2}})/(.*)$', 3) AS key
+      FROM u WHERE regexp_extract(url, '^https?://([^/]+)/([a-z]{{2}})/(.*)$', 2) <> ''
+    ),
+    reps AS (
+      SELECT key, url_lang, MIN(doc_id) AS doc_id
+      FROM parsed GROUP BY key, url_lang
+    ),
+    cand AS (
+      SELECT p.key, p.doc_id AS doc_pivot, o.doc_id AS doc_xx, o.url_lang AS lang_xx
+      FROM reps p JOIN reps o USING (key)
+      WHERE p.url_lang = 'en' AND o.url_lang <> 'en'
+    ),
+    qz AS (SELECT doc_id AS vec_id, list_transform(embedding, x -> x * 1000) AS v
+           FROM demb),
+    s AS (
+      SELECT c.key, c.doc_pivot, c.doc_xx, c.lang_xx,
+             list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS dot,
+             list_sum(list_transform(a.v, x -> x * x)) AS na,
+             list_sum(list_transform(b.v, x -> x * x)) AS nb
+      FROM cand c
+      JOIN qz a ON a.vec_id = c.doc_pivot
+      JOIN qz b ON b.vec_id = c.doc_xx
+    )
+    SELECT key, doc_pivot, doc_xx, lang_xx,
+           CASE WHEN na > 0 AND nb > 0
+                THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+                ELSE 0.0 END AS cosine,
+           CASE WHEN na > 0 AND nb > 0
+                THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+                ELSE 0.0 END >= 0.5 AS accepted
+    FROM s ORDER BY key, lang_xx, doc_xx
+    """,
+)
+def bitext_url_scored_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ParaCrawl shape over DERIVED embeddings: URL-matched
+    candidates scored by the cosine of each page's OWN text-derived
+    vector — no pregenerated table, no synthetic doc→vec mapping; the
+    oracle recomputes vectors AND the url/candidate/scoring pipeline
+    entirely from the raw parquet."""
+    from ocr_platform_spark.operators.ann import _quantize, _quantized_cosine
+    from ocr_platform_spark.operators.bitext import url_matched_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/"),
+            F.col("lang"),
+            F.lit("/page-"),
+            (F.col("doc_id") % 25).cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+    )
+    cands = url_matched_pairs(d, pivot_lang="en").select(
+        "key", "doc_pivot", "doc_xx", "lang_xx"
+    )
+    qz = embed.hashed_ngram_embedding(docs, "doc_id", "text", as_float=True).select(
+        F.col("id").alias("vec_id"), _quantize(F.col("embedding"), 1000).alias("v")
+    )
+    j = (
+        cands.join(qz.withColumnRenamed("vec_id", "doc_pivot").withColumnRenamed("v", "v_a"), "doc_pivot")
+        .join(qz.withColumnRenamed("vec_id", "doc_xx").withColumnRenamed("v", "v_b"), "doc_xx")
+        .select(
+            "key", "doc_pivot", "doc_xx", "lang_xx",
+            _quantized_cosine("v_a", "v_b").alias("cosine"),
+        )
+    )
+    return j.withColumn("accepted", F.col("cosine") >= 0.5).orderBy(
+        "key", "lang_xx", "doc_xx"
+    )
 
 
 #: Quantized-cosine scoring + top-k over a staged candidate table — the
