@@ -2962,6 +2962,138 @@ def bitext_url_scored_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "retrieval_index_build",
+    rf"""
+    WITH split AS (
+      SELECT doc_id, string_split_regex(text, '\n{{2,}}') AS ps FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS idx, ps[i] AS para
+      FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM split)
+      WHERE length(ps[i]) >= 1
+    ),
+    toks AS (
+      SELECT doc_id, idx, para,
+             CAST(len(list_filter(string_split_regex(para, '\s+'), x -> x <> ''))
+                  AS BIGINT) AS tok
+      FROM paras
+    ),
+    cum AS (
+      SELECT doc_id, idx, para, tok,
+             COALESCE(SUM(tok) OVER (PARTITION BY doc_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM toks
+    ),
+    chunksrc AS (
+      SELECT doc_id, CAST(cum_before // 40 AS INT) AS chunk_id,
+             string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text
+      FROM cum GROUP BY doc_id, cum_before // 40
+    ),
+    chunks AS (SELECT doc_id * 100000 + chunk_id AS doc_id, text FROM chunksrc),
+    {embed.derived_embeddings_cte(table="chunks")},
+    qz AS (SELECT doc_id AS vec_id, list_transform(embedding, x -> x * 1000) AS v
+           FROM demb),
+    codes AS (SELECT id, list_id, codes FROM read_parquet('{staged_glob("rix_codes")}')),
+    biases AS (SELECT * FROM read_parquet('{staged_glob("rix_biases")}')),
+    luts AS (SELECT * FROM read_parquet('{staged_glob("rix_luts")}')),
+    cb AS (SELECT * FROM read_parquet('{staged_glob("rix_cb")}')),
+    cents AS (SELECT * FROM read_parquet('{staged_glob("rix_cents")}')),
+    cand AS (
+      SELECT b.query_id, c.id AS item_id, b.bias, c.codes
+      FROM codes c JOIN biases b ON c.list_id = b.list_id
+      WHERE c.id != b.query_id
+    ),
+    adcterm AS (
+      SELECT query_id, item_id, bias,
+             CAST(i - 1 AS INT) AS m_idx, CAST(codes[i] AS INT) AS code
+      FROM (SELECT query_id, item_id, bias, codes,
+                   unnest(generate_series(1, len(codes))) AS i FROM cand)
+    ),
+    adc AS (
+      SELECT t.query_id, t.item_id, CAST(MAX(t.bias) + SUM(l.w) AS BIGINT) AS score
+      FROM adcterm t
+      JOIN luts l ON l.query_id = t.query_id AND l.m_idx = t.m_idx AND l.code = t.code
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, item_id FROM (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id) AS rn
+        FROM adc) WHERE rn <= 50
+    ),
+    recterm AS (
+      SELECT id, list_id, CAST(i - 1 AS INT) AS m_idx, CAST(codes[i] AS INT) AS code
+      FROM (SELECT id, list_id, codes,
+                   unnest(generate_series(1, len(codes))) AS i FROM codes)
+    ),
+    resid AS (
+      SELECT id, list_id, flatten(list(sub ORDER BY m_idx)) AS resid
+      FROM recterm JOIN cb USING (m_idx, code)
+      GROUP BY id, list_id
+    ),
+    recon AS (
+      SELECT id,
+             list_transform(list_zip(cvec, resid),
+                            p -> CAST(round((p[1] + p[2]) * 1000) AS BIGINT)) AS xq
+      FROM resid JOIN cents USING (list_id)
+    ),
+    pairs AS (
+      SELECT s.query_id, s.item_id,
+             list_sum(list_transform(list_zip(q.v, r.xq), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(q.v, x -> x * x)) AS nq,
+             list_sum(list_transform(r.xq, x -> x * x)) AS ni
+      FROM short s JOIN qz q ON s.query_id = q.vec_id JOIN recon r ON s.item_id = r.id
+    ),
+    scored AS (
+      SELECT query_id, item_id,
+             CASE WHEN nq > 0 AND ni > 0
+                  THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ni AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM pairs
+    )
+    SELECT query_id, item_id, cosine, CAST(rk AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def retrieval_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed retrieval-index flagship (plans/retrieval_index.py):
+    text → paragraph chunks (40-token budget) → deterministic trigram-hash
+    embeddings → IVF-PQ train/encode → ADC shortlist-50 → INDEX-ONLY
+    refine to top-10, queried by the chunks of the first 4 documents. The
+    oracle replays chunking, embedding (recomputed from raw parquet —
+    nothing query-side is pregenerated), ADC scoring from the staged
+    integer model tables, reconstruction, and the cosine re-rank; only
+    the trained model (codes/LUTs/biases/centroids/codebooks — numpy
+    k-means, relational-staged like every ANN model here) crosses the
+    engine boundary as data."""
+    from ocr_platform_spark.plans.retrieval_index import (
+        UID_STRIDE,
+        build_retrieval_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = build_retrieval_index(d, budget_tokens=40)
+    codes = stage(index["codes"], "rix_codes")
+    cents_df = stage(index["cents_df"], "rix_cents")
+    cb_df = stage(index["cb_df"], "rix_cb")
+    queries_df = index["emb"].where(F.col("vec_id") < 4 * UID_STRIDE)
+    luts, biases = ann.ivfpq_query_tables(
+        queries_df, index["cents"], index["cb"], n_probe=4
+    )
+    luts = stage(luts, "rix_luts")
+    biases = stage(biases, "rix_biases")
+    short = ann.ivfpq_adc_topk(codes, luts, biases, k=50).select(
+        "query_id", "item_id"
+    )
+    return ann.ivfpq_refined_topk(
+        short, codes, cents_df, cb_df, queries_df
+    ).orderBy("query_id", "rank")
+
+
 #: Quantized-cosine scoring + top-k over a staged candidate table — the
 #: exact (oracle-checkable) tail shared by the LSH and IVF queries. The
 #: candidate set itself comes from the numpy bucketing kernels; staging it

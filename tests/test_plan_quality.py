@@ -282,3 +282,17 @@ def test_bitext_url_scored_equi_joins_only(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retrieval_index_query_path_shape(spark):
+    """The composed retrieval-index flagship: no per-row Python, no
+    cartesian product, and every window keys on a bounded partition
+    (query_id top-k / doc-partitioned chunk cumsum) — an empty-spec
+    window or a cross join here would melt at 10^9 chunks."""
+    import re
+
+    plan = _formatted(CATALOG["retrieval_index_build"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    win_specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert win_specs and all(("query_id" in s) or ("id" in s) for s in win_specs), win_specs
