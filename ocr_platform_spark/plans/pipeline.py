@@ -141,6 +141,84 @@ def run_extraction_job(
     }
 
 
+def corpus_refine_stages(
+    curated: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decontam_eval: DataFrame | None = None,
+    decontam_n: int = 8,
+    semdedup_threshold_q6: int | None = None,
+    semdedup_n_lists: int = 16,
+    chunk_budget: int | None = None,
+    persist_assign=None,
+) -> tuple[DataFrame, DataFrame | None, dict]:
+    """The post-curation refinement tail shared by the composed job and
+    the ``corpus_build_report`` catalog query: optional benchmark
+    decontamination (left-anti on exact word n-gram overlap with the eval
+    set, operators/decontam.py) → optional SemDedup over embeddings
+    DERIVED FROM TEXT (operators/embed.py + semdedup.py — no pregenerated
+    vectors) → optional paragraph chunking of the survivors
+    (operators/chunking.py).
+
+    Returns ``(survivors, chunks_or_None, metrics)``. ``persist_assign``
+    lets the caller choose how the model-dependent SemDedup assignment is
+    materialized (the catalog query stages it for the oracle; the job
+    localCheckpoints) — everything else is exact and replayable.
+
+    Scale shape: decontam's eval gram set broadcasts (benchmark-sized);
+    SemDedup embeds map-side and compares only within IVF clusters;
+    chunking is doc-partitioned windows. No stage adds a corpus-wide
+    shuffle beyond the cluster regroup SemDedup inherently needs."""
+    metrics: dict = {}
+    out = curated
+    if decontam_eval is not None:
+        from ocr_platform_spark.operators.decontam import (
+            eval_ngram_set,
+            mark_contaminated,
+        )
+
+        ev = eval_ngram_set(decontam_eval, text_col, n=decontam_n)
+        marked = mark_contaminated(out, ev, id_col, text_col, n=decontam_n)
+        bad = marked.where(F.col("contaminated")).select(id_col)
+        metrics["decontam_dropped"] = bad.count()
+        out = out.join(bad, id_col, "left_anti")
+    if semdedup_threshold_q6 is not None:
+        from ocr_platform_spark.operators import ann
+        from ocr_platform_spark.operators.embed import hashed_ngram_embedding
+        from ocr_platform_spark.operators.semdedup import (
+            assign_with_centroid_sim,
+            semantic_duplicates,
+        )
+
+        emb_d = hashed_ngram_embedding(out, id_col, text_col, as_float=True).select(
+            F.col("id").alias("vec_id"), "embedding"
+        )
+        cents = ann.train_ivf(emb_d, n_lists=semdedup_n_lists)
+        assign = assign_with_centroid_sim(emb_d, cents)
+        assign = persist_assign(assign) if persist_assign else assign.localCheckpoint()
+        verdicts = semantic_duplicates(
+            emb_d, assign, threshold_q6=semdedup_threshold_q6
+        )
+        drops = verdicts.where(F.col("is_dup")).select(
+            F.col("vec_id").alias(id_col)
+        )
+        metrics["semdedup_dropped"] = drops.count()
+        out = out.join(drops, id_col, "left_anti")
+    chunks = None
+    if chunk_budget is not None:
+        from ocr_platform_spark.operators.chunking import chunk_paragraphs
+
+        chunks = chunk_paragraphs(
+            out.select(id_col, text_col), id_col, text_col, budget_tokens=chunk_budget
+        )
+        c = chunks.agg(
+            F.count("*").alias("n"), F.sum("n_tokens").alias("t")
+        ).first()
+        metrics["n_chunks"] = int(c["n"])
+        metrics["chunk_tokens"] = int(c["t"] or 0)
+    return out, chunks, metrics
+
+
 def run_corpus_build_job(
     spark: SparkSession,
     docs: DataFrame,
@@ -160,6 +238,11 @@ def run_corpus_build_job(
     lm_max_oov_pct: int = 10,
     classifier_weights: DataFrame | None = None,
     classifier_keep: tuple[str, ...] = (),
+    decontam_eval: DataFrame | None = None,
+    decontam_n: int = 8,
+    semdedup_threshold_q6: int | None = None,
+    semdedup_n_lists: int = 16,
+    chunk_budget: int | None = None,
     shard_output: tuple[str, int] | None = None,
     epoch_budget: int | None = None,
     order_shards: int = 16,
@@ -384,9 +467,19 @@ def run_corpus_build_job(
         stage_prefix=stage_prefix,
     )
 
+    # post-curation refinement: decontamination → SemDedup (derived
+    # embeddings) → (chunking happens AFTER the budget cut, below)
+    refined, _, refine_metrics = corpus_refine_stages(
+        details["curated"].select("doc_id", "text"),
+        decontam_eval=decontam_eval,
+        decontam_n=decontam_n,
+        semdedup_threshold_q6=semdedup_threshold_q6,
+        semdedup_n_lists=semdedup_n_lists,
+    )
+
     from ocr_platform_spark.functions.textfns import token_count
 
-    counted = details["curated"].select(
+    counted = refined.select(
         "doc_id", "text", token_count("text").alias("n_tokens")
     )
     if token_budget is not None:
@@ -434,6 +527,14 @@ def run_corpus_build_job(
     totals = counted.agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
     ).first()
+
+    chunks_df = None
+    if chunk_budget is not None:
+        # chunk the FINAL (post-budget) corpus for the encoder path
+        _, chunks_df, chunk_metrics = corpus_refine_stages(
+            counted.select("doc_id", "text"), chunk_budget=chunk_budget
+        )
+        refine_metrics.update(chunk_metrics)
 
     train_metrics = None
     training_order_df = None
@@ -516,6 +617,8 @@ def run_corpus_build_job(
         ),
         "lm_gate": lm_metrics,
         "classifier_gate": clf_metrics,
+        "refine": refine_metrics or None,
+        "chunks": chunks_df,
         "shards": shard_metrics,
         "funnel": [tuple(r) for r in report.collect()],
         "kept_docs": totals["n_docs"],

@@ -4926,6 +4926,129 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_build_report",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+            FROM t WHERE len(ts) >= 8)
+    ),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+    contaminated AS (
+      SELECT DISTINCT gg.doc_id FROM g gg JOIN ev USING (g)
+      WHERE gg.doc_id % 7 <> 0
+    ),
+    s1 AS (
+      SELECT d.doc_id, d.text FROM documents d
+      WHERE d.doc_id % 7 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    {embed.derived_embeddings_cte(table="s1")},
+    a AS (SELECT id, cluster, cent_sim FROM read_parquet('{staged_glob("cbr_assign")}')),
+    qz AS (SELECT doc_id AS vec_id, list_transform(embedding, x -> x * 1000) AS v
+           FROM demb),
+    m AS (SELECT a.id, a.cluster, a.cent_sim, qz.v FROM a JOIN qz ON a.id = qz.vec_id),
+    p0 AS (
+      SELECT x.id AS x_id, x.cent_sim AS x_cs, y.id AS y_id, y.cent_sim AS y_cs,
+             list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(x.v, q -> q * q)) AS nx,
+             list_sum(list_transform(y.v, q -> q * q)) AS ny
+      FROM m x JOIN m y ON x.cluster = y.cluster AND x.id <> y.id
+    ),
+    p AS (
+      SELECT x_id, x_cs, y_id, y_cs,
+             CAST(round(CASE WHEN nx > 0 AND ny > 0
+                  THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))), 6)
+                  ELSE 0.0 END * 1000000) AS BIGINT) AS c
+      FROM p0
+    ),
+    dups AS (
+      SELECT x_id FROM p WHERE c >= 900000 GROUP BY x_id
+      HAVING MAX(CASE WHEN y_cs < x_cs OR (y_cs = x_cs AND y_id < x_id)
+                 THEN 1 ELSE 0 END) = 1
+    ),
+    s2 AS (SELECT doc_id, text FROM s1
+           WHERE doc_id NOT IN (SELECT x_id FROM dups)),
+    split2 AS (
+      SELECT doc_id, string_split_regex(text, '\n{{2,}}') AS ps FROM s2
+    ),
+    paras AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS idx, ps[i] AS para
+      FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM split2)
+      WHERE length(ps[i]) >= 1
+    ),
+    toks AS (
+      SELECT doc_id, idx,
+             CAST(len(list_filter(string_split_regex(para, '\s+'), x -> x <> ''))
+                  AS BIGINT) AS tok
+      FROM paras
+    ),
+    cum AS (
+      SELECT doc_id, idx, tok,
+             COALESCE(SUM(tok) OVER (PARTITION BY doc_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM toks
+    ),
+    chunkcnt AS (
+      SELECT COUNT(*) AS n FROM (
+        SELECT doc_id, cum_before // 40 AS cid FROM cum GROUP BY doc_id, cum_before // 40
+      )
+    )
+    SELECT CAST(stage_no AS INT) AS stage_no, stage, CAST(n AS BIGINT) AS n_docs
+    FROM (
+      VALUES (0, 'input',       (SELECT COUNT(*) FROM documents)),
+             (1, 'train_split', (SELECT COUNT(*) FROM documents WHERE doc_id % 7 <> 0)),
+             (2, 'decontam',    (SELECT COUNT(*) FROM s1)),
+             (3, 'semdedup',    (SELECT COUNT(*) FROM s2)),
+             (4, 'chunks',      (SELECT n FROM chunkcnt))
+    ) AS v(stage_no, stage, n)
+    ORDER BY stage_no
+    """,
+)
+def corpus_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build job's post-curation refinement tail
+    (plans/pipeline.corpus_refine_stages) as an oracle-verified funnel:
+    eval split (doc_id % 7 = 0) → benchmark DECONTAMINATION (exact word
+    8-gram overlap, left-anti) → SEMDEDUP over embeddings derived from
+    text (ε=0.90 keep-outliers rule; only the trained IVF assignment
+    staged) → paragraph CHUNKING of the survivors (40-token budget). The
+    oracle recomputes gram overlap, the derived vectors, every
+    within-cluster verdict, and the chunk plan from raw parquet — each
+    stage count cross-engine hash-checked."""
+    from ocr_platform_spark.plans.pipeline import corpus_refine_stages
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.where(F.col("doc_id") % 7 == 0)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    survivors, chunks, metrics = corpus_refine_stages(
+        train,
+        decontam_eval=ev,
+        decontam_n=8,
+        semdedup_threshold_q6=900000,
+        semdedup_n_lists=16,
+        chunk_budget=40,
+        persist_assign=lambda a: stage(a, "cbr_assign"),
+    )
+    n0 = d.count()
+    n_train = train.count()
+    n1 = n_train - metrics["decontam_dropped"]
+    n2 = n1 - metrics["semdedup_dropped"]
+    rows = [
+        (0, "input", n0),
+        (1, "train_split", n_train),
+        (2, "decontam", n1),
+        (3, "semdedup", n2),
+        (4, "chunks", metrics["n_chunks"]),
+    ]
+    return spark.createDataFrame(rows, "stage_no int, stage string, n_docs bigint")
+
+
+@q(
     "host_link_graph",
     f"""
     SELECT src_host, COUNT(*) AS n_links,

@@ -416,3 +416,54 @@ def test_corpus_build_training_plan_tail(spark, tmp_path):
         )
     assert off["train_plan"] is None and off["training_order"] is None
     docs.unpersist()
+
+
+def test_corpus_build_refine_stages(spark, tmp_path):
+    """decontam_eval + semdedup + chunk_budget as composed-job stages:
+    eval-overlapping docs leave the corpus, SemDedup drops at most the
+    within-cluster losers, the chunk frame covers every survivor, and
+    metrics reconcile with the survivor counts."""
+    import unittest.mock as mock
+
+    import ocr_platform_spark.staging as staging
+    from ocr_platform_spark.plans.pipeline import run_corpus_build_job
+
+    docs = documents_df(spark, 60).cache()
+    # eval set: the extracted text of a handful of corpus pages — those
+    # pages are then contaminated by construction and must drop
+    from ocr_platform_spark.operators.extract import extract_documents
+
+    ext = (
+        extract_documents(docs)
+        .join(docs.select("url", "lang"), "url")
+        .where(
+            F.col("error").isNull()
+            & (F.length("text") > 80)
+            & (F.col("lang") == "en")  # must survive the funnel's lang gate
+        )
+    )
+    ev = ext.select(F.col("url").alias("doc_id"), "text").limit(3).cache()
+    ev_ids = {r["doc_id"] for r in ev.collect()}
+
+    with mock.patch.object(staging, "STAGE_ROOT", str(tmp_path / "stage")):
+        res = run_corpus_build_job(
+            spark,
+            docs,
+            str(tmp_path / "tbl"),
+            run_id="refine1",
+            decontam_eval=ev,
+            decontam_n=8,
+            semdedup_threshold_q6=999000,
+            chunk_budget=16,
+        )
+    m = res["refine"]
+    assert m["decontam_dropped"] >= len(ev_ids) - 1  # eval pages overlap themselves
+    kept = {r["doc_id"] for r in res["curated"].select("doc_id").collect()}
+    # contaminated eval-source pages are gone (if they survived the funnel)
+    assert not (kept & ev_ids)
+    # chunk frame covers exactly the surviving docs
+    chunk_docs = {r["doc_id"] for r in res["chunks"].select("doc_id").collect()}
+    assert chunk_docs == kept
+    assert m["n_chunks"] >= len(kept)
+    assert res["kept_docs"] == len(kept)
+    docs.unpersist()
