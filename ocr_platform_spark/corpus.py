@@ -516,3 +516,39 @@ def gen_doc(
 
 def gen_batch(doc_ids: Iterator[int] | list[int], seed: int = DEFAULT_SEED) -> list[dict]:
     return [gen_doc(i, seed) for i in doc_ids]
+
+
+# --- multilingual (non-Latin script) fixture pages ------------------------
+# Additive generator for script-level language-ID testing: deterministic
+# pages in CJK/Cyrillic/Arabic scripts with the planted language recorded.
+# Deliberately separate from gen_doc so the historical goldens and every
+# staged synth-corpus oracle are byte-unchanged; tests and benchmarks that
+# need non-Latin input opt in explicitly.
+
+_ML_PHRASES: dict[str, list[str]] = {
+    "zh": ["网络 数据 处理 系统", "中文 文档 内容 分析", "搜索 引擎 索引 构建", "语言 模型 训练 语料"],
+    "ja": ["これは てすと の ぶんしょ です", "にほんご の ページ を かくにん", "カタカナ と ひらがな の こんざい", "データ しょり の じっけん"],
+    "ko": ["한국어 웹 페이지 내용 분석", "데이터 처리 시스템 구축", "언어 모델 학습 자료 준비", "검색 엔진 색인 생성"],
+    "ru": ["обработка данных веб страниц", "русский текст для проверки", "построение поискового индекса", "обучение языковой модели"],
+    "ar": ["معالجة بيانات صفحات الويب", "نص عربي لاختبار النظام", "بناء فهرس محرك البحث", "تدريب نموذج اللغة"],
+}
+
+ML_LANGS: tuple[str, ...] = tuple(sorted(_ML_PHRASES))
+
+
+def gen_multilingual_doc(i: int, seed: int = DEFAULT_SEED) -> dict:
+    """Deterministic non-Latin page ``i``: (doc_id, lang, text) with the
+    planted script's language cycling zh/ja/ko/ru/ar (sorted order) and a
+    seeded phrase composition. The text is paragraph-structured (blank-line
+    separated) so chunking/dedup operators work on it unchanged."""
+    lang = ML_LANGS[i % len(ML_LANGS)]
+    rng = random.Random(f"ml-{seed}-{i}")
+    paras = []
+    for _ in range(rng.randint(2, 4)):
+        pool = _ML_PHRASES[lang]
+        paras.append(" ".join(rng.choice(pool) for _ in range(rng.randint(3, 6))))
+    return {"doc_id": i, "lang": lang, "text": "\n\n".join(paras)}
+
+
+def gen_multilingual_batch(n: int, seed: int = DEFAULT_SEED) -> list[dict]:
+    return [gen_multilingual_doc(i, seed) for i in range(n)]

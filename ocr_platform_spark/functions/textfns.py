@@ -13,6 +13,8 @@ from pyspark.sql import Column, functions as F
 
 # Stopword profiles for the language-ID heuristic. Order matters: argmax
 # ties resolve to the first language in this list (deterministic).
+# Stopword profiles only discriminate WITHIN Latin script — non-Latin
+# scripts are decided by the Unicode-block gate below (SCRIPT_RANGES).
 LANG_PROFILES: list[tuple[str, list[str]]] = [
     ("en", ["the", "and", "of", "to", "in", "that", "with"]),
     ("de", ["der", "die", "und", "das", "nicht", "ist", "ein"]),
@@ -20,6 +22,30 @@ LANG_PROFILES: list[tuple[str, list[str]]] = [
     ("fr", ["le", "la", "et", "les", "des", "est", "une"]),
     ("hi", ["hai", "aur", "ke", "ki", "se", "mein", "par"]),
 ]
+
+# Script-level detection (the first thing a real Common-Crawl corpus
+# needs): Unicode-block character ranges, decided by integer thresholds
+# BEFORE the stopword argmax. Order is precedence: kana implies Japanese
+# even though Japanese text also carries Han ideographs; Hangul before
+# Han for the same reason (mixed hanja). Ranges are plain BMP character
+# classes — valid in Java regex, RE2 (DuckDB), and Python `re` alike.
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("ja", "぀-ヿ"),  # hiragana + katakana
+    ("ko", "가-힯"),  # hangul syllables
+    ("zh", "一-鿿"),  # CJK unified ideographs
+    ("ru", "Ѐ-ӿ"),  # cyrillic
+    ("ar", "؀-ۿ"),  # arabic
+]
+
+#: Latin letters incl. the supplement/extended-A/B accents European
+#: languages use — the denominator of the script-dominance rule.
+LATIN_RANGE = "A-Za-zÀ-ɏ"
+
+#: a script wins iff it has ≥ SCRIPT_MIN_CHARS characters AND at least
+#: half as many characters as the Latin letters (2·script ≥ latin) — a
+#: Latin page quoting a few CJK characters stays Latin; integer
+#: arithmetic only, so the rule replays exactly in any engine.
+SCRIPT_MIN_CHARS = 4
 
 _PUNCT_CLASS = "[.,;:!?()]"
 
@@ -82,14 +108,32 @@ def lang_scores(col: Column | str) -> list[tuple[str, Column]]:
     return [(lang, stopword_count(col, words)) for lang, words in LANG_PROFILES]
 
 
+def char_class_count(col: Column | str, ranges: str) -> Column:
+    """Characters of ``col`` inside the character-class ``ranges`` —
+    ``length(s) - length(regexp_replace(s, '[ranges]', ''))``, the exact
+    expression DuckDB runs with the same class."""
+    s = _c(col)
+    return (F.length(s) - F.length(F.regexp_replace(s, f"[{ranges}]", ""))).cast("int")
+
+
 def lang_id(col: Column | str) -> Column:
-    """Argmax of per-language stopword hits; ties → first profile in order;
-    zero hits everywhere → 'und' (undetermined)."""
+    """Two-tier language ID. Tier 1 — script gate: the first Unicode block
+    in ``SCRIPT_RANGES`` precedence order with ≥ ``SCRIPT_MIN_CHARS``
+    characters and 2·count ≥ latin letters decides (ja/ko/zh/ru/ar;
+    CJK/Cyrillic/Arabic never reach the stopword stage). Tier 2 — within
+    Latin script, argmax of per-language stopword hits; ties → first
+    profile in order; zero hits everywhere → 'und' (undetermined)."""
     scores = lang_scores(col)
     best = F.greatest(*[s for _, s in scores])
     expr = F.lit("und")
     for lang, score in reversed(scores):
         expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    latin = char_class_count(col, LATIN_RANGE)
+    for lang, rng in reversed(SCRIPT_RANGES):
+        c = char_class_count(col, rng)
+        expr = F.when(
+            (c >= SCRIPT_MIN_CHARS) & (c * 2 >= latin), F.lit(lang)
+        ).otherwise(expr)
     return expr
 
 

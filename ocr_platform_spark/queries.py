@@ -963,6 +963,36 @@ def convert_email_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_RE = {lang: TX.stopword_regex(words) for lang, words in TX.LANG_PROFILES}
 
+#: SQL faces of the script-level language gate — generated from the same
+#: textfns constants the Spark expressions use, so the two engines cannot
+#: drift (column class, threshold, precedence order all shared).
+_SCRIPT_COUNTS_SQL = ", ".join(
+    f"length(text) - length(regexp_replace(text, '[{rng}]', '', 'g')) AS c_{lang}"
+    for lang, rng in TX.SCRIPT_RANGES
+) + (
+    f", length(text) - length(regexp_replace(text, '[{TX.LATIN_RANGE}]', '', 'g'))"
+    " AS c_lat"
+)
+_SCRIPT_WHENS_SQL = " ".join(
+    f"WHEN c_{lang} >= {TX.SCRIPT_MIN_CHARS} AND c_{lang} * 2 >= c_lat THEN '{lang}'"
+    for lang, _ in TX.SCRIPT_RANGES
+)
+
+#: deterministic non-Latin fixture pages appended to the doc_lang_id
+#: oracle pair (the testdata corpus is Latin-only; a real crawl is not) —
+#: identical literals on both engines. The mixed row pins the dominance
+#: rule: a Latin page quoting two ideographs stays English.
+_LANG_FIXTURES: list[tuple[int, str]] = [
+    (900001, "这是一个中文测试文档 包含足够的汉字字符 用于脚本检测"),
+    (900002, "これは日本語のテスト文書です ひらがなとカタカナを含みます"),
+    (900003, "이것은 한국어 테스트 문서입니다 한글 문자가 충분합니다"),
+    (900004, "Это русский тестовый документ с достаточным количеством букв"),
+    (900005, "هذه وثيقة اختبار باللغة العربية تحتوي على حروف كافية"),
+    (900006, "the quick brown fox jumps over the lazy dog and that is that"),
+    (900007, "English text quoting 日本 briefly stays English in the mix"),
+]
+_LANG_FIXTURES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _LANG_FIXTURES)
+
 
 @q(
     "doc_token_stats",
@@ -987,22 +1017,39 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "doc_lang_id",
     f"""
-    WITH scores AS (
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id AS BIGINT), text
+      FROM (VALUES {_LANG_FIXTURES_SQL}) AS fx(doc_id, text)
+    ),
+    scores AS (
       SELECT doc_id,
-        {', '.join(f"len(regexp_extract_all(lower(text), '{_STOP_RE[lang]}')) AS s_{lang}" for lang, _ in TX.LANG_PROFILES)}
-      FROM documents
+        {', '.join(f"len(regexp_extract_all(lower(text), '{_STOP_RE[lang]}')) AS s_{lang}" for lang, _ in TX.LANG_PROFILES)},
+        {_SCRIPT_COUNTS_SQL}
+      FROM docs
     )
     SELECT doc_id,
-      CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_hi) = 0 THEN 'und'
+      CASE {_SCRIPT_WHENS_SQL}
+           WHEN greatest(s_en, s_de, s_es, s_fr, s_hi) = 0 THEN 'und'
            {' '.join(f"WHEN s_{lang} = greatest(s_en, s_de, s_es, s_fr, s_hi) THEN '{lang}'" for lang, _ in TX.LANG_PROFILES)}
       END AS pred_lang
     FROM scores
     """,
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID via stopword-profile argmax (ties → first profile)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", TX.lang_id("text").alias("pred_lang"))
+    """Two-tier language ID (functions/textfns.lang_id): Unicode-block
+    script gate first (ja/ko/zh/ru/ar by integer character thresholds
+    with a Latin-dominance guard — the first thing a real Common-Crawl
+    corpus needs), stopword-profile argmax within Latin script (ties →
+    first profile). The testdata corpus is Latin-only, so deterministic
+    non-Latin fixture pages (identical literals in both engines,
+    including a mixed Latin-quoting-CJK row) extend the oracle surface."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fx = spark.createDataFrame(_LANG_FIXTURES, "doc_id long, text string")
+    return d.unionByName(fx).select(
+        "doc_id", TX.lang_id("text").alias("pred_lang")
+    )
 
 
 @q(
@@ -4820,10 +4867,11 @@ def _lang_sql() -> str:
     )
     return f"""
       SELECT doc_id,
-        CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_hi) = 0 THEN 'und'
+        CASE {_SCRIPT_WHENS_SQL}
+             WHEN greatest(s_en, s_de, s_es, s_fr, s_hi) = 0 THEN 'und'
              {whens}
         END AS pred_lang
-      FROM (SELECT doc_id, {scores} FROM documents)
+      FROM (SELECT doc_id, {scores}, {_SCRIPT_COUNTS_SQL} FROM documents)
 """
 
 

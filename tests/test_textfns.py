@@ -108,3 +108,83 @@ def test_top_bigram_frac_matches_exploded_form(spark):
         )
     }
     assert per_row == exploded
+
+
+def test_script_level_lang_id(spark):
+    """Unicode-block script gate: CJK/Cyrillic/Arabic pages identify by
+    script before any stopword matching; kana beats han (Japanese text
+    carries both); the Latin-dominance guard keeps quoting pages Latin;
+    sub-threshold snippets fall through to the stopword tier."""
+    from ocr_platform_spark.corpus import gen_multilingual_batch
+    from ocr_platform_spark.functions.textfns import lang_id
+
+    rows = [(r["doc_id"], r["lang"], r["text"]) for r in gen_multilingual_batch(20)]
+    df = spark.createDataFrame(rows, "doc_id long, planted string, text string")
+    got = df.select("planted", lang_id("text").alias("pred")).collect()
+    assert got and all(r["pred"] == r["planted"] for r in got)
+
+    edge = spark.createDataFrame(
+        [
+            (1, "the of and in that with to something english 日本"),  # 2 han chars: stays en
+            (2, "日本語のテキストです ひらがな入り"),                    # kana+han -> ja, not zh
+            (3, "汉字"),                                                # 2 chars < threshold -> und
+            (4, "Смешанный текст with many english words the and of to in that"),
+            (5, None),
+            (6, ""),
+        ],
+        "i long, text string",
+    )
+    pred = {r["i"]: r["pred"] for r in edge.select("i", lang_id("text").alias("pred")).collect()}
+    assert pred[1] == "en"
+    assert pred[2] == "ja"
+    assert pred[3] == "und"
+    # 4: cyrillic chars ~ latin count decides via 2*cyr >= latin
+    assert pred[4] in ("ru", "en")
+    assert pred[6] == "und"
+
+
+def test_script_lang_id_duckdb_parity(spark, tmp_path):
+    """The script-gate SQL (generated from the same textfns constants)
+    matches Spark row-for-row on the multilingual fixture pages plus
+    adversarial mixed rows."""
+    import duckdb
+
+    from ocr_platform_spark.corpus import gen_multilingual_batch
+    from ocr_platform_spark.functions.textfns import lang_id
+    from ocr_platform_spark.queries import (
+        _SCRIPT_COUNTS_SQL,
+        _SCRIPT_WHENS_SQL,
+        _STOP_RE,
+    )
+    from ocr_platform_spark.functions import textfns as TX
+
+    rows = [(r["doc_id"], r["text"]) for r in gen_multilingual_batch(15)] + [
+        (100, "the of and in that with to something english 日本"),
+        (101, "日本語のテキストです ひらがな入り"),
+        (102, "汉字"),
+        (103, "mixed 한국어 단어 넷 here the and of"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(path)
+    got = {r["doc_id"]: r["pred"] for r in df.select("doc_id", lang_id("text").alias("pred")).collect()}
+    scores = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{_STOP_RE[lang]}')) AS s_{lang}"
+        for lang, _ in TX.LANG_PROFILES
+    )
+    whens = " ".join(
+        f"WHEN s_{lang} = greatest(s_en, s_de, s_es, s_fr, s_hi) THEN '{lang}'"
+        for lang, _ in TX.LANG_PROFILES
+    )
+    con = duckdb.connect()
+    sql = f"""
+      SELECT doc_id,
+        CASE {_SCRIPT_WHENS_SQL}
+             WHEN greatest(s_en, s_de, s_es, s_fr, s_hi) = 0 THEN 'und'
+             {whens}
+        END AS pred
+      FROM (SELECT doc_id, {scores}, {_SCRIPT_COUNTS_SQL}
+            FROM read_parquet('{path}/*.parquet'))
+    """
+    ora = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert got == ora
