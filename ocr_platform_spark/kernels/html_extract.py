@@ -80,6 +80,25 @@ class _Block:
         self.order = order
 
 
+class _NullParts:
+    """No-op ``parts`` sink for the shared discard block."""
+
+    __slots__ = ()
+
+    def append(self, _x) -> None:
+        pass
+
+
+#: Shared discard block for content opened inside boiler containers (the
+#: nav/footer link flood is the majority of blocks on a real page): its
+#: text is skipped up front (``boiler=True``) and its parts sink is a
+#: no-op, so ONE instance serves every page with zero allocation and the
+#: block never enters the output list — byte-identical to allocating a
+#: boiler block and filtering it later (pinned by the stdlib differential).
+_DISCARD = _Block("", True, -1)
+_DISCARD.parts = _NullParts()  # type: ignore[assignment]
+
+
 class _ContentParser(HTMLParser):
     """Single-pass block segmenter.
 
@@ -194,22 +213,40 @@ def _normalize(parts: list[str]) -> str:
 
 
 _TOKEN = re.compile(
-    r"<!--.*?(?:-->|$)"          # comments (tolerate unterminated)
-    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
-    r"|<[!?][^>]*>?"             # doctype / processing instructions
+    # Raw-text elements swallowed WHOLE (open tag + opaque content + first
+    # matching close tag, or EOF) — pre-tokenizing them as single
+    # no-group tokens lets _parse_fast run off one re.split() pass with no
+    # mid-stream rescans. The attrs run excludes '/' only when it would
+    # self-close the tag ('/(?!>)'), so <script/> falls through to the
+    # plain tag branch exactly like before (self-close, no swallow).
+    r"(?i:<script\b(?:[^>\"'/]+|\"[^\"]*\"|'[^']*'|/(?!>))*>.*?(?:</script\s*>|$))"
+    r"|(?i:<style\b(?:[^>\"'/]+|\"[^\"]*\"|'[^']*'|/(?!>))*>.*?(?:</style\s*>|$))"
     # start/end tag; attribute values may carry quoted '>' characters.
-    # run-wise body ([^>"']+ | quoted string) keeps the scan in C loops
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']+|\"[^\"]*\"|'[^']*')*)>",
+    # run-wise body ([^>"']+ | quoted string) keeps the scan in C loops.
+    # The common tag branch sits before the comment/doctype branches —
+    # they are mutually exclusive on the second character, and ~99% of
+    # tokens are tags.
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']+|\"[^\"]*\"|'[^']*')*)>"
+    r"|<!--.*?(?:-->|$)"          # comments (tolerate unterminated)
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<[!?][^>]*>?",             # doctype / processing instructions
     re.S,
 )
 # stdlib HTMLParser treats exactly script/style as CDATA raw-text
+# (kept for documentation/tests; the swallow branches above encode the
+# same first-closer rule inside _TOKEN itself)
 _RAWTEXT_CLOSE = {t: re.compile(rf"</{t}\s*>", re.I) for t in ("script", "style")}
 
 
 def _parse_fast(raw: str) -> list[_Block]:
-    """Fused regex tokenizer + block state machine — one loop, no per-token
-    handler dispatch (the previous tokenizer made four Python calls per tag;
-    at ~170 tokens/page those calls, not the regex, were the hot path).
+    """Split-driven tokenizer + block state machine: ONE ``re.split`` pass
+    pre-tokenizes the whole document in C (text segments interleaved with
+    the tag branch's three capture groups; comments/doctype/raw-text
+    swallows contribute an all-None triple), and the Python loop walks the
+    flat list in strides of four — no per-token ``search``/``span``/
+    ``group`` calls, no position arithmetic, no mid-stream raw-text
+    rescans (the round-3 fused-search loop spent ~35% of kernel time on
+    exactly those; measured ~1.5× single-core docs/s on the corpus).
     Semantically identical to driving ``_ContentParser`` (the stdlib-
     tokenized twin): byte-equality over the whole synthetic corpus incl.
     malformed/edge pages is pinned by
@@ -228,20 +265,22 @@ def _parse_fast(raw: str) -> list[_Block]:
     blocks: list[_Block] = []
     tag_stack: list[str] = []
     block_stack: list[_Block] = []
-    _UNSET = object()  # sentinel: "no open block — maybe create implicit root"
     skip = boiler = link = 0
     seq = 0
-    pos = 0
-    n = len(raw)
-    search = _TOKEN.search
     flags_get = _TAG_FLAGS.get
-    while pos < n:
-        m = search(raw, pos)
-        if m is None:
-            start = end = n
-        else:
-            start, end = m.span()
-        if start > pos and not skip:
+    # bound-method/local aliases: the loop below runs a few hundred times
+    # per page; each saved LOAD_ATTR is measurable at corpus scale
+    voids = _VOID_TAGS
+    ts_append, ts_pop = tag_stack.append, tag_stack.pop
+    bs_append, bs_pop = block_stack.append, block_stack.pop
+    out_append = blocks.append
+    parts = _TOKEN.split(raw)
+    n = len(parts)
+    idx = 0
+    while True:
+        data = parts[idx]
+        # ---- text segment before the next token -------------------------
+        if data and not skip:
             if block_stack:
                 blk = block_stack[-1]
                 # text feeding a boiler block is discarded wholesale at the
@@ -251,18 +290,21 @@ def _parse_fast(raw: str) -> list[_Block]:
                 if blk.boiler:
                     blk = None
             else:
-                blk = _UNSET
+                blk = False  # no open block — maybe create implicit root
             if blk is not None:
-                data = raw[pos:start]
                 if "&" in data:
                     data = unescape(data)
                 stripped_len = len(data.strip())
-                if blk is _UNSET:
+                if blk is False:
                     if stripped_len:
                         # text outside any block element: implicit root
-                        blk = _Block("body", boiler > 0, seq)
-                        seq += 1
-                        block_stack.append(blk)
+                        if boiler:
+                            block_stack.append(_DISCARD)
+                            blk = None
+                        else:
+                            blk = _Block("body", False, seq)
+                            seq += 1
+                            block_stack.append(blk)
                     else:
                         blk = None
                 if blk is not None:
@@ -270,23 +312,26 @@ def _parse_fast(raw: str) -> list[_Block]:
                     blk.total_chars += stripped_len
                     if link:
                         blk.link_chars += stripped_len
-        if m is None:
+        idx += 1
+        if idx >= n:
             break
-        is_end, tag, attrs = m.group(1, 2, 3)
-        pos = end
-        if tag is None:  # comment / doctype / PI
+        is_end = parts[idx]
+        tag = parts[idx + 1]
+        attrs = parts[idx + 2]
+        idx += 3
+        if tag is None:  # comment / doctype / PI / swallowed raw-text
             continue
         if not tag.islower():
             tag = tag.lower()
         if is_end:
             if tag_stack and tag_stack[-1] == tag:  # fast path: well-nested
-                tag_stack.pop()
-            elif tag in _VOID_TAGS or tag not in tag_stack:
+                ts_pop()
+            elif tag in voids or tag not in tag_stack:
                 continue
             else:
                 # unwind to the matching open tag (interleaved/unclosed tags)
                 while tag_stack:
-                    open_tag = tag_stack.pop()
+                    open_tag = ts_pop()
                     fl = flags_get(open_tag, 0)
                     if fl:
                         if fl & _F_SKIP:
@@ -296,7 +341,9 @@ def _parse_fast(raw: str) -> list[_Block]:
                         if fl & _F_LINK and link:
                             link -= 1
                         if fl & _F_BLOCK and block_stack:
-                            blocks.append(block_stack.pop())
+                            b = bs_pop()
+                            if b is not _DISCARD:
+                                out_append(b)
                     if open_tag == tag:
                         break
                 continue
@@ -309,7 +356,9 @@ def _parse_fast(raw: str) -> list[_Block]:
                 if fl & _F_LINK and link:
                     link -= 1
                 if fl & _F_BLOCK and block_stack:
-                    blocks.append(block_stack.pop())
+                    b = bs_pop()
+                    if b is not _DISCARD:
+                        out_append(b)
             continue
         # start tag
         fl = flags_get(tag, 0)
@@ -317,7 +366,7 @@ def _parse_fast(raw: str) -> list[_Block]:
             if tag == "br" and block_stack:
                 block_stack[-1].parts.append(" ")
             continue
-        tag_stack.append(tag)
+        ts_append(tag)
         if fl:
             if fl & _F_SKIP:
                 skip += 1
@@ -326,11 +375,14 @@ def _parse_fast(raw: str) -> list[_Block]:
             if fl & _F_LINK:
                 link += 1
             if fl & _F_BLOCK:
-                blk = _Block(tag, boiler > 0, seq)
-                seq += 1
-                block_stack.append(blk)
-        if attrs.endswith("/"):  # self-closing <x/> — immediately well-nested
-            tag_stack.pop()
+                if boiler:
+                    bs_append(_DISCARD)
+                else:
+                    blk = _Block(tag, False, seq)
+                    seq += 1
+                    bs_append(blk)
+        if attrs and attrs[-1] == "/":  # self-closing <x/> — well-nested
+            ts_pop()
             if fl:
                 if fl & _F_SKIP:
                     skip -= 1
@@ -339,30 +391,13 @@ def _parse_fast(raw: str) -> list[_Block]:
                 if fl & _F_LINK and link:
                     link -= 1
                 if fl & _F_BLOCK and block_stack:
-                    blocks.append(block_stack.pop())
-            continue
-        closer = _RAWTEXT_CLOSE.get(tag)
-        if closer is not None:
-            # raw-text element: content is opaque, ends at its close tag.
-            # (script/style carry no flags beyond SKIP semantics via
-            # _SKIP_TAGS — the close below rebalances whatever was pushed.)
-            mc = closer.search(raw, pos)
-            tag_stack.pop()
-            fl = flags_get(tag, 0)
-            if fl:
-                if fl & _F_SKIP:
-                    skip -= 1
-                if fl & _F_BOILER:
-                    boiler -= 1
-                if fl & _F_LINK and link:
-                    link -= 1
-                if fl & _F_BLOCK and block_stack:
-                    blocks.append(block_stack.pop())
-            if mc is None:
-                break
-            pos = mc.end()
+                    b = bs_pop()
+                    if b is not _DISCARD:
+                        out_append(b)
     while block_stack:
-        blocks.append(block_stack.pop())
+        b = block_stack.pop()
+        if b is not _DISCARD:
+            blocks.append(b)
     return blocks
 
 
