@@ -7101,39 +7101,38 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Driver-facing ordering: the per-round correctness harness records the
-# FIRST 50 queries() entries, so the flagship / newest oracle shapes lead
-# (extraction, graph recurrences, dedup families, ANN ladder, tokenizer
-# training, model gates, scale ops) and the relational basics — all
-# driver-stamped green in earlier rounds, unchanged since — follow. Every
-# entry remains runnable and oracle-checked by tools/oracle_check.py and
-# tests/test_oracle_parity.py regardless of position.
+# FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
+# green; this round the window rotates to the 44 entries that have never
+# appeared in a CORRECTNESS_r*.json (round-4 additions — derived
+# embeddings, retrieval-index flagship, strided ExactSubstr, crawl/export
+# tails — plus older entries that always sat past the cap), then the six
+# queries this round's code changes touch (funnel stages, lang-id script
+# gate, tokenizer kernel, span dedup). Cumulative driver coverage after
+# this round: 131/131. Every entry remains runnable and oracle-checked by
+# tools/oracle_check.py and tests/test_oracle_parity.py regardless of
+# position.
 _PRIORITY = [
-    "extract_corpus_stats", "extract_page_metadata", "extract_sitemap_entries",
-    "extract_feed_blocks", "crawl_fetch_schedule", "crawl_robots_filter",
-    "curation_funnel",
-    "extract_per_host", "events_zorder_layout",
-    "host_pagerank", "host_hits", "host_link_graph", "doc_dedup_clusters",
-    "minhash_near_dups", "simhash_near_dups", "doc_exact_dups",
-    "doc_dedup_survivors", "doc_para_dedup", "doc_repeated_spans",
-    "doc_strip_spans", "doc_winnow_fingerprints", "incremental_minhash_pairs",
-    "embedding_near_dups", "semantic_dedup", "media_near_dups",
-    "jaccard_adjacent_docs",
-    "ann_topk_quantized", "ann_lsh_topk", "ann_lsh_recall", "ann_pq_topk",
-    "ann_ivfpq_topk", "ann_ivf_topk", "bitext_margin_pairs",
-    "corpus_bpe_merges", "corpus_bpe_merges_delta", "corpus_bpe_merges_batched",
-    "corpus_bpe_token_counts", "doc_bpe_tokens", "corpus_epoch_plan",
-    "corpus_temperature_weights", "corpus_training_order",
-    "doc_lm_score", "ccnet_bucket_sample", "doc_dsir_sample",
-    "doc_topic_classifier",
-    "doc_quality", "doc_gopher_rules", "doc_lang_id", "doc_repetition",
-    "doc_compression_signal",
-    "url_bloom_resume", "corpus_keyword_search", "doc_tfidf_terms",
-    "doc_nfc_normalization",
-    "url_canonicalization",
-    "corpus_pack_sequences", "corpus_shard_manifest", "host_quality_rollup",
-    "corpus_length_deciles", "host_downsample", "corpus_mixture_sample",
-    "doc_split_assign", "doc_split_by_source", "doc_decontam", "doc_pii_scrub", "doc_c4_line_filter",
-    "fuzzy_supplier_mapping", "host_trustrank",
+    # -- never driver-recorded (r1-r3 window always cut before them) --
+    "retrieval_index_build", "doc_embedding", "ann_derived_topk",
+    "semantic_dedup_derived", "bitext_url_scored_derived",
+    "doc_repeated_spans_strided", "corpus_build_report",
+    "ann_ivfpq_refine_topk", "retrieval_hard_negatives",
+    "bitext_url_candidates", "bitext_url_scored",
+    "doc_chunk_plan", "corpus_pack_sequences", "corpus_shard_manifest",
+    "doc_decontam", "doc_split_assign", "doc_split_by_source",
+    "host_downsample", "corpus_mixture_sample", "corpus_length_deciles",
+    "doc_pii_scrub", "doc_c4_line_filter", "doc_nfc_normalization",
+    "doc_tfidf_terms", "doc_topic_classifier_tf",
+    "corpus_keyword_search", "corpus_phrase_search", "corpus_top_bigrams",
+    "host_trustrank", "host_anchor_texts", "host_quality_rollup",
+    "host_cardinality_exact", "doc_robots_rollup", "crawl_delay_schedule",
+    "url_canonicalization", "url_bloom_resume", "url_revisit_diff",
+    "ingest_path_hygiene", "field_option_dispatch", "blocklist_filter",
+    "process_table_subfields", "dimension_as_of_lookup",
+    "export_pdf_roundtrip", "corrected_table_cells",
+    # -- changed by this round's code (re-stamp under the new code) --
+    "curation_funnel", "doc_lang_id", "extract_corpus_stats",
+    "extract_page_metadata", "doc_repeated_spans", "doc_strip_spans",
 ]
 
 
