@@ -32,7 +32,7 @@ only difference, the plan is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ocr_platform_spark.functions.textfns import bind_once
 
@@ -119,4 +119,95 @@ def mark_contaminated(
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
+    )
+
+
+def mark_contaminated_fuzzy(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    rows_per_band: int = 2,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-match decontamination: flag training documents whose shingle
+    Jaccard against ANY eval/benchmark document reaches ``threshold`` —
+    the fuzzy sibling of :func:`mark_contaminated`, catching paraphrased or
+    lightly-edited eval leakage the exact n-gram rule misses (the documented
+    failure mode of the GPT-3 overlap filter).
+
+    Shape = the MinHash-LSH dedup family (operators/dedup.py), ASYMMETRIC:
+    the eval side is benchmark-sized, so its banded signature table AND its
+    shingle sets **broadcast** — the corpus is band-hashed map-side, meets
+    the eval bands in a broadcast join (only band-colliding (doc, eval)
+    pairs survive), and candidates are verified by exact Jaccard over the
+    hashed shingle sets with the eval side broadcast again. Zero
+    corpus-sized shuffles; the corpus text is scanned once.
+
+    Returns one row per corpus document: ``(id, n_candidates,
+    best_eval_id, best_jaccard, contaminated)`` — best = highest verified
+    Jaccard, ties to the smallest eval id (a total order both engines
+    replay); documents with no band collisions come back clean with
+    ``n_candidates = 0`` and NULL best columns."""
+    from ocr_platform_spark.operators.dedup import (
+        hashed_shingle_sets,
+        minhash_bands,
+        minhash_signature_from_hashes,
+        _staged,
+    )
+
+    hs_c = _staged(hashed_shingle_sets(corpus, id_col, text_col, shingle_words))
+    hs_e = hashed_shingle_sets(eval_df, id_col, text_col, shingle_words).withColumnRenamed(
+        "id", "eval_id"
+    )
+
+    def banded(hs: DataFrame, key: str) -> DataFrame:
+        sig = hs.select(
+            key, minhash_signature_from_hashes("hs", k).alias("sig")
+        )
+        return sig.select(
+            key,
+            F.posexplode(minhash_bands("sig", k, rows_per_band)).alias(
+                "band_id", "band_hash"
+            ),
+        )
+
+    cands = (
+        banded(hs_c, "id")
+        .join(F.broadcast(banded(hs_e, "eval_id")), ["band_id", "band_hash"])
+        .select("id", "eval_id")
+        .distinct()
+    )
+    j = (
+        cands.join(hs_c, "id")
+        .join(F.broadcast(hs_e.withColumnRenamed("hs", "hs_e")), "eval_id")
+    )
+    inter = F.size(F.array_intersect("hs", "hs_e"))
+    union = F.size("hs") + F.size("hs_e") - inter
+    scored = j.select(
+        "id",
+        "eval_id",
+        (inter.cast("double") / union).alias("jaccard"),
+    ).where(union > 0)
+    w_cnt = Window.partitionBy("id")
+    w_best = Window.partitionBy("id").orderBy(F.desc("jaccard"), F.asc("eval_id"))
+    best = (
+        scored.select(
+            "id",
+            "eval_id",
+            "jaccard",
+            F.count("*").over(w_cnt).alias("n_candidates"),
+            F.row_number().over(w_best).alias("_rk"),
+        )
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return hs_c.select("id").join(best, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_candidates", F.lit(0)).cast("int").alias("n_candidates"),
+        F.col("eval_id").alias("best_eval_id"),
+        F.col("jaccard").alias("best_jaccard"),
+        F.coalesce(F.col("jaccard") >= threshold, F.lit(False)).alias("contaminated"),
     )

@@ -263,6 +263,72 @@ def host_trustrank(
     return ranks.orderBy(F.desc("rank"), "host")
 
 
+def host_spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    threshold_ppm: int = 700_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Relative SPAM MASS per host (Gyöngyi et al., "Link Spam Detection
+    Based on Mass Estimation"): the share of a host's PageRank that does
+    NOT flow from the trusted seed set —
+
+        spam_mass_ppm(h) = max(pagerank(h) − trustrank(h), 0) · 10^6
+                             div pagerank(h)
+
+    A host whose rank comes almost entirely from unvetted (spam-farm)
+    neighborhoods scores near 10^6; a host reachable from the seeds scores
+    near 0. This is the demotion signal a crawl-quality pipeline combines
+    with :func:`host_quality_rollup`-style content scores; ``spam_flag``
+    applies the paper's high-mass cut (``threshold_ppm``).
+
+    Composition, not a new recurrence: both :func:`host_pagerank` and
+    :func:`host_trustrank` run on the SAME edge list (each
+    iteration-invariant table materialized once inside them), then one
+    host-dimension join + integer arithmetic. The difference is clamped at
+    0 BEFORE the division so the floor-division is over non-negative
+    integers — Spark ``div`` truncates toward zero while DuckDB ``//``
+    floors, and the two disagree only on negatives. All-integer, replayed
+    bit-for-bit by the catalog oracle's twin recursive CTEs."""
+    pr = host_pagerank(
+        edges,
+        iterations=iterations,
+        damping_pct=damping_pct,
+        scale=scale,
+        checkpoint_dir=checkpoint_dir,
+    ).withColumnRenamed("rank", "pr_rank")
+    tr = host_trustrank(
+        edges,
+        seeds,
+        iterations=iterations,
+        damping_pct=damping_pct,
+        scale=scale,
+        checkpoint_dir=checkpoint_dir,
+    ).withColumnRenamed("rank", "tr_rank")
+    spam_ppm = (
+        F.when(
+            F.col("pr_rank") > 0,
+            F.expr("(greatest(pr_rank - tr_rank, CAST(0 AS BIGINT)) * 1000000) div pr_rank"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        pr.join(tr, "host")
+        .select(
+            "host",
+            "pr_rank",
+            "tr_rank",
+            spam_ppm.alias("spam_mass_ppm"),
+        )
+        .withColumn("spam_flag", F.col("spam_mass_ppm") >= threshold_ppm)
+        .orderBy(F.desc("spam_mass_ppm"), "host")
+    )
+
+
 def host_hits(
     edges: DataFrame,
     iterations: int = 8,

@@ -1322,6 +1322,115 @@ def doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_decontam_fuzzy",
+    f"""
+    WITH hs AS (SELECT * FROM read_parquet('{staged_glob("fdecon_hs_train")}')),
+    ev AS (SELECT * FROM read_parquet('{staged_glob("fdecon_hs_eval")}')),
+    c AS (SELECT * FROM read_parquet('{staged_glob("fdecon_cands")}')),
+    j AS (
+      SELECT c.id, c.eval_id,
+             len(list_intersect(h.hs, e.hs)) AS n_common,
+             len(h.hs) + len(e.hs) - len(list_intersect(h.hs, e.hs)) AS n_union
+      FROM c JOIN hs h ON h.id = c.id JOIN ev e ON e.eval_id = c.eval_id
+    ),
+    s AS (
+      SELECT id, eval_id,
+             CAST(n_common AS DOUBLE) / n_union AS jaccard,
+             COUNT(*) OVER (PARTITION BY id) AS n_candidates,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY CAST(n_common AS DOUBLE) / n_union DESC,
+                                         eval_id) AS rk
+      FROM j WHERE n_union > 0
+    )
+    SELECT h.id AS doc_id,
+           CAST(COALESCE(s.n_candidates, 0) AS INT) AS n_candidates,
+           s.eval_id AS best_eval_id,
+           s.jaccard AS best_jaccard,
+           COALESCE(s.jaccard >= 0.5, FALSE) AS contaminated
+    FROM hs h LEFT JOIN s ON s.id = h.id AND s.rk = 1
+    ORDER BY h.id
+    """,
+)
+def doc_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-match decontamination (operators/decontam.mark_contaminated_
+    fuzzy): docs with ``doc_id % 7 = 0`` play the benchmark, the rest the
+    training corpus; any train doc whose shingle Jaccard against some eval
+    doc reaches 0.5 is flagged — the fuzzy sibling of ``doc_decontam``
+    that catches paraphrased eval leakage the exact 8-gram rule misses.
+    The xxhash64 MinHash banding has no DuckDB equivalent, so the query
+    splits at the staged boundary exactly like ``minhash_near_dups``: the
+    hashed shingle sets (both sides) and the band-collision candidates are
+    materialized, and BOTH engines replay the exact-Jaccard verification,
+    the per-doc best-match selection (jaccard DESC, eval_id ASC — a total
+    order), and the threshold gate. The eval side is benchmark-sized →
+    broadcast; zero corpus-sized shuffles (plan shape in decontam.py)."""
+    d = _t(spark, sf_dir, "documents")
+    ev_docs = d.where(F.col("doc_id") % 7 == 0)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    hs_c = stage(
+        dedup.hashed_shingle_sets(train, "doc_id", "text"),
+        "fdecon_hs_train",
+        partitions=4,
+    )
+    hs_e = stage(
+        dedup.hashed_shingle_sets(ev_docs, "doc_id", "text").withColumnRenamed(
+            "id", "eval_id"
+        ),
+        "fdecon_hs_eval",
+    )
+
+    def banded(hs: DataFrame, key: str) -> DataFrame:
+        sig = hs.select(key, dedup.minhash_signature_from_hashes("hs", 16).alias("sig"))
+        return sig.select(
+            key,
+            F.posexplode(dedup.minhash_bands("sig", 16, 2)).alias(
+                "band_id", "band_hash"
+            ),
+        )
+
+    cands = stage(
+        banded(hs_c, "id")
+        .join(F.broadcast(banded(hs_e, "eval_id")), ["band_id", "band_hash"])
+        .select("id", "eval_id")
+        .distinct(),
+        "fdecon_cands",
+    )
+    j = cands.join(hs_c, "id").join(
+        F.broadcast(hs_e.withColumnRenamed("hs", "hs_e")), "eval_id"
+    )
+    inter = F.size(F.array_intersect("hs", "hs_e"))
+    union = F.size("hs") + F.size("hs_e") - inter
+    scored = j.select(
+        "id", "eval_id", (inter.cast("double") / union).alias("jaccard")
+    ).where(union > 0)
+    w_cnt = Window.partitionBy("id")
+    w_best = Window.partitionBy("id").orderBy(F.desc("jaccard"), F.asc("eval_id"))
+    best = (
+        scored.select(
+            "id",
+            "eval_id",
+            "jaccard",
+            F.count("*").over(w_cnt).alias("n_candidates"),
+            F.row_number().over(w_best).alias("_rk"),
+        )
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return (
+        hs_c.select("id")
+        .join(best, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("n_candidates", F.lit(0)).cast("int").alias("n_candidates"),
+            F.col("eval_id").alias("best_eval_id"),
+            F.col("jaccard").alias("best_jaccard"),
+            F.coalesce(F.col("jaccard") >= 0.5, F.lit(False)).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "doc_split_assign",
     f"""
     WITH b AS (
@@ -4718,6 +4827,62 @@ def export_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "wet_roundtrip",
+    f"""
+    WITH i AS (SELECT * FROM read_parquet('{staged_glob("wet_input")}')),
+    r AS (SELECT * FROM read_parquet('{staged_glob("wet_reread")}'))
+    SELECT i.url,
+           CAST(length(i.text) AS BIGINT) AS n_chars,
+           (r.text = i.text AND r.wet_ts = i.wet_ts) AS roundtrip_ok
+    FROM i JOIN r ON r.url = i.url
+    ORDER BY i.url
+    """,
+)
+def wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S6 WET archive sink+source proven end-to-end: the documents table
+    → distributed ``write_wet_shards`` (executors write gzip-member WET
+    segments, manifest audited) → ``read_wet`` with the engine's own WARC
+    record splitter. The staged input and the staged re-read are joined on
+    url and compared text- and timestamp-exact in BOTH engines, so a bug in
+    the record framing (Content-Length over multi-byte UTF-8, embedded
+    CRLF CRLF separators), the gzip member layout, or the splitter flips
+    ``roundtrip_ok`` — and a lost/duplicated record flips the row count.
+    Timestamps are built at second resolution (the WARC-Date grain)."""
+    import os as _os
+
+    from ocr_platform_spark.sources.wet import read_wet, write_wet_shards
+    from ocr_platform_spark.staging import STAGE_ROOT
+
+    d = _t(spark, sf_dir, "documents")
+    inp = stage(
+        d.select(
+            F.concat(F.lit("https://"), "source", F.lit("/doc/"), "doc_id").alias("url"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") % 86400).alias(
+                "wet_ts"
+            ),
+            "text",
+        ),
+        "wet_input",
+    )
+    archive = _os.path.join(STAGE_ROOT, "wet_archive")
+    write_wet_shards(inp, archive, n_shards=4)
+    reread = stage(read_wet(spark, archive), "wet_reread", partitions=2)
+    return (
+        inp.alias("i")
+        .join(reread.alias("r"), F.col("r.url") == F.col("i.url"))
+        .select(
+            F.col("i.url").alias("url"),
+            F.length("i.text").cast("long").alias("n_chars"),
+            (
+                (F.col("r.text") == F.col("i.text"))
+                & (F.col("r.wet_ts") == F.col("i.wet_ts"))
+            ).alias("roundtrip_ok"),
+        )
+        .orderBy("url")
+    )
+
+
+@q(
     "corrected_table_cells",
     """
     WITH cells AS (
@@ -5413,6 +5578,113 @@ def host_trustrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return host_trustrank(
         edges, seeds, iterations=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    )
+
+
+@q(
+    "host_spam_mass",
+    f"""
+    WITH RECURSIVE
+    e AS (SELECT * FROM read_parquet('{staged_glob("sm_edges")}')),
+    deg AS (SELECT src_host, COUNT(*) AS out_deg FROM e GROUP BY src_host),
+    hosts AS (SELECT DISTINCT host FROM
+              (SELECT src_host AS host FROM e UNION ALL SELECT dst_host AS host FROM e)),
+    seeds AS (SELECT host FROM hosts
+              WHERE host LIKE 'site-%'
+                AND TRY_CAST(substr(host, 6, 2) AS INT) < 8),
+    e2 AS (
+      SELECT src_host, dst_host, FALSE AS phantom FROM e
+      UNION ALL
+      SELECT host, host, TRUE FROM hosts
+    ),
+    pr AS (
+      SELECT 0 AS it, host,
+             CAST(CAST({_PR_SCALE} AS BIGINT) // (SELECT COUNT(*) FROM hosts) AS BIGINT) AS rank
+      FROM hosts
+      UNION ALL
+      SELECT p.it + 1, e2.dst_host AS host,
+             CAST( ((CAST({100 - _PR_DAMP} AS BIGINT) * {_PR_SCALE}) // 100)
+                     // (SELECT COUNT(*) FROM hosts)
+                   + (CAST({_PR_DAMP} AS BIGINT)
+                      * SUM(CASE WHEN e2.phantom THEN CAST(0 AS BIGINT)
+                                 ELSE p.rank // d.out_deg END)) // 100
+               AS BIGINT) AS rank
+      FROM pr p
+      JOIN e2 ON e2.src_host = p.host
+      LEFT JOIN deg d ON d.src_host = p.host
+      WHERE p.it < {_PR_ITER}
+      GROUP BY p.it, e2.dst_host
+    ),
+    tr AS (
+      SELECT 0 AS it, hosts.host,
+             CAST(CASE WHEN s.host IS NOT NULL
+                  THEN CAST({_PR_SCALE} AS BIGINT) // (SELECT COUNT(*) FROM seeds)
+                  ELSE 0 END AS BIGINT) AS rank
+      FROM hosts LEFT JOIN seeds s USING (host)
+      UNION ALL
+      SELECT p.it + 1, e2.dst_host AS host,
+             CAST( CASE WHEN sd.host IS NOT NULL
+                        THEN ((CAST({100 - _PR_DAMP} AS BIGINT) * {_PR_SCALE}) // 100)
+                               // (SELECT COUNT(*) FROM seeds)
+                        ELSE 0 END
+                   + (CAST({_PR_DAMP} AS BIGINT)
+                      * SUM(CASE WHEN e2.phantom THEN CAST(0 AS BIGINT)
+                                 ELSE p.rank // d.out_deg END)) // 100
+               AS BIGINT) AS rank
+      FROM tr p
+      JOIN e2 ON e2.src_host = p.host
+      LEFT JOIN deg d ON d.src_host = p.host
+      LEFT JOIN seeds sd ON sd.host = e2.dst_host
+      WHERE p.it < {_PR_ITER}
+      GROUP BY p.it, e2.dst_host, sd.host
+    )
+    SELECT pr.host, pr.rank AS pr_rank, tr.rank AS tr_rank,
+           CAST(CASE WHEN pr.rank > 0
+                THEN (greatest(pr.rank - tr.rank, 0) * 1000000) // pr.rank
+                ELSE 0 END AS BIGINT) AS spam_mass_ppm,
+           (CASE WHEN pr.rank > 0
+                 THEN (greatest(pr.rank - tr.rank, 0) * 1000000) // pr.rank
+                 ELSE 0 END) >= 700000 AS spam_flag
+    FROM (SELECT host, rank FROM pr WHERE it = {_PR_ITER}) pr
+    JOIN (SELECT host, rank FROM tr WHERE it = {_PR_ITER}) tr USING (host)
+    ORDER BY spam_mass_ppm DESC, pr.host
+    """,
+)
+def host_spam_mass_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass per host (operators/linkgraph.host_spam_mass,
+    Gyöngyi et al.): the PageRank share NOT flowing from the trusted seeds
+    — ``max(pr − tr, 0)·10^6 div pr`` with the same site-00..07 seed rule
+    as ``host_trustrank``. The demotion signal a crawl pipeline pairs with
+    content quality scores: link farms score near 10^6, seed-reachable
+    hosts near 0. Cross-engine EXACT: BOTH integer recurrences are
+    replayed by twin recursive CTEs over the same staged edge list, then
+    the join + clamped integer division — the difference is clamped ≥ 0
+    before dividing because Spark ``div`` truncates while DuckDB ``//``
+    floors (they agree only on non-negatives)."""
+    from ocr_platform_spark.operators.linkgraph import (
+        extract_outlinks,
+        host_edges,
+        host_spam_mass,
+    )
+
+    docs = _synth_docs(spark)
+    edges = stage(host_edges(extract_outlinks(docs)), "sm_edges", partitions=4)
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    seeds = hosts.where(
+        F.col("host").startswith("site-")
+        & (F.substring("host", 6, 2).try_cast("int") < 8)
+    )
+    return host_spam_mass(
+        edges,
+        seeds,
+        iterations=_PR_ITER,
+        damping_pct=_PR_DAMP,
+        scale=_PR_SCALE,
+        threshold_ppm=700_000,
     )
 
 
@@ -7112,6 +7384,8 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/oracle_check.py and tests/test_oracle_parity.py regardless of
 # position.
 _PRIORITY = [
+    # -- round-4 late additions (never driver-recorded) --
+    "wet_roundtrip", "doc_decontam_fuzzy", "host_spam_mass",
     # -- never driver-recorded (r1-r3 window always cut before them) --
     "retrieval_index_build", "doc_embedding", "ann_derived_topk",
     "semantic_dedup_derived", "bitext_url_scored_derived",
@@ -7130,9 +7404,11 @@ _PRIORITY = [
     "ingest_path_hygiene", "field_option_dispatch", "blocklist_filter",
     "process_table_subfields", "dimension_as_of_lookup",
     "export_pdf_roundtrip", "corrected_table_cells",
-    # -- changed by this round's code (re-stamp under the new code) --
+    # -- changed by this round's code (re-stamp under the new code); the
+    # span-dedup pair and extract_page_metadata rotate out to make room
+    # for the three late additions (their operators are untouched this
+    # round and they hold r3-green driver rows)
     "curation_funnel", "doc_lang_id", "extract_corpus_stats",
-    "extract_page_metadata", "doc_repeated_spans", "doc_strip_spans",
 ]
 
 

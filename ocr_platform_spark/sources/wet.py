@@ -1,0 +1,136 @@
+"""WET segment sink/source — Common-Crawl extracted-text archives
+(SURVEY.md S1/S6 siblings of sources/warc.py).
+
+A WET file is a WARC/1.0 file whose records are ``WARC-Type: conversion``:
+the PLAIN TEXT extracted from each crawled page, keyed by
+``WARC-Target-URI`` — the interchange format every public web-corpus
+pipeline (C4, RefinedWeb, FineWeb) reads as input and the natural export of
+this engine's extraction stage. The record grammar is shared with
+sources/warc.py (``build_warc_record`` / ``split_warc_records``); this
+module adds the text payload convention and, unlike the driver-side WARC
+fixture writer, a DISTRIBUTED sink.
+
+Reference scope note: the OCR reference exports per-document downloads
+(``ocr_backend/app/api/document_routes.py:80-200``); the corpus-scale
+equivalent is a sharded archive sink whose manifest audits the write.
+
+Spark-first shapes:
+
+  sink:   df.repartition(n_shards, key).sortWithinPartitions(url)
+            -> mapInPandas(partition writer)          # one WET file per task
+            -> manifest rows (shard path, n_records, n_bytes)
+          Executors write their own shard — the corpus never moves to the
+          driver; the single shuffle is the shard repartition, and the
+          manifest (shard-count-sized) is the only thing that returns.
+          Determinism: shard membership is hash(url), in-shard order is
+          sortWithinPartitions(url), gzip mtime=0 — the same input writes
+          byte-identical shards at any parallelism.
+
+  source: spark.read.format("binaryFile") -> mapInPandas(record splitter)
+          (the sources/warc.py read shape; one segment file == one task).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_platform_spark.sources.warc import build_warc_record, split_warc_records
+
+_WET_DDL = "url string, wet_ts timestamp, text string"
+_MANIFEST_DDL = "shard string, n_records bigint, n_bytes bigint"
+
+
+def build_wet_segment(rows: list[tuple[str, object, str]], compress: bool = True) -> bytes:
+    """A WET segment from (url, ts, text) rows: per-record gzip members
+    (fetch-by-offset layout), ``conversion`` record type, UTF-8 payload."""
+    out = bytearray()
+    for url, ts, text in rows:
+        rec = build_warc_record(url, ts, (text or "").encode("utf-8"), "conversion")
+        out += gzip.compress(rec, mtime=0) if compress else rec
+    return bytes(out)
+
+
+def write_wet_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    url_col: str = "url",
+    ts_col: str = "wet_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed WET sink: one ``shard-NNNNN.warc.wet.gz`` per shard,
+    written BY THE EXECUTORS; returns the manifest (shard, n_records,
+    n_bytes) as a DataFrame — shard-count-sized, the only data that leaves
+    the workers.
+
+    Shard membership is ``pmod(xxhash64(url), n_shards)`` and in-shard
+    order is url — both pure functions of the data, so re-running at any
+    parallelism (or on any engine) produces byte-identical files; the
+    manifest doubles as the write audit (sources/shards.py pattern)."""
+    os.makedirs(out_dir, exist_ok=True)
+    keyed = (
+        df.select(
+            F.col(url_col).alias("url"),
+            F.col(ts_col).alias("wet_ts"),
+            F.col(text_col).alias("text"),
+        )
+        .withColumn("_shard", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int"))
+        .repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "url")
+    )
+
+    def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_platform_spark.sources.wet import build_wet_segment  # executor import
+
+        # buffer per shard id: a task owns whole shards (repartition on
+        # _shard), and batch boundaries must not split a shard's file
+        per_shard: dict[int, list[tuple[str, object, str]]] = {}
+        for pdf in batches:
+            for url, ts, text, sh in zip(
+                pdf["url"], pdf["wet_ts"], pdf["text"], pdf["_shard"]
+            ):
+                per_shard.setdefault(int(sh), []).append((url, ts, text))
+        rows = []
+        for sh, recs in sorted(per_shard.items()):
+            seg = build_wet_segment(recs)
+            path = os.path.join(out_dir, f"shard-{sh:05d}.warc.wet.gz")
+            with open(path, "wb") as f:
+                f.write(seg)
+            rows.append((path, len(recs), len(seg)))
+        yield pd.DataFrame(rows, columns=["shard", "n_records", "n_bytes"])
+
+    manifest = keyed.mapInPandas(writer, _MANIFEST_DDL)
+    # the mapInPandas is lazy — materialize through a count so callers hold
+    # a completed write; the manifest itself is shard-count-sized
+    manifest = manifest.cache()
+    manifest.count()
+    return manifest
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET directory → (url, wet_ts, text). binaryFile scan (one row per
+    segment; pathGlobFilter prunes before bytes move) → Arrow-batched
+    record splitter — the sources/warc.py read shape with a text payload."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wet*")
+        .load(path)
+        .select("content")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_platform_spark.sources.warc import split_warc_records  # executor import
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for url, ts, payload in split_warc_records(bytes(content)):
+                    rows.append((url, ts, payload.decode("utf-8", errors="replace")))
+            yield pd.DataFrame(rows, columns=["url", "wet_ts", "text"])
+
+    return files.mapInPandas(kernel, _WET_DDL)

@@ -66,3 +66,41 @@ def test_eval_set_broadcasts_and_corpus_not_shuffled_prejoin(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_mark_contaminated_fuzzy_flags_paraphrase(spark):
+    from ocr_platform_spark.operators.decontam import mark_contaminated_fuzzy
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")  # light edit: high Jaccard, not exact
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, near),
+            (2, "completely different text about spark partitions and shuffles"),
+            (3, base),  # verbatim copy: jaccard 1.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mark_contaminated_fuzzy(corpus, ev, threshold=0.5).collect()
+    }
+    assert out[3]["contaminated"] and out[3]["best_jaccard"] == 1.0
+    assert out[3]["best_eval_id"] == 100
+    assert out[1]["contaminated"] and 0.5 <= out[1]["best_jaccard"] < 1.0
+    assert not out[2]["contaminated"] and out[2]["n_candidates"] == 0
+    assert out[2]["best_eval_id"] is None and out[2]["best_jaccard"] is None
+
+
+def test_mark_contaminated_fuzzy_best_is_max_then_min_eval_id(spark):
+    from ocr_platform_spark.operators.decontam import mark_contaminated_fuzzy
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # two identical eval docs -> equal jaccard; tie must break to MIN eval id
+    ev = spark.createDataFrame([(7, text), (5, text)], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = mark_contaminated_fuzzy(corpus, ev, threshold=0.9).collect()[0]
+    assert row["n_candidates"] == 2
+    assert row["best_eval_id"] == 5
+    assert row["contaminated"]

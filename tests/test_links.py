@@ -389,3 +389,36 @@ def test_feed_link_extraction():
         b'<body><a href="/page">go</a></body></html>'
     )
     assert extract_links("https://h.test/", html) == ["https://h.test/page"]
+
+
+def test_host_spam_mass_separates_farm_from_seeded(spark):
+    from ocr_platform_spark.operators.linkgraph import (
+        host_pagerank,
+        host_spam_mass,
+        host_trustrank,
+    )
+
+    # seed-fed chain vs a mutually-reinforcing spam pair no seed reaches
+    edges = spark.createDataFrame(
+        [("seed", "a"), ("a", "b"), ("spam1", "spam2"), ("spam2", "spam1")],
+        "src_host string, dst_host string",
+    )
+    seeds = spark.createDataFrame([("seed",)], "host string")
+    rows = {r["host"]: r for r in host_spam_mass(edges, seeds, iterations=6).collect()}
+
+    # the spam farm keeps its PageRank but gets zero trust -> mass ~ 10^6
+    assert rows["spam1"]["tr_rank"] == 0
+    assert rows["spam1"]["spam_mass_ppm"] == 1_000_000
+    assert rows["spam1"]["spam_flag"] and rows["spam2"]["spam_flag"]
+
+    # trust can exceed plain PageRank near the seeds (teleport mass is
+    # concentrated on them) -- the clamp keeps mass at 0, never negative
+    assert rows["seed"]["tr_rank"] > rows["seed"]["pr_rank"]
+    assert rows["seed"]["spam_mass_ppm"] == 0 and not rows["seed"]["spam_flag"]
+    for r in rows.values():
+        assert 0 <= r["spam_mass_ppm"] <= 1_000_000
+
+    # columns are exactly the component recurrences (composition, no drift)
+    pr = {r["host"]: r["rank"] for r in host_pagerank(edges, iterations=6).collect()}
+    tr = {r["host"]: r["rank"] for r in host_trustrank(edges, seeds, iterations=6).collect()}
+    assert all(rows[h]["pr_rank"] == pr[h] and rows[h]["tr_rank"] == tr[h] for h in rows)
