@@ -92,6 +92,14 @@ HEADLINE = [
     "bitext_url_scored",
     "bitext_url_candidates",
     "url_revisit_diff",
+    # round-4 additions (derived embeddings, composed retrieval index,
+    # winnowing-sampled span marking, extended funnel report)
+    "doc_embedding",
+    "ann_derived_topk",
+    "semantic_dedup_derived",
+    "retrieval_index_build",
+    "doc_repeated_spans_strided",
+    "corpus_build_report",
 ]
 
 
