@@ -100,6 +100,9 @@ HEADLINE = [
     "retrieval_index_build",
     "doc_repeated_spans_strided",
     "corpus_build_report",
+    "wet_roundtrip",
+    "doc_decontam_fuzzy",
+    "host_spam_mass",
 ]
 
 

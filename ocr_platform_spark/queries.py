@@ -2964,8 +2964,12 @@ def ann_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one oracle, nothing staged. Counts are exact in float32, so the ×1000
     quantization is exact and ranks/scores agree bit-for-bit."""
     d = _t(spark, sf_dir, "documents")
-    emb_d = embed.hashed_ngram_embedding(d, "doc_id", "text", as_float=True).select(
-        F.col("id").alias("vec_id"), "embedding"
+    # persist: the item scan, the query-side filter, and quantized_topk's
+    # internal branches would each re-run the Arrow embed kernel otherwise
+    emb_d = dedup._staged(
+        embed.hashed_ngram_embedding(d, "doc_id", "text", as_float=True).select(
+            F.col("id").alias("vec_id"), "embedding"
+        )
     )
     return ann.quantized_topk(emb_d, emb_d.where(F.col("vec_id") < 8), k=5)
 
@@ -3021,8 +3025,13 @@ def semantic_dedup_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    emb_d = embed.hashed_ngram_embedding(d, "doc_id", "text", as_float=True).select(
-        F.col("id").alias("vec_id"), "embedding"
+    # persist: train_ivf's sample, the assignment scan, and BOTH pair
+    # sides of semantic_duplicates re-run the Arrow embed kernel otherwise
+    # (measured 36 s -> ~8 s at sf0.1)
+    emb_d = dedup._staged(
+        embed.hashed_ngram_embedding(d, "doc_id", "text", as_float=True).select(
+            F.col("id").alias("vec_id"), "embedding"
+        )
     )
     cents = ann.train_ivf(emb_d, n_lists=16)
     a = stage(assign_with_centroid_sim(emb_d, cents), "semdedup_assign_d")
@@ -3102,8 +3111,11 @@ def bitext_url_scored_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = url_matched_pairs(d, pivot_lang="en").select(
         "key", "doc_pivot", "doc_xx", "lang_xx"
     )
-    qz = embed.hashed_ngram_embedding(docs, "doc_id", "text", as_float=True).select(
-        F.col("id").alias("vec_id"), _quantize(F.col("embedding"), 1000).alias("v")
+    # persist: both join sides (pivot + xx) re-run the embed kernel otherwise
+    qz = dedup._staged(
+        embed.hashed_ngram_embedding(docs, "doc_id", "text", as_float=True).select(
+            F.col("id").alias("vec_id"), _quantize(F.col("embedding"), 1000).alias("v")
+        )
     )
     j = (
         cands.join(qz.withColumnRenamed("vec_id", "doc_pivot").withColumnRenamed("v", "v_a"), "doc_pivot")

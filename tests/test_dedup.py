@@ -396,3 +396,27 @@ def test_winnowed_spans_cover_misaligned_repeats(spark):
             sets.append({t[p : p + K] for p in range(0, max(len(t) - K + 1, 1)) if p % s == 0})
         shared = {g for g in sets[0] & sets[1] if g in blurb}
         assert not shared, (s, shared)
+
+
+def test_winnowed_postings_kernel_matches_expression_twin(spark):
+    """The Arrow argmin kernel and the pure column-expression selection are
+    the same function (numpy first-occurrence argmin == (h, pos) struct
+    min; adjacent-dedup == full dedup) — pinned row-for-row on a corpus
+    slice plus the adversarial shapes: empty text, shorter than k, shorter
+    than w grams, long runs of one character (max ties)."""
+    from ocr_platform_spark.operators.corpus_spark import documents_df
+    from ocr_platform_spark.operators.dedup import winnowed_gram_postings
+
+    docs = documents_df(spark, 120, golden=True).selectExpr(
+        "url AS doc_id", "expected_text AS text"
+    )
+    edge = spark.createDataFrame(
+        [("e0", ""), ("e1", "tiny"), ("e2", "x" * 200), ("e3", "ab" * 120)],
+        "doc_id string, text string",
+    )
+    for df in (docs.where("text IS NOT NULL"), edge):
+        kern = winnowed_gram_postings(df, "doc_id", "text", 30, 8, kernel=True)
+        expr = winnowed_gram_postings(df, "doc_id", "text", 30, 8, kernel=False)
+        a = sorted((r["id"], r["pos"], r["h"]) for r in kern.collect())
+        b = sorted((r["id"], r["pos"], r["h"]) for r in expr.collect())
+        assert a == b

@@ -69,3 +69,33 @@ def test_partitioning_invariance(spark):
         emb.repartition(5), assign.repartition(3), threshold_q6=995000
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_kernel_matches_expression_pair_scan(spark):
+    """The applyInPandas Gram-matrix pair scan and the pure column-
+    expression scan are the same function: the kernel only PREFILTERS (at
+    threshold−2 q6 margin, with exact integer dot/norms — float64 matmul
+    is exact below 2^53 here) and the authoritative double-round gate
+    runs in the identical Spark expression on both paths. Pinned
+    row-for-row on derived embeddings including zero-norm (empty-text)
+    vectors and exact-duplicate texts (cosine exactly 1.0)."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators import ann
+    from ocr_platform_spark.operators.embed import hashed_ngram_embedding
+    from ocr_platform_spark.operators.semdedup import (
+        assign_with_centroid_sim,
+        semantic_duplicates,
+    )
+
+    rows = [(i, f"document {i % 7} body text with shared boilerplate") for i in range(40)]
+    rows += [(100, ""), (101, "")]  # zero-norm vectors: gate must skip
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_ngram_embedding(df, "doc_id", "text", as_float=True).select(
+        F.col("id").alias("vec_id"), "embedding"
+    ).persist()
+    a = assign_with_centroid_sim(emb, ann.train_ivf(emb, n_lists=4)).persist()
+    for thr in (900000, 999999, 1000000):
+        k = sorted(map(tuple, semantic_duplicates(emb, a, threshold_q6=thr, kernel=True).collect()))
+        e = sorted(map(tuple, semantic_duplicates(emb, a, threshold_q6=thr, kernel=False).collect()))
+        assert k == e
