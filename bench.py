@@ -103,6 +103,7 @@ HEADLINE = [
     "wet_roundtrip",
     "doc_decontam_fuzzy",
     "host_spam_mass",
+    "doc_containment_pairs",
 ]
 
 

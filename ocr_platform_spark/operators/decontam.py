@@ -131,6 +131,7 @@ def mark_contaminated_fuzzy(
     rows_per_band: int = 2,
     shingle_words: int = 3,
     threshold: float = 0.5,
+    persist_stage=None,
 ) -> DataFrame:
     """NEAR-match decontamination: flag training documents whose shingle
     Jaccard against ANY eval/benchmark document reaches ``threshold`` —
@@ -150,23 +151,60 @@ def mark_contaminated_fuzzy(
     best_eval_id, best_jaccard, contaminated)`` — best = highest verified
     Jaccard, ties to the smallest eval id (a total order both engines
     replay); documents with no band collisions come back clean with
-    ``n_candidates = 0`` and NULL best columns."""
+    ``n_candidates = 0`` and NULL best columns.
+
+    ``persist_stage(df, name)`` lets callers choose how the three
+    kernel-boundary frames (corpus shingle sets ``"hs_train"``, eval
+    shingle sets ``"hs_eval"``, band-collision candidates ``"cands"``)
+    are materialized — the catalog queries stage them to parquet so the
+    DuckDB oracle replays everything downstream; the composed job
+    default just persists the corpus sets (the only multiply-consumed
+    corpus-sized frame)."""
+    from ocr_platform_spark.operators.dedup import _staged
+
+    if persist_stage is None:
+        persist_stage = lambda df, name: _staged(df) if name == "hs_train" else df  # noqa: E731
+    hs_c, hs_e, cands = fuzzy_decontam_candidates(
+        corpus, eval_df, id_col, text_col, k, rows_per_band, shingle_words,
+        persist_stage=persist_stage,
+    )
+    return fuzzy_decontam_verdicts(hs_c, hs_e, cands, id_col, threshold)
+
+
+def fuzzy_decontam_candidates(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    rows_per_band: int = 2,
+    shingle_words: int = 3,
+    persist_stage=None,
+):
+    """The xxhash64 half of fuzzy decontamination — (corpus shingle sets,
+    eval shingle sets, band-collision candidate pairs). Everything after
+    these three frames is exact relational arithmetic any engine replays
+    (:func:`fuzzy_decontam_verdicts`)."""
     from ocr_platform_spark.operators.dedup import (
         hashed_shingle_sets,
         minhash_bands,
         minhash_signature_from_hashes,
-        _staged,
     )
 
-    hs_c = _staged(hashed_shingle_sets(corpus, id_col, text_col, shingle_words))
-    hs_e = hashed_shingle_sets(eval_df, id_col, text_col, shingle_words).withColumnRenamed(
-        "id", "eval_id"
+    if persist_stage is None:
+        persist_stage = lambda df, name: df  # noqa: E731
+    hs_c = persist_stage(
+        hashed_shingle_sets(corpus, id_col, text_col, shingle_words), "hs_train"
+    )
+    hs_e = persist_stage(
+        hashed_shingle_sets(eval_df, id_col, text_col, shingle_words).withColumnRenamed(
+            "id", "eval_id"
+        ),
+        "hs_eval",
     )
 
     def banded(hs: DataFrame, key: str) -> DataFrame:
-        sig = hs.select(
-            key, minhash_signature_from_hashes("hs", k).alias("sig")
-        )
+        sig = hs.select(key, minhash_signature_from_hashes("hs", k).alias("sig"))
         return sig.select(
             key,
             F.posexplode(minhash_bands("sig", k, rows_per_band)).alias(
@@ -174,12 +212,27 @@ def mark_contaminated_fuzzy(
             ),
         )
 
-    cands = (
+    cands = persist_stage(
         banded(hs_c, "id")
         .join(F.broadcast(banded(hs_e, "eval_id")), ["band_id", "band_hash"])
         .select("id", "eval_id")
-        .distinct()
+        .distinct(),
+        "cands",
     )
+    return hs_c, hs_e, cands
+
+
+def fuzzy_decontam_verdicts(
+    hs_c: DataFrame,
+    hs_e: DataFrame,
+    cands: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification + per-doc best-match selection over the
+    :func:`fuzzy_decontam_candidates` frames — the SQL-replayable tail
+    (the ``doc_decontam_fuzzy`` oracle runs this computation in DuckDB
+    over the same staged bytes)."""
     j = (
         cands.join(hs_c, "id")
         .join(F.broadcast(hs_e.withColumnRenamed("hs", "hs_e")), "eval_id")

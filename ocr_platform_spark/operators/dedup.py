@@ -547,6 +547,82 @@ def winnow_near_duplicates(
     )
 
 
+def winnow_containment_pairs(
+    postings: DataFrame,
+    min_shared: int = 2,
+    max_df: int = 64,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """(id_in, id_out, n_shared, n_fp_in, n_fp_out, containment) — DIRECTED
+    near-containment pairs: documents whose winnowing fingerprints are
+    mostly a subset of another document's (``n_shared / |fp(id_in)|`` ≥
+    ``min_containment``). This is the signal symmetric near-dup measures
+    miss: a page that WRAPS an article (quote-inclusion, syndication with
+    added chrome, list pages embedding full posts) scores low symmetric
+    overlap — the outer doc's extra content dilutes Jaccard — but the
+    inner doc's fingerprints are almost all present in the outer one. A
+    curation policy typically keeps the outer doc and drops the contained
+    one (or keeps the INNER one to strip chrome — the verdict column
+    leaves that to the caller).
+
+    Same scale shape and exact-aggregate discipline as
+    :func:`winnow_near_duplicate_pairs`: frequency-capped postings (a
+    pure aggregate predicate, SQL-replayable — no row_number truncation),
+    one self-join on fp, one aggregate per unordered pair; each unordered
+    pair then emits its two directed rows from the SAME aggregated counts
+    (an explode of a 2-struct array, no second join), and the threshold
+    prunes. The catalog oracle replays cap → pairs → both directions →
+    threshold from the staged postings."""
+    good = (
+        postings.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
+        .where(F.col("_df") <= max_df)
+        .drop("_df")
+        .withColumn("n_fp", F.count("*").over(Window.partitionBy("id")))
+    )
+    a = good.alias("a")
+    b = good.alias("b")
+    agg = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_fp").alias("n_fp_a"),
+            F.col("b.n_fp").alias("n_fp_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    directed = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_in"),
+                    F.col("id_b").alias("id_out"),
+                    F.col("n_fp_a").alias("n_fp_in"),
+                    F.col("n_fp_b").alias("n_fp_out"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_in"),
+                    F.col("id_a").alias("id_out"),
+                    F.col("n_fp_b").alias("n_fp_in"),
+                    F.col("n_fp_a").alias("n_fp_out"),
+                ),
+            )
+        ).alias("_d"),
+        "n_shared",
+    ).select("_d.*", "n_shared")
+    return directed.select(
+        "id_in",
+        "id_out",
+        "n_shared",
+        "n_fp_in",
+        "n_fp_out",
+        F.round(F.col("n_shared").cast("double") / F.col("n_fp_in"), 6).alias(
+            "containment"
+        ),
+    ).where(F.col("containment") >= min_containment)
+
+
 # --- paragraph-level repeated-span removal -----------------------------------
 #
 # The line/paragraph dedup step of web-corpus curation (RefinedWeb/Gopher

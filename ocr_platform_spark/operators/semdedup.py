@@ -128,9 +128,14 @@ def semantic_duplicates(
                 }
             )
 
+        # schema follows the caller's id type (urls in the composed job,
+        # longs in the catalog queries)
+        id_t = m.schema["id"].dataType.simpleString()
+        cs_t = m.schema["cent_sim"].dataType.simpleString()
         cand = m.groupBy("cluster").applyInPandas(
             _pairs_of,
-            "x_id long, x_cs long, y_id long, y_cs long, dot long, na long, nb long",
+            f"x_id {id_t}, x_cs {cs_t}, y_id {id_t}, y_cs {cs_t},"
+            " dot long, na long, nb long",
         )
         cos = F.when(
             (F.col("na") > 0) & (F.col("nb") > 0),

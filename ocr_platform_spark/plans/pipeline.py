@@ -148,10 +148,12 @@ def corpus_refine_stages(
     text_col: str = "text",
     decontam_eval: DataFrame | None = None,
     decontam_n: int = 8,
+    decontam_fuzzy_threshold: float | None = None,
     semdedup_threshold_q6: int | None = None,
     semdedup_n_lists: int = 16,
     chunk_budget: int | None = None,
     persist_assign=None,
+    persist_fuzzy=None,
 ) -> tuple[DataFrame, DataFrame | None, dict]:
     """The post-curation refinement tail shared by the composed job and
     the ``corpus_build_report`` catalog query: optional benchmark
@@ -187,6 +189,25 @@ def corpus_refine_stages(
         bad = _staged(marked.where(F.col("contaminated")).select(id_col))
         metrics["decontam_dropped"] = bad.count()
         out = out.join(bad, id_col, "left_anti")
+    if decontam_fuzzy_threshold is not None and decontam_eval is not None:
+        from ocr_platform_spark.operators.decontam import mark_contaminated_fuzzy
+
+        # NEAR-match pass after the exact one: MinHash-banded candidates
+        # against the same eval set, exact-Jaccard verified (the
+        # paraphrased-leakage gap of the n-gram rule). Runs on the exact
+        # pass's survivors so its staged shingle sets double as the
+        # oracle's replay boundary.
+        marked_f = mark_contaminated_fuzzy(
+            out,
+            decontam_eval,
+            id_col,
+            text_col,
+            threshold=decontam_fuzzy_threshold,
+            persist_stage=persist_fuzzy,
+        )
+        bad_f = _staged(marked_f.where(F.col("contaminated")).select(id_col))
+        metrics["decontam_fuzzy_dropped"] = bad_f.count()
+        out = out.join(bad_f, id_col, "left_anti")
     if semdedup_threshold_q6 is not None:
         from ocr_platform_spark.operators import ann
         from ocr_platform_spark.operators.embed import hashed_ngram_embedding
@@ -252,6 +273,7 @@ def run_corpus_build_job(
     classifier_keep: tuple[str, ...] = (),
     decontam_eval: DataFrame | None = None,
     decontam_n: int = 8,
+    decontam_fuzzy_threshold: float | None = None,
     semdedup_threshold_q6: int | None = None,
     semdedup_n_lists: int = 16,
     chunk_budget: int | None = None,
@@ -485,6 +507,7 @@ def run_corpus_build_job(
         details["curated"].select("doc_id", "text"),
         decontam_eval=decontam_eval,
         decontam_n=decontam_n,
+        decontam_fuzzy_threshold=decontam_fuzzy_threshold,
         semdedup_threshold_q6=semdedup_threshold_q6,
         semdedup_n_lists=semdedup_n_lists,
     )

@@ -1364,70 +1364,21 @@ def doc_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc best-match selection (jaccard DESC, eval_id ASC — a total
     order), and the threshold gate. The eval side is benchmark-sized →
     broadcast; zero corpus-sized shuffles (plan shape in decontam.py)."""
+    from ocr_platform_spark.operators.decontam import mark_contaminated_fuzzy
+
     d = _t(spark, sf_dir, "documents")
     ev_docs = d.where(F.col("doc_id") % 7 == 0)
     train = d.where(F.col("doc_id") % 7 != 0)
-    hs_c = stage(
-        dedup.hashed_shingle_sets(train, "doc_id", "text"),
-        "fdecon_hs_train",
-        partitions=4,
-    )
-    hs_e = stage(
-        dedup.hashed_shingle_sets(ev_docs, "doc_id", "text").withColumnRenamed(
-            "id", "eval_id"
-        ),
-        "fdecon_hs_eval",
-    )
-
-    def banded(hs: DataFrame, key: str) -> DataFrame:
-        sig = hs.select(key, dedup.minhash_signature_from_hashes("hs", 16).alias("sig"))
-        return sig.select(
-            key,
-            F.posexplode(dedup.minhash_bands("sig", 16, 2)).alias(
-                "band_id", "band_hash"
-            ),
-        )
-
-    cands = stage(
-        banded(hs_c, "id")
-        .join(F.broadcast(banded(hs_e, "eval_id")), ["band_id", "band_hash"])
-        .select("id", "eval_id")
-        .distinct(),
-        "fdecon_cands",
-    )
-    j = cands.join(hs_c, "id").join(
-        F.broadcast(hs_e.withColumnRenamed("hs", "hs_e")), "eval_id"
-    )
-    inter = F.size(F.array_intersect("hs", "hs_e"))
-    union = F.size("hs") + F.size("hs_e") - inter
-    scored = j.select(
-        "id", "eval_id", (inter.cast("double") / union).alias("jaccard")
-    ).where(union > 0)
-    w_cnt = Window.partitionBy("id")
-    w_best = Window.partitionBy("id").orderBy(F.desc("jaccard"), F.asc("eval_id"))
-    best = (
-        scored.select(
-            "id",
-            "eval_id",
-            "jaccard",
-            F.count("*").over(w_cnt).alias("n_candidates"),
-            F.row_number().over(w_best).alias("_rk"),
-        )
-        .where(F.col("_rk") == 1)
-        .drop("_rk")
-    )
-    return (
-        hs_c.select("id")
-        .join(best, "id", "left")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.coalesce("n_candidates", F.lit(0)).cast("int").alias("n_candidates"),
-            F.col("eval_id").alias("best_eval_id"),
-            F.col("jaccard").alias("best_jaccard"),
-            F.coalesce(F.col("jaccard") >= 0.5, F.lit(False)).alias("contaminated"),
-        )
-        .orderBy("doc_id")
-    )
+    names = {"hs_train": ("fdecon_hs_train", 4), "hs_eval": ("fdecon_hs_eval", 1),
+             "cands": ("fdecon_cands", 1)}
+    return mark_contaminated_fuzzy(
+        train,
+        ev_docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        persist_stage=lambda df, name: stage(df, names[name][0], partitions=names[name][1]),
+    ).orderBy("doc_id")
 
 
 @q(
@@ -4702,6 +4653,58 @@ def dimension_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_containment_pairs",
+    f"""
+    WITH p AS (SELECT * FROM read_parquet('{staged_glob("contain_postings")}')),
+    capped AS (
+      SELECT id, fp FROM (
+        SELECT id, fp, COUNT(*) OVER (PARTITION BY fp) AS _df FROM p
+      ) WHERE _df <= 64
+    ),
+    sized AS (
+      SELECT id, fp, COUNT(*) OVER (PARTITION BY id) AS n_fp FROM capped
+    ),
+    agg AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n_fp AS n_fp_a, b.n_fp AS n_fp_b,
+             COUNT(*) AS n_shared
+      FROM sized a JOIN sized b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2, 3, 4
+      HAVING COUNT(*) >= 2
+    ),
+    directed AS (
+      SELECT id_a AS id_in, id_b AS id_out, n_shared, n_fp_a AS n_fp_in,
+             n_fp_b AS n_fp_out FROM agg
+      UNION ALL
+      SELECT id_b, id_a, n_shared, n_fp_b, n_fp_a FROM agg
+    )
+    SELECT id_in, id_out, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_fp_in AS BIGINT) AS n_fp_in,
+           CAST(n_fp_out AS BIGINT) AS n_fp_out,
+           round(CAST(n_shared AS DOUBLE) / n_fp_in, 6) AS containment
+    FROM directed
+    WHERE round(CAST(n_shared AS DOUBLE) / n_fp_in, 6) >= 0.8
+    ORDER BY id_in, id_out
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-CONTAINMENT detection (operators/dedup.winnow_
+    containment_pairs): documents whose winnowing fingerprints are ≥ 80%
+    a subset of another document's — the syndication/quote-inclusion/
+    page-wraps-article signal that symmetric Jaccard dilutes away. The
+    xxhash64 fingerprint postings are staged; BOTH engines replay the
+    frequency cap (pure aggregate predicate — no row_number truncation),
+    the unordered-pair aggregate, the two directed projections, and the
+    containment threshold."""
+    d = _t(spark, sf_dir, "documents")
+    posts = stage(
+        dedup.winnow_fp_postings(d, "doc_id", "text"), "contain_postings", partitions=4
+    )
+    return dedup.winnow_containment_pairs(
+        posts, min_shared=2, max_df=64, min_containment=0.8
+    ).orderBy("id_in", "id_out")
+
+
+@q(
     "doc_winnow_fingerprints",
     f"""
     WITH g AS (SELECT * FROM read_parquet('{staged_glob("winnow_grams")}')),
@@ -5173,7 +5176,22 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE d.doc_id % 7 <> 0
         AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
-    {embed.derived_embeddings_cte(table="s1")},
+    fzhs AS (SELECT * FROM read_parquet('{staged_glob("cbr_fz_hs")}')),
+    fzev AS (SELECT * FROM read_parquet('{staged_glob("cbr_fz_ev")}')),
+    fzc AS (SELECT * FROM read_parquet('{staged_glob("cbr_fz_cands")}')),
+    fzj AS (
+      SELECT c.id,
+             len(list_intersect(h.hs, e.hs)) AS n_common,
+             len(h.hs) + len(e.hs) - len(list_intersect(h.hs, e.hs)) AS n_union
+      FROM fzc c JOIN fzhs h ON h.id = c.id JOIN fzev e ON e.eval_id = c.eval_id
+    ),
+    fzbad AS (
+      SELECT DISTINCT id FROM fzj
+      WHERE n_union > 0 AND CAST(n_common AS DOUBLE) / n_union >= 0.5
+    ),
+    s1b AS (SELECT doc_id, text FROM s1
+            WHERE doc_id NOT IN (SELECT id FROM fzbad)),
+    {embed.derived_embeddings_cte(table="s1b")},
     a AS (SELECT id, cluster, cent_sim FROM read_parquet('{staged_glob("cbr_assign")}')),
     qz AS (SELECT doc_id AS vec_id, list_transform(embedding, x -> x * 1000) AS v
            FROM demb),
@@ -5197,7 +5215,7 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING MAX(CASE WHEN y_cs < x_cs OR (y_cs = x_cs AND y_id < x_id)
                  THEN 1 ELSE 0 END) = 1
     ),
-    s2 AS (SELECT doc_id, text FROM s1
+    s2 AS (SELECT doc_id, text FROM s1b
            WHERE doc_id NOT IN (SELECT x_id FROM dups)),
     split2 AS (
       SELECT doc_id, string_split_regex(text, '\n{{2,}}') AS ps FROM s2
@@ -5226,11 +5244,12 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(stage_no AS INT) AS stage_no, stage, CAST(n AS BIGINT) AS n_docs
     FROM (
-      VALUES (0, 'input',       (SELECT COUNT(*) FROM documents)),
-             (1, 'train_split', (SELECT COUNT(*) FROM documents WHERE doc_id % 7 <> 0)),
-             (2, 'decontam',    (SELECT COUNT(*) FROM s1)),
-             (3, 'semdedup',    (SELECT COUNT(*) FROM s2)),
-             (4, 'chunks',      (SELECT n FROM chunkcnt))
+      VALUES (0, 'input',           (SELECT COUNT(*) FROM documents)),
+             (1, 'train_split',     (SELECT COUNT(*) FROM documents WHERE doc_id % 7 <> 0)),
+             (2, 'decontam',        (SELECT COUNT(*) FROM s1)),
+             (3, 'decontam_fuzzy',  (SELECT COUNT(*) FROM s1b)),
+             (4, 'semdedup',        (SELECT COUNT(*) FROM s2)),
+             (5, 'chunks',          (SELECT n FROM chunkcnt))
     ) AS v(stage_no, stage, n)
     ORDER BY stage_no
     """,
@@ -5239,36 +5258,43 @@ def corpus_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-build job's post-curation refinement tail
     (plans/pipeline.corpus_refine_stages) as an oracle-verified funnel:
     eval split (doc_id % 7 = 0) → benchmark DECONTAMINATION (exact word
-    8-gram overlap, left-anti) → SEMDEDUP over embeddings derived from
-    text (ε=0.90 keep-outliers rule; only the trained IVF assignment
+    8-gram overlap, left-anti) → FUZZY decontamination (MinHash-banded
+    near-match against the same eval set, Jaccard ≥ 0.5; the banded
+    shingle sets and candidates staged) → SEMDEDUP over embeddings derived
+    from text (ε=0.90 keep-outliers rule; only the trained IVF assignment
     staged) → paragraph CHUNKING of the survivors (40-token budget). The
-    oracle recomputes gram overlap, the derived vectors, every
-    within-cluster verdict, and the chunk plan from raw parquet — each
-    stage count cross-engine hash-checked."""
+    oracle recomputes gram overlap, the fuzzy Jaccard verdicts, the
+    derived vectors, every within-cluster verdict, and the chunk plan —
+    each stage count cross-engine hash-checked."""
     from ocr_platform_spark.plans.pipeline import corpus_refine_stages
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ev = d.where(F.col("doc_id") % 7 == 0)
     train = d.where(F.col("doc_id") % 7 != 0)
+    fz_names = {"hs_train": "cbr_fz_hs", "hs_eval": "cbr_fz_ev", "cands": "cbr_fz_cands"}
     survivors, chunks, metrics = corpus_refine_stages(
         train,
         decontam_eval=ev,
         decontam_n=8,
+        decontam_fuzzy_threshold=0.5,
         semdedup_threshold_q6=900000,
         semdedup_n_lists=16,
         chunk_budget=40,
         persist_assign=lambda a: stage(a, "cbr_assign"),
+        persist_fuzzy=lambda df, name: stage(df, fz_names[name]),
     )
     n0 = d.count()
     n_train = train.count()
     n1 = n_train - metrics["decontam_dropped"]
-    n2 = n1 - metrics["semdedup_dropped"]
+    n1b = n1 - metrics["decontam_fuzzy_dropped"]
+    n2 = n1b - metrics["semdedup_dropped"]
     rows = [
         (0, "input", n0),
         (1, "train_split", n_train),
         (2, "decontam", n1),
-        (3, "semdedup", n2),
-        (4, "chunks", metrics["n_chunks"]),
+        (3, "decontam_fuzzy", n1b),
+        (4, "semdedup", n2),
+        (5, "chunks", metrics["n_chunks"]),
     ]
     return spark.createDataFrame(rows, "stage_no int, stage string, n_docs bigint")
 
@@ -7398,6 +7424,7 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY = [
     # -- round-4 late additions (never driver-recorded) --
     "wet_roundtrip", "doc_decontam_fuzzy", "host_spam_mass",
+    "doc_containment_pairs",
     # -- never driver-recorded (r1-r3 window always cut before them) --
     "retrieval_index_build", "doc_embedding", "ann_derived_topk",
     "semantic_dedup_derived", "bitext_url_scored_derived",
@@ -7417,10 +7444,11 @@ _PRIORITY = [
     "process_table_subfields", "dimension_as_of_lookup",
     "export_pdf_roundtrip", "corrected_table_cells",
     # -- changed by this round's code (re-stamp under the new code); the
-    # span-dedup pair and extract_page_metadata rotate out to make room
-    # for the three late additions (their operators are untouched this
-    # round and they hold r3-green driver rows)
-    "curation_funnel", "doc_lang_id", "extract_corpus_stats",
+    # span-dedup pair and the extract_* entries rotate out to make room
+    # for the four late additions (their operators hold r3-green driver
+    # rows, and the kernel change is golden-pinned by pytest + the
+    # session's byte-identity drive)
+    "curation_funnel", "doc_lang_id",
 ]
 
 

@@ -420,3 +420,35 @@ def test_winnowed_postings_kernel_matches_expression_twin(spark):
         a = sorted((r["id"], r["pos"], r["h"]) for r in kern.collect())
         b = sorted((r["id"], r["pos"], r["h"]) for r in expr.collect())
         assert a == b
+
+
+def test_winnow_containment_directed(spark):
+    """Planted containment: B = A's text wrapped in extra chrome. A is
+    contained in B (high containment A->B), B is NOT contained in A, and
+    symmetric near-dup overlap can miss the pair entirely when the chrome
+    dominates. An unrelated doc pairs with nothing."""
+    from ocr_platform_spark.operators.dedup import (
+        winnow_containment_pairs,
+        winnow_fp_postings,
+    )
+
+    article = " ".join(f"body{i} content{i} sentence{i}" for i in range(12))
+    chrome = " ".join(f"nav{i} footer{i} sidebar{i} banner{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, article),                       # the inner article
+            (2, chrome + " " + article),        # outer page wrapping it
+            (3, "totally unrelated text about warehouse inventory"),
+        ],
+        "doc_id long, text string",
+    )
+    posts = winnow_fp_postings(df, "doc_id", "text")
+    rows = {
+        (r["id_in"], r["id_out"]): r
+        for r in winnow_containment_pairs(posts, min_containment=0.8).collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)]["containment"] >= 0.8
+    assert (2, 1) not in rows            # outer doc is not contained in inner
+    assert not any(3 in k for k in rows)  # unrelated doc pairs with nothing
+    # directed rows come from one aggregate: shared counts agree
+    assert rows[(1, 2)]["n_fp_in"] < rows[(1, 2)]["n_fp_out"]

@@ -467,3 +467,40 @@ def test_corpus_build_refine_stages(spark, tmp_path):
     assert m["n_chunks"] >= len(kept)
     assert res["kept_docs"] == len(kept)
     docs.unpersist()
+
+
+def test_refine_fuzzy_decontam_stage(spark):
+    """The fuzzy pass catches paraphrased eval leakage the exact 8-gram
+    rule misses: a corpus doc that is the eval doc with every 7th word
+    swapped shares NO 8 consecutive words (exact stage keeps it) but keeps
+    high shingle Jaccard (fuzzy stage drops it). Unrelated docs survive
+    both; metrics reconcile."""
+    from ocr_platform_spark.plans.pipeline import corpus_refine_stages
+
+    # token spelling chosen so the banded signatures collide for this pair
+    # (LSH recall is probabilistic per content, deterministic per bytes —
+    # jaccard 0.417 here, band-hit verified; see fuzzy recall notes in
+    # operators/decontam.py)
+    base = [f"tok0w{i}" for i in range(36)]
+    para = list(base)
+    for i in range(6, 36, 7):
+        para[i] = f"sw0x{i}"
+    ev = spark.createDataFrame([(1000, " ".join(base))], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(para)),                      # paraphrase: fuzzy only
+            (2, " ".join(base)),                      # verbatim: exact stage
+            (3, "a completely unrelated document about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    out, _, m = corpus_refine_stages(
+        corpus,
+        decontam_eval=ev,
+        decontam_n=8,
+        decontam_fuzzy_threshold=0.3,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert m["decontam_dropped"] == 1        # doc 2 (verbatim)
+    assert m["decontam_fuzzy_dropped"] == 1  # doc 1 (paraphrase)
+    assert kept == {3}
