@@ -264,3 +264,119 @@ def fuzzy_decontam_verdicts(
         F.col("jaccard").alias("best_jaccard"),
         F.coalesce(F.col("jaccard") >= threshold, F.lit(False)).alias("contaminated"),
     )
+
+
+def banding_candidates_multi(
+    hs_c: DataFrame,
+    hs_e: DataFrame,
+    k: int = 16,
+    rows_per_band_list: tuple[int, ...] = (1, 2, 4, 8),
+) -> DataFrame:
+    """(rows_per_band, n_bands, id, eval_id) — the band-collision candidate
+    pairs of :func:`fuzzy_decontam_candidates` swept over several banding
+    configurations at once (same signature family, same broadcast-eval
+    asymmetry). Feed :func:`banding_recall_report` to size the bands for a
+    target eval set: more rows per band = fewer, stricter bands = lower
+    candidate volume AND lower recall."""
+    from functools import reduce
+
+    from ocr_platform_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signature_from_hashes,
+    )
+
+    sig_c = hs_c.select("id", minhash_signature_from_hashes("hs", k).alias("sig"))
+    sig_e = hs_e.select(
+        "eval_id", minhash_signature_from_hashes("hs", k).alias("sig")
+    )
+    frames = []
+    for r in rows_per_band_list:
+        bc = sig_c.select(
+            "id",
+            F.posexplode(minhash_bands("sig", k, r)).alias("band_id", "band_hash"),
+        )
+        be = sig_e.select(
+            "eval_id",
+            F.posexplode(minhash_bands("sig", k, r)).alias("band_id", "band_hash"),
+        )
+        frames.append(
+            bc.join(F.broadcast(be), ["band_id", "band_hash"])
+            .select(
+                F.lit(r).alias("rows_per_band"),
+                F.lit(k // r).alias("n_bands"),
+                "id",
+                "eval_id",
+            )
+            .distinct()
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def banding_recall_report(
+    hs_c: DataFrame,
+    hs_e: DataFrame,
+    cands: DataFrame,
+    k: int = 16,
+    rows_per_band_list: tuple[int, ...] = (1, 2, 4, 8),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(rows_per_band, n_bands, n_true, n_caught, recall) — banding recall
+    against the EXACT-Jaccard ground truth: of the (train, eval) pairs whose
+    true shingle Jaccard reaches ``threshold``, what fraction does each
+    banding configuration surface as a candidate? The measurement that lets
+    a user size (k, rows_per_band) for their eval set instead of trusting
+    the 1-(1-j^r)^b formula on faith — the same justify-the-approximation
+    discipline as ``ann_lsh_recall``.
+
+    Ground truth is computed sparsely (explode + equi-join on the shingle
+    hash, never all-pairs): pairs with zero shared shingles can't reach any
+    positive threshold, so the join IS exhaustive for thresholds > 0. The
+    eval side is benchmark-sized → broadcast; the config dimension is a
+    literal VALUES table so configs with zero candidates still report.
+    Everything downstream of the staged frames is exact relational
+    arithmetic — the catalog oracle replays truth, catch counts, and recall
+    from the same bytes."""
+    spark = hs_c.sparkSession
+    tr = hs_c.select("id", F.explode("hs").alias("h"))
+    eg = hs_e.select("eval_id", F.explode("hs").alias("h"))
+    inter = (
+        tr.join(F.broadcast(eg), "h")
+        .groupBy("id", "eval_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    truth = (
+        inter.join(hs_c.select("id", F.size("hs").alias("na")), "id")
+        .join(F.broadcast(hs_e.select("eval_id", F.size("hs").alias("nb"))), "eval_id")
+        .where(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+            >= threshold
+        )
+        .select("id", "eval_id")
+    )
+    cfg = spark.createDataFrame(
+        [(r, k // r) for r in rows_per_band_list], "rows_per_band int, n_bands int"
+    )
+    caught = (
+        cands.join(truth, ["id", "eval_id"])
+        .groupBy("rows_per_band")
+        .agg(F.count("*").alias("n_caught"))
+    )
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    return (
+        cfg.crossJoin(F.broadcast(n_true))
+        .join(F.broadcast(caught), "rows_per_band", "left")
+        .select(
+            "rows_per_band",
+            "n_bands",
+            "n_true",
+            F.coalesce("n_caught", F.lit(0)).alias("n_caught"),
+            F.when(
+                F.col("n_true") > 0,
+                F.round(
+                    F.coalesce("n_caught", F.lit(0)).cast("double") / F.col("n_true"),
+                    4,
+                ),
+            ).alias("recall"),
+        )
+    )

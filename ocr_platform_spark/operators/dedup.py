@@ -894,6 +894,15 @@ def repeated_spans(
         .select("h")
     )
     marked = postings.join(rep, "h", "left_semi").select("id", "pos")
+    return merge_position_islands(marked, k)
+
+
+def merge_position_islands(marked: DataFrame, k: int) -> DataFrame:
+    """(id, span_start, span_end) — gaps-and-islands merge of marked k-gram
+    positions into maximal spans (``span_end`` exclusive): a position opens
+    a new span iff it starts past the furthest end seen so far. Shared by
+    every span-marking caller (repeated-span, containment-strip); the
+    windows partition BY DOCUMENT, so the sort is doc-local and bounded."""
     w_prev = (
         Window.partitionBy("id")
         .orderBy("pos")
@@ -941,6 +950,18 @@ def strip_repeated_spans(
     if postings is None:
         postings = char_gram_postings(df, id_col, text_col, k)
     spans = repeated_spans(postings, k=k, min_df=min_df)
+    return cut_spans(df, spans, id_col, text_col)
+
+
+def cut_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, text, n_spans_cut, n_chars_cut) — rebuild every document of
+    ``df`` with the character intervals in ``spans`` (id, span_start,
+    span_end — half-open, non-overlapping) REMOVED; docs without spans
+    pass through untouched. The relational text-surgery tail shared by
+    ExactSubstr cut and containment strip — see the caller docstrings for
+    the cross-engine byte-exactness contract."""
     w = Window.partitionBy("id").orderBy("span_start")
     # segment BEFORE each span: [previous span's end, this span's start)
     pre = spans.select(
@@ -998,3 +1019,90 @@ def strip_repeated_spans(
             F.coalesce("n_chars_cut", F.lit(0)).cast("long").alias("n_chars_cut"),
         )
     )
+
+
+# --- containment-driven span strip --------------------------------------------
+#
+# The curation policy :func:`winnow_containment_pairs` leaves to the caller:
+# instead of DROPPING a document that wraps another (syndication chrome,
+# quote-inclusion, list pages embedding full posts), keep it and CUT the
+# contained material out — the wrapper's own content (commentary, titles,
+# surrounding list items) survives, and the duplicated article body is
+# removed exactly once from the corpus. Composition of the containment
+# detector with the ExactSubstr cut machinery above: pairs say WHICH docs to
+# operate on, char-gram matching against the paired inner doc says WHERE to
+# cut, :func:`cut_spans` does the byte-exact surgery.
+
+
+def contained_spans(
+    outer_postings: DataFrame,
+    inner_hashes: DataFrame,
+    pairs: DataFrame,
+    k: int = 30,
+) -> DataFrame:
+    """(id, span_start, span_end) on each OUTER document: maximal merged
+    spans whose k-gram hash also occurs in a paired INNER document.
+
+    ``outer_postings`` is (id, pos, h) positional char-gram postings of the
+    outer-side docs; ``inner_hashes`` (id_in, h) DISTINCT gram hashes of the
+    inner-side docs; ``pairs`` (id_in, id_out) directed containment pairs.
+    A position is marked iff ANY of the outer doc's paired inner docs
+    contains the gram (left-semi through the pair table — matches via two
+    different inner docs mark once). Everything is exact relational
+    arithmetic over the three frames, so the catalog oracle replays the
+    whole chain from the staged bytes.
+
+    Scale shape: the pair table is containment-output-sized (tiny vs the
+    corpus), so the pairs join broadcasts; the semi-join key (id_in, h)
+    co-partitions with the inner hash table; islands merge per outer doc
+    (doc-sized windows). Postings exist ONLY for pair participants — the
+    caller restricts the corpus before exploding grams."""
+    marked = (
+        outer_postings.join(
+            F.broadcast(pairs.select(F.col("id_out").alias("id"), "id_in")), "id"
+        )
+        .join(inner_hashes, ["id_in", "h"], "left_semi")
+        .select("id", "pos")
+        .distinct()
+    )
+    return merge_position_islands(marked, k)
+
+
+def strip_contained_spans(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 30,
+    persist_stage=None,
+) -> DataFrame:
+    """(id, text, n_spans_cut, n_chars_cut) — every OUTER document of a
+    directed containment pair rebuilt with the material it shares with its
+    paired inner doc(s) cut out; one output row per distinct ``id_out``.
+
+    The corpus is restricted to pair PARTICIPANTS before any gram explode —
+    postings volume scales with the containment pair set, not the corpus.
+    ``persist_stage(df, name)`` materializes the three kernel-boundary
+    frames (``"pairs"``, ``"outer_posts"``, ``"inner_hs"``) so a second
+    engine can replay the mark+cut tail (the ``doc_containment_strip``
+    catalog oracle does)."""
+    if persist_stage is None:
+        persist_stage = lambda d, name: d  # noqa: E731
+    p = persist_stage(pairs.select("id_in", "id_out").distinct(), "pairs")
+    outer = df.join(
+        p.select(F.col("id_out").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    inner = df.join(
+        p.select(F.col("id_in").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    outer_posts = persist_stage(
+        char_gram_postings(outer, id_col, text_col, k), "outer_posts"
+    )
+    inner_hs = persist_stage(
+        char_gram_postings(inner, id_col, text_col, k)
+        .select(F.col("id").alias("id_in"), "h")
+        .distinct(),
+        "inner_hs",
+    )
+    spans = contained_spans(outer_posts, inner_hs, p, k)
+    return cut_spans(outer, spans, id_col, text_col)

@@ -149,6 +149,8 @@ def corpus_refine_stages(
     decontam_eval: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_fuzzy_threshold: float | None = None,
+    decontam_fuzzy_k: int = 16,
+    decontam_fuzzy_rows_per_band: int = 2,
     semdedup_threshold_q6: int | None = None,
     semdedup_n_lists: int = 16,
     chunk_budget: int | None = None,
@@ -202,6 +204,8 @@ def corpus_refine_stages(
             decontam_eval,
             id_col,
             text_col,
+            k=decontam_fuzzy_k,
+            rows_per_band=decontam_fuzzy_rows_per_band,
             threshold=decontam_fuzzy_threshold,
             persist_stage=persist_fuzzy,
         )
@@ -274,6 +278,8 @@ def run_corpus_build_job(
     decontam_eval: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_fuzzy_threshold: float | None = None,
+    decontam_fuzzy_k: int = 16,
+    decontam_fuzzy_rows_per_band: int = 2,
     semdedup_threshold_q6: int | None = None,
     semdedup_n_lists: int = 16,
     chunk_budget: int | None = None,
@@ -508,6 +514,8 @@ def run_corpus_build_job(
         decontam_eval=decontam_eval,
         decontam_n=decontam_n,
         decontam_fuzzy_threshold=decontam_fuzzy_threshold,
+        decontam_fuzzy_k=decontam_fuzzy_k,
+        decontam_fuzzy_rows_per_band=decontam_fuzzy_rows_per_band,
         semdedup_threshold_q6=semdedup_threshold_q6,
         semdedup_n_lists=semdedup_n_lists,
     )

@@ -1382,6 +1382,79 @@ def doc_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "decontam_lsh_recall",
+    f"""
+    WITH hs AS (SELECT * FROM read_parquet('{staged_glob("drecall_hs_train")}')),
+    ev AS (SELECT * FROM read_parquet('{staged_glob("drecall_hs_eval")}')),
+    c AS (SELECT * FROM read_parquet('{staged_glob("drecall_cands")}')),
+    tr AS (SELECT id, unnest(hs) AS h FROM hs),
+    eg AS (SELECT eval_id, unnest(hs) AS h FROM ev),
+    inter AS (
+      SELECT tr.id, eg.eval_id, COUNT(*) AS n_common
+      FROM tr JOIN eg USING (h) GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.id, i.eval_id
+      FROM inter i JOIN hs ON hs.id = i.id JOIN ev ON ev.eval_id = i.eval_id
+      WHERE CAST(i.n_common AS DOUBLE)
+            / (len(hs.hs) + len(ev.hs) - i.n_common) >= 0.5
+    ),
+    cfg(rows_per_band, n_bands) AS (VALUES (1, 16), (2, 8), (4, 4), (8, 2)),
+    caught AS (
+      SELECT c.rows_per_band, COUNT(*) AS n_caught
+      FROM c JOIN truth USING (id, eval_id) GROUP BY 1
+    ),
+    tc AS (SELECT COUNT(*) AS n_true FROM truth)
+    SELECT CAST(cfg.rows_per_band AS INT) AS rows_per_band,
+           CAST(cfg.n_bands AS INT) AS n_bands,
+           tc.n_true,
+           COALESCE(ca.n_caught, 0) AS n_caught,
+           CASE WHEN tc.n_true > 0
+                THEN round(CAST(COALESCE(ca.n_caught, 0) AS DOUBLE) / tc.n_true, 4)
+           END AS recall
+    FROM cfg CROSS JOIN tc
+    LEFT JOIN caught ca ON ca.rows_per_band = cfg.rows_per_band
+    ORDER BY rows_per_band
+    """,
+)
+def decontam_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-recall report for fuzzy decontamination (operators/decontam.
+    banding_recall_report): of the (train, eval) pairs whose EXACT shingle
+    Jaccard reaches the 0.5 contamination threshold, what fraction does each
+    MinHash banding configuration (k=16; 16×1 / 8×2 / 4×4 / 2×8 bands)
+    surface as a candidate? The sizing table a user reads before picking
+    ``decontam_fuzzy_rows_per_band`` — the same justify-the-approximation
+    discipline as ``ann_lsh_recall``. Ground truth is sparse (explode +
+    equi-join on the shingle hash — exhaustive for thresholds > 0, never
+    all-pairs); the eval side broadcasts. The hashed shingle sets and the
+    multi-config candidates are staged; BOTH engines replay truth, catch
+    counts, and recall."""
+    from ocr_platform_spark.operators.decontam import (
+        banding_candidates_multi,
+        banding_recall_report,
+    )
+    from ocr_platform_spark.operators.dedup import hashed_shingle_sets
+
+    d = _t(spark, sf_dir, "documents")
+    hs_c = stage(
+        hashed_shingle_sets(d.where(F.col("doc_id") % 7 != 0), "doc_id", "text"),
+        "drecall_hs_train",
+        partitions=4,
+    )
+    hs_e = stage(
+        hashed_shingle_sets(
+            d.where(F.col("doc_id") % 7 == 0), "doc_id", "text"
+        ).withColumnRenamed("id", "eval_id"),
+        "drecall_hs_eval",
+        partitions=1,
+    )
+    cands = stage(banding_candidates_multi(hs_c, hs_e), "drecall_cands", partitions=1)
+    return banding_recall_report(hs_c, hs_e, cands, threshold=0.5).orderBy(
+        "rows_per_band"
+    )
+
+
+@q(
     "doc_split_assign",
     f"""
     WITH b AS (
@@ -4702,6 +4775,107 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_containment_pairs(
         posts, min_shared=2, max_df=64, min_containment=0.8
     ).orderBy("id_in", "id_out")
+
+
+@q(
+    "doc_containment_strip",
+    f"""
+    WITH pr AS (SELECT * FROM read_parquet('{staged_glob("cstrip_pairs")}')),
+    op AS (SELECT * FROM read_parquet('{staged_glob("cstrip_outer_posts")}')),
+    ih AS (SELECT * FROM read_parquet('{staged_glob("cstrip_inner_hs")}')),
+    m AS (
+      SELECT DISTINCT op.id, op.pos
+      FROM op JOIN pr ON pr.id_out = op.id
+              JOIN ih ON ih.id_in = pr.id_in AND ih.h = op.h
+    ),
+    pe AS (
+      SELECT id, pos,
+             MAX(pos + 30) OVER (
+               PARTITION BY id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM m
+    ),
+    i AS (
+      SELECT id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM pe
+    ),
+    spans AS (
+      SELECT id, MIN(pos) AS span_start, MAX(pos) + 30 AS span_end
+      FROM i GROUP BY id, island
+    ),
+    docs AS (
+      SELECT d.doc_id AS id, d.text FROM documents d
+      JOIN (SELECT DISTINCT id_out FROM pr) o ON o.id_out = d.doc_id
+    ),
+    segs AS (
+      SELECT id,
+             COALESCE(LAG(span_end) OVER (PARTITION BY id ORDER BY span_start), 0)
+               AS seg_start,
+             span_start AS seg_end
+      FROM spans
+      UNION ALL
+      SELECT s.id, MAX(s.span_end), length(d.text)
+      FROM spans s JOIN docs d ON s.id = d.id
+      GROUP BY s.id, length(d.text)
+    ),
+    stats AS (
+      SELECT id, COUNT(*) AS n_spans_cut,
+             SUM(span_end - span_start) AS n_chars_cut
+      FROM spans GROUP BY id
+    ),
+    rebuilt AS (
+      SELECT segs.id,
+             string_agg(
+               substr(d.text, seg_start + 1, greatest(seg_end - seg_start, 0)),
+               '' ORDER BY seg_start) AS cut
+      FROM segs JOIN docs d ON segs.id = d.id
+      GROUP BY segs.id
+    )
+    SELECT d.id AS doc_id, COALESCE(r.cut, d.text) AS text,
+           COALESCE(st.n_spans_cut, 0) AS n_spans_cut,
+           CAST(COALESCE(st.n_chars_cut, 0) AS BIGINT) AS n_chars_cut
+    FROM docs d
+    LEFT JOIN rebuilt r ON d.id = r.id
+    LEFT JOIN stats st ON d.id = st.id
+    ORDER BY doc_id
+    """,
+)
+def doc_containment_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-driven CURATION CUT (operators/dedup.strip_contained_
+    spans): instead of dropping a document that near-contains another
+    (``doc_containment_pairs``' verdict), keep it and cut out the spans it
+    shares with its paired inner doc(s) — syndication chrome and list-page
+    commentary survive, the duplicated article body leaves the corpus
+    exactly once. The directed pairs, the outer docs' positional char-gram
+    postings, and the inner docs' distinct gram hashes are staged; BOTH
+    engines replay the pair-scoped semi-join marking, the gaps-and-islands
+    span merge, and the byte-exact complement-segment surgery. Postings
+    exist only for pair participants — volume scales with the containment
+    set, not the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    posts = dedup.winnow_fp_postings(d, "doc_id", "text")
+    pairs = dedup.winnow_containment_pairs(
+        posts, min_shared=2, max_df=64, min_containment=0.8
+    )
+    names = {
+        "pairs": ("cstrip_pairs", 1),
+        "outer_posts": ("cstrip_outer_posts", 4),
+        "inner_hs": ("cstrip_inner_hs", 2),
+    }
+    return dedup.strip_contained_spans(
+        d,
+        pairs,
+        "doc_id",
+        "text",
+        k=30,
+        persist_stage=lambda df, name: stage(
+            df, names[name][0], partitions=names[name][1]
+        ),
+    ).orderBy("doc_id")
 
 
 @q(

@@ -452,3 +452,45 @@ def test_winnow_containment_directed(spark):
     assert not any(3 in k for k in rows)  # unrelated doc pairs with nothing
     # directed rows come from one aggregate: shared counts agree
     assert rows[(1, 2)]["n_fp_in"] < rows[(1, 2)]["n_fp_out"]
+
+
+def test_strip_contained_spans_cuts_only_shared_material(spark):
+    """Containment-driven cut: the outer page keeps its own chrome, loses
+    the wrapped article body; the inner article and unrelated docs are not
+    output rows (only id_out participants are operated on)."""
+    from ocr_platform_spark.operators.dedup import (
+        strip_contained_spans,
+        winnow_containment_pairs,
+        winnow_fp_postings,
+    )
+
+    article = " ".join(f"body{i} content{i} sentence{i}" for i in range(12))
+    chrome_a = " ".join(f"nav{i} footer{i} sidebar{i} banner{i}" for i in range(15))
+    chrome_b = " ".join(f"menu{i} widget{i} promo{i} legal{i}" for i in range(15))
+    outer_text = chrome_a + " " + article + " " + chrome_b
+    df = spark.createDataFrame(
+        [
+            (1, article),
+            (2, outer_text),
+            (3, "totally unrelated text about warehouse inventory"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_containment_pairs(
+        winnow_fp_postings(df, "doc_id", "text"), min_containment=0.8
+    )
+    got = {
+        r["doc_id"]: r
+        for r in strip_contained_spans(df, pairs, "doc_id", "text", k=30).collect()
+    }
+    assert set(got) == {2}  # only the outer doc is rewritten
+    r = got[2]
+    assert article not in r["text"]
+    # both chrome flanks survive (edges may lose < k advisory chars where
+    # a gram straddles the chrome/article boundary)
+    assert r["text"].startswith(chrome_a[: len(chrome_a) - 30])
+    assert r["text"].rstrip().endswith(chrome_b[30:])
+    assert r["n_spans_cut"] >= 1
+    assert len(outer_text) - len(r["text"]) == r["n_chars_cut"]
+    # the cut is at least the article body minus gram-edge slack
+    assert r["n_chars_cut"] >= len(article) - 2 * 30
