@@ -104,6 +104,10 @@ HEADLINE = [
     "doc_decontam_fuzzy",
     "host_spam_mass",
     "doc_containment_pairs",
+    "decontam_lsh_recall",
+    "doc_containment_strip",
+    "dedup_lsh_recall",
+    "quality_threshold_sweep",
 ]
 
 

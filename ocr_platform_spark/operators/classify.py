@@ -225,3 +225,120 @@ def confusion_matrix(
         .agg(F.count("*").alias("n_docs"))
         .orderBy("actual", "predicted")
     )
+
+
+def class_margin_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    pos_label: str,
+    neg_label: str,
+    per_occurrence: bool = False,
+) -> DataFrame:
+    """(id, pos_score, neg_score, margin) — per-document integer evidence
+    of a BINARY model: the positive class's summed token weights, the
+    negative class's, and their difference. This is the quality-classifier
+    deployment shape (keep a document iff ``margin >= threshold``) — the
+    argmax of :func:`classify_documents` is the special case threshold=0
+    with ties to the lexicographically smaller label. Documents whose every
+    token is out-of-vocabulary for BOTH classes emit no row (no evidence,
+    no verdict). All-integer, so a second engine reproduces every margin
+    exactly."""
+    tokfn = doc_tokens if per_occurrence else doc_distinct_tokens
+    toks = tokfn(docs, id_col, text_col)
+    return (
+        toks.join(weights, "token")
+        .groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("label") == pos_label, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("pos_score"),
+            F.sum(F.when(F.col("label") == neg_label, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("neg_score"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "pos_score",
+            "neg_score",
+            (F.col("pos_score") - F.col("neg_score")).alias("margin"),
+        )
+    )
+
+
+def threshold_sweep(
+    margins: DataFrame,
+    truth: DataFrame,
+    id_col: str,
+    label_col: str,
+    pos_label: str,
+    thresholds: tuple[int, ...] = (-6, -4, -2, 0, 2, 4, 6),
+) -> DataFrame:
+    """(threshold, n_kept, n_pos_kept, n_pos_total, n_scored, precision,
+    recall, keep_rate) — the calibration table a user reads BEFORE picking
+    a quality-classifier threshold (the FineWeb-Edu / DCLM recipe: sweep
+    the cutoff on labeled held-out data, pick by target precision or
+    keep-rate). One labeled-doc × threshold expansion (the threshold
+    dimension is a literal VALUES table — tiny, broadcast), exact integer
+    counts per cell, ratios as correctly-rounded doubles at the very end;
+    a second engine replays the whole sweep from the staged margins.
+    Thresholds with an empty kept set still report (left join from the
+    config table)."""
+    spark = margins.sparkSession
+    j = margins.join(
+        truth.select(F.col(id_col), F.col(label_col).alias("actual")), id_col
+    )
+    cfg = spark.createDataFrame([(t,) for t in thresholds], "threshold int")
+    kept = (
+        j.crossJoin(F.broadcast(cfg))
+        .where(F.col("margin") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.when(F.col("actual") == pos_label, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos_kept"),
+        )
+    )
+    totals = j.agg(
+        F.count("*").alias("n_scored"),
+        F.sum(F.when(F.col("actual") == pos_label, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos_total"),
+    )
+    return (
+        cfg.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(kept), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_pos_kept", F.lit(0)).cast("long").alias("n_pos_kept"),
+            "n_pos_total",
+            "n_scored",
+            F.when(
+                F.coalesce("n_kept", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_pos_kept", F.lit(0)).cast("double")
+                    / F.col("n_kept"),
+                    4,
+                ),
+            ).alias("precision"),
+            F.when(
+                F.col("n_pos_total") > 0,
+                F.round(
+                    F.coalesce("n_pos_kept", F.lit(0)).cast("double")
+                    / F.col("n_pos_total"),
+                    4,
+                ),
+            ).alias("recall"),
+            F.when(
+                F.col("n_scored") > 0,
+                F.round(
+                    F.coalesce("n_kept", F.lit(0)).cast("double")
+                    / F.col("n_scored"),
+                    4,
+                ),
+            ).alias("keep_rate"),
+        )
+    )

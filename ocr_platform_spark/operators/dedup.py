@@ -1106,3 +1106,118 @@ def strip_contained_spans(
     )
     spans = contained_spans(outer_posts, inner_hs, p, k)
     return cut_spans(outer, spans, id_col, text_col)
+
+
+# --- banding-recall calibration ------------------------------------------------
+#
+# The justify-the-approximation discipline applied to the near-dup family
+# itself (the ANN ladder has ann_lsh_recall, decontamination has
+# banding_recall_report): before trusting the 1-(1-j^r)^b curve, measure —
+# on a bounded calibration sample — what fraction of the TRUE Jaccard-
+# threshold pairs each (k, rows_per_band) banding actually surfaces,
+# including the effect of the max_bucket truncation the production
+# operator really runs with.
+
+
+def banding_candidates_multi_self(
+    hs: DataFrame,
+    k: int = 16,
+    rows_per_band_list: tuple[int, ...] = (1, 2, 4, 8),
+    max_bucket: int = 64,
+) -> DataFrame:
+    """(rows_per_band, n_bands, id_a, id_b) — the self-join band-collision
+    candidate pairs of :func:`minhash_candidate_pairs` swept over several
+    banding configurations at once, from one shared signature table. Feed
+    :func:`dedup_banding_recall_report` to size the bands for a corpus:
+    more rows per band = fewer, stricter bands = lower candidate volume
+    AND lower recall. ``max_bucket`` is applied per configuration exactly
+    as the production operator applies it, so the measured recall includes
+    the truncation's cost."""
+    from functools import reduce
+
+    sig = hs.select("id", minhash_signature_from_hashes("hs", k).alias("sig"))
+    frames = []
+    for r in rows_per_band_list:
+        banded = sig.select(
+            "id",
+            F.posexplode(minhash_bands("sig", k, r)).alias("band_id", "band_hash"),
+        )
+        frames.append(
+            _bucket_pairs(banded, "id", max_bucket).select(
+                F.lit(r).alias("rows_per_band"),
+                F.lit(k // r).alias("n_bands"),
+                "id_a",
+                "id_b",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def dedup_banding_recall_report(
+    hs: DataFrame,
+    cands: DataFrame,
+    k: int = 16,
+    rows_per_band_list: tuple[int, ...] = (1, 2, 4, 8),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(rows_per_band, n_bands, n_true, n_caught, recall) — banding recall
+    against the EXACT-Jaccard ground truth: of the (a, b) pairs whose true
+    shingle Jaccard reaches ``threshold``, what fraction does each banding
+    configuration surface as a candidate?
+
+    Ground truth is computed sparsely (explode + self-equi-join on the
+    shingle hash with ``id_a < id_b``, never all-pairs): pairs with zero
+    shared shingles can't reach any positive threshold, so the join IS
+    exhaustive for thresholds > 0. Its volume is Σ df(h)² over shingle
+    hashes — a CALIBRATION-RUN shape (run it on a bounded sample of the
+    corpus to size the bands), not a corpus-wide operator; the production
+    path stays :func:`minhash_candidate_pairs`. The config dimension is a
+    literal VALUES table so configs with zero candidates still report.
+    Everything downstream of the staged frames is exact relational
+    arithmetic — the catalog oracle replays truth, catch counts, and
+    recall from the same bytes."""
+    spark = hs.sparkSession
+    tr = hs.select("id", F.explode("hs").alias("h"))
+    a, b = tr.alias("a"), tr.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = hs.select("id", F.size("hs").alias("n"))
+    truth = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .where(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    cfg = spark.createDataFrame(
+        [(r, k // r) for r in rows_per_band_list], "rows_per_band int, n_bands int"
+    )
+    caught = (
+        cands.join(truth, ["id_a", "id_b"])
+        .groupBy("rows_per_band")
+        .agg(F.count("*").alias("n_caught"))
+    )
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    return (
+        cfg.crossJoin(F.broadcast(n_true))
+        .join(F.broadcast(caught), "rows_per_band", "left")
+        .select(
+            "rows_per_band",
+            "n_bands",
+            "n_true",
+            F.coalesce("n_caught", F.lit(0)).alias("n_caught"),
+            F.when(
+                F.col("n_true") > 0,
+                F.round(
+                    F.coalesce("n_caught", F.lit(0)).cast("double") / F.col("n_true"),
+                    4,
+                ),
+            ).alias("recall"),
+        )
+    )

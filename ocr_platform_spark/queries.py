@@ -2225,6 +2225,72 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_lsh_recall",
+    f"""
+    WITH hs AS (SELECT * FROM read_parquet('{staged_glob("ddrecall_hs")}')),
+    c AS (SELECT * FROM read_parquet('{staged_glob("ddrecall_cands")}')),
+    tr AS (SELECT id, unnest(hs) AS h FROM hs),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM tr a JOIN tr b ON a.h = b.h AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN hs ha ON ha.id = i.id_a JOIN hs hb ON hb.id = i.id_b
+      WHERE CAST(i.n_common AS DOUBLE)
+            / (len(ha.hs) + len(hb.hs) - i.n_common) >= 0.5
+    ),
+    cfg(rows_per_band, n_bands) AS (VALUES (1, 16), (2, 8), (4, 4), (8, 2)),
+    caught AS (
+      SELECT c.rows_per_band, COUNT(*) AS n_caught
+      FROM c JOIN truth USING (id_a, id_b) GROUP BY 1
+    ),
+    tc AS (SELECT COUNT(*) AS n_true FROM truth)
+    SELECT CAST(cfg.rows_per_band AS INT) AS rows_per_band,
+           CAST(cfg.n_bands AS INT) AS n_bands,
+           tc.n_true,
+           COALESCE(ca.n_caught, 0) AS n_caught,
+           CASE WHEN tc.n_true > 0
+                THEN round(CAST(COALESCE(ca.n_caught, 0) AS DOUBLE) / tc.n_true, 4)
+           END AS recall
+    FROM cfg CROSS JOIN tc
+    LEFT JOIN caught ca ON ca.rows_per_band = cfg.rows_per_band
+    ORDER BY rows_per_band
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-recall report for MinHash near-dup dedup (operators/dedup.
+    dedup_banding_recall_report): of the (a, b) pairs whose EXACT shingle
+    Jaccard reaches the 0.5 dedup threshold, what fraction does each
+    banding configuration (k=16; 16×1 / 8×2 / 4×4 / 2×8 bands, production
+    max_bucket=64 applied) surface as a candidate? The sizing table a user
+    reads before picking ``minhash_candidate_pairs``' (k, rows_per_band) —
+    completing the justify-the-approximation family (``ann_lsh_recall``
+    for ANN, ``decontam_lsh_recall`` for decontamination). Ground truth is
+    sparse (explode + self-equi-join on the shingle hash with id_a < id_b —
+    exhaustive for thresholds > 0, never all-pairs; a calibration-sample
+    shape, not a corpus-wide operator). The hashed shingle sets and the
+    multi-config candidates are staged; BOTH engines replay truth, catch
+    counts, and recall."""
+    from ocr_platform_spark.operators.dedup import (
+        banding_candidates_multi_self,
+        dedup_banding_recall_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hs = stage(
+        dedup.hashed_shingle_sets(d, "doc_id", "text"), "ddrecall_hs", partitions=4
+    )
+    cands = stage(
+        banding_candidates_multi_self(hs), "ddrecall_cands", partitions=1
+    )
+    return dedup_banding_recall_report(hs, cands, threshold=0.5).orderBy(
+        "rows_per_band"
+    )
+
+
+@q(
     "doc_repeated_spans",
     f"""
     WITH p AS (SELECT * FROM read_parquet('{staged_glob("span_postings")}')),
@@ -6763,6 +6829,123 @@ def doc_topic_classifier_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "quality_threshold_sweep",
+    f"""
+    WITH t AS (
+      SELECT doc_id, label,
+             list_distinct(regexp_split_to_array(text, ' ')) AS toks
+      FROM read_parquet('{staged_glob("qsweep_corpus")}')
+    ),
+    tok AS (SELECT doc_id, label, unnest(toks) AS token FROM t),
+    w AS (
+      SELECT label, token, CAST(length(bin(COUNT(*))) AS INT) AS w
+      FROM tok WHERE doc_id % 5 <> 0
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    m AS (
+      SELECT tok.doc_id,
+             CAST(SUM(CASE WHEN w.label = 'quality' THEN w.w ELSE 0 END)
+                  AS BIGINT) AS pos_score,
+             CAST(SUM(CASE WHEN w.label = 'spam' THEN w.w ELSE 0 END)
+                  AS BIGINT) AS neg_score
+      FROM tok JOIN w ON tok.token = w.token
+      WHERE tok.doc_id % 5 = 0
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT m.doc_id, m.pos_score - m.neg_score AS margin, t.label AS actual
+      FROM m JOIN (SELECT DISTINCT doc_id, label
+                   FROM read_parquet('{staged_glob("qsweep_corpus")}')) t
+           USING (doc_id)
+    ),
+    cfg(threshold) AS (VALUES (-6), (-4), (-2), (0), (2), (4), (6)),
+    kept AS (
+      SELECT cfg.threshold, COUNT(*) AS n_kept,
+             CAST(SUM(CASE WHEN actual = 'quality' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos_kept
+      FROM cfg JOIN j ON j.margin >= cfg.threshold GROUP BY 1
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_scored,
+             CAST(SUM(CASE WHEN actual = 'quality' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos_total
+      FROM j
+    )
+    SELECT CAST(cfg.threshold AS INT) AS threshold,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.n_pos_kept, 0) AS n_pos_kept,
+           tot.n_pos_total, tot.n_scored,
+           CASE WHEN COALESCE(k.n_kept, 0) > 0
+                THEN round(CAST(COALESCE(k.n_pos_kept, 0) AS DOUBLE)
+                           / k.n_kept, 4)
+           END AS "precision",
+           CASE WHEN tot.n_pos_total > 0
+                THEN round(CAST(COALESCE(k.n_pos_kept, 0) AS DOUBLE)
+                           / tot.n_pos_total, 4)
+           END AS recall,
+           CASE WHEN tot.n_scored > 0
+                THEN round(CAST(COALESCE(k.n_kept, 0) AS DOUBLE)
+                           / tot.n_scored, 4)
+           END AS keep_rate
+    FROM cfg CROSS JOIN tot
+    LEFT JOIN kept k ON k.threshold = cfg.threshold
+    ORDER BY threshold
+    """,
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier threshold calibration (operators/classify.
+    class_margin_scores + threshold_sweep) — the FineWeb-Edu / DCLM recipe:
+    train a binary quality-vs-spam model, score held-out labeled docs with
+    the integer margin (quality evidence minus spam evidence), and sweep
+    the keep threshold, reporting precision / recall / keep-rate per cut so
+    a user picks the threshold by target precision or token budget instead
+    of defaulting to argmax. The labeled corpus is synthesized
+    deterministically in-query (two classes drawing 40 tokens each from
+    overlapping 15-token slices of a 24-token vocabulary — 6 shared tokens
+    make margins spread instead of saturating) and STAGED; both engines
+    retrain the presence model on the ``doc_id % 5 != 0`` split, recompute
+    every margin, and replay the whole sweep. All-integer until the final
+    correctly-rounded ratio columns."""
+    from ocr_platform_spark.operators.classify import (
+        class_margin_scores,
+        threshold_sweep,
+        train_class_token_weights,
+    )
+
+    vocab = F.array(*[F.lit(t) for t in _CLF_VOCAB])
+    labels = F.array(F.lit("quality"), F.lit("spam"))
+    cls = F.pmod("id", F.lit(2))
+    base = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(labels, (cls + 1).cast("int")).alias("label"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda j: F.element_at(
+                    vocab,
+                    (
+                        cls * 9
+                        + F.pmod(F.xxhash64(F.col("id"), j), F.lit(15))
+                        + 1
+                    ).cast("int"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    corpus = stage(base, "qsweep_corpus")
+    train = corpus.where(F.col("doc_id") % 5 != 0)
+    test = corpus.where(F.col("doc_id") % 5 == 0)
+    weights = train_class_token_weights(train, "label", "doc_id", "text", min_count=2)
+    margins = class_margin_scores(
+        test, weights, "doc_id", "text", pos_label="quality", neg_label="spam"
+    )
+    return threshold_sweep(
+        margins, corpus, "doc_id", "label", pos_label="quality"
+    ).orderBy("threshold")
+
+
+@q(
     "url_bloom_resume",
     f"""
     WITH flags AS (SELECT * FROM read_parquet('{staged_glob("bloom_flags")}')),
@@ -7586,14 +7769,17 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
-# green; this round the window rotates to the 50 entries that have never
-# appeared in a CORRECTNESS_r*.json (round-4 additions — derived
+# green; this round the window rotates to 50 of the 52 entries that have
+# never appeared in a CORRECTNESS_r*.json (round-4 additions — derived
 # embeddings, retrieval-index flagship, strided ExactSubstr, crawl/export
 # tails, fuzzy decontamination + its banding-recall report, the
 # containment pair/strip policy — plus older entries that always sat past
-# the cap). Cumulative driver coverage after this round: 137/137. Every
-# entry remains runnable and oracle-checked by tools/oracle_check.py and
-# tests/test_oracle_parity.py regardless of position.
+# the cap). The two newest calibration reports (dedup_lsh_recall,
+# quality_threshold_sweep) sit at positions 51-52 and take the round-5
+# window; cumulative driver coverage: 137/139 after this round, 139/139
+# after round 5. Every entry remains runnable and oracle-checked by
+# tools/oracle_check.py and tests/test_oracle_parity.py regardless of
+# position.
 _PRIORITY = [
     # -- round-4 late additions (never driver-recorded) --
     "wet_roundtrip", "doc_decontam_fuzzy", "host_spam_mass",
@@ -7616,6 +7802,8 @@ _PRIORITY = [
     "ingest_path_hygiene", "field_option_dispatch", "blocklist_filter",
     "process_table_subfields", "dimension_as_of_lookup",
     "export_pdf_roundtrip", "corrected_table_cells",
+    # -- positions 51-52: newest calibration reports, round-5 window --
+    "dedup_lsh_recall", "quality_threshold_sweep",
 ]
 
 

@@ -174,3 +174,80 @@ def test_multinomial_mode_learns_frequency_signal(spark):
     }
     assert rel == ms
     d.unpersist()
+
+
+def _binary_corpus(spark, n=300):
+    """Two classes drawing from overlapping 15-token slices (6 shared)."""
+    vocab = F.array(*[F.lit(t) for t in _VOCAB])
+    labels = F.array(F.lit("quality"), F.lit("spam"))
+    cls = F.pmod("id", F.lit(2))
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(labels, (cls + 1).cast("int")).alias("label"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda j: F.element_at(
+                    vocab,
+                    (cls * 9 + F.pmod(F.xxhash64(F.col("id"), j), F.lit(15)) + 1)
+                    .cast("int"),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def test_threshold_sweep_monotone_and_argmax_consistent(spark):
+    """The sweep's kept-set shrinks as the threshold rises; threshold 0
+    reproduces exactly the argmax classifier's 'quality' verdicts (margin
+    >= 0 ≡ score tie breaking to the lexicographically smaller label)."""
+    from ocr_platform_spark.operators.classify import (
+        class_margin_scores,
+        threshold_sweep,
+    )
+
+    d = _binary_corpus(spark).cache()
+    train = d.where(F.col("doc_id") % 5 != 0)
+    test = d.where(F.col("doc_id") % 5 == 0)
+    w = train_class_token_weights(train, "label", "doc_id", "text").cache()
+    margins = class_margin_scores(
+        test, w, "doc_id", "text", pos_label="quality", neg_label="spam"
+    ).cache()
+
+    rows = {
+        r["threshold"]: r
+        for r in threshold_sweep(
+            margins, d, "doc_id", "label", pos_label="quality",
+            thresholds=(-100, -2, 0, 2, 100),
+        ).collect()
+    }
+    assert set(rows) == {-100, -2, 0, 2, 100}
+    n_scored = rows[0]["n_scored"]
+    assert n_scored == margins.count() > 0
+    # monotone: higher cut keeps fewer, recalls less
+    ts = sorted(rows)
+    for lo, hi in zip(ts, ts[1:]):
+        assert rows[lo]["n_kept"] >= rows[hi]["n_kept"]
+        assert rows[lo]["n_pos_kept"] >= rows[hi]["n_pos_kept"]
+    # a cut below every margin keeps everything (keep_rate 1.0, recall 1.0)
+    assert rows[-100]["n_kept"] == n_scored
+    assert rows[-100]["keep_rate"] == 1.0 and rows[-100]["recall"] == 1.0
+    # a cut above every margin keeps nothing; ratio columns go NULL/0
+    assert rows[100]["n_kept"] == 0 and rows[100]["precision"] is None
+    assert rows[100]["recall"] == 0.0
+
+    # threshold-0 kept set == argmax 'quality' predictions, doc for doc
+    kept0 = {
+        r["doc_id"]
+        for r in margins.where(F.col("margin") >= 0).select("doc_id").collect()
+    }
+    argmax_quality = {
+        r["doc_id"]
+        for r in classify_documents(test, w, "doc_id", "text")
+        .where(F.col("predicted") == "quality")
+        .select("doc_id")
+        .collect()
+    }
+    assert kept0 == argmax_quality
+    d.unpersist(); w.unpersist(); margins.unpersist()

@@ -494,3 +494,42 @@ def test_strip_contained_spans_cuts_only_shared_material(spark):
     assert len(outer_text) - len(r["text"]) == r["n_chars_cut"]
     # the cut is at least the article body minus gram-edge slack
     assert r["n_chars_cut"] >= len(article) - 2 * 30
+
+
+def test_dedup_banding_recall_monotone(spark):
+    """Recall is non-increasing in rows_per_band (stricter bands catch
+    fewer true pairs); an exact-duplicate pair is caught by EVERY config
+    (identical signatures collide in every band)."""
+    from ocr_platform_spark.operators.dedup import (
+        banding_candidates_multi_self,
+        dedup_banding_recall_report,
+        hashed_shingle_sets,
+    )
+
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    near = base.replace("alpha3", "ALPHA3").replace("beta7", "BETA7")
+    rows = [(1, base), (2, base), (3, near)] + [
+        (10 + i, " ".join(f"tok{i}x{j} y{i}z{j} q{i}w{j}" for j in range(18)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hs = hashed_shingle_sets(df, "doc_id", "text").cache()
+    cands = banding_candidates_multi_self(hs).cache()
+    rep = {
+        r["rows_per_band"]: r
+        for r in dedup_banding_recall_report(hs, cands, threshold=0.5).collect()
+    }
+    assert set(rep) == {1, 2, 4, 8}
+    assert all(r["n_bands"] == 16 // k for k, r in rep.items())
+    n_true = rep[1]["n_true"]
+    assert n_true >= 2  # (1,2) identical and (1,3)/(2,3) near pairs
+    assert all(r["n_true"] == n_true for r in rep.values())
+    # monotone non-increasing recall as bands get stricter
+    assert (
+        rep[1]["n_caught"] >= rep[2]["n_caught"]
+        >= rep[4]["n_caught"] >= rep[8]["n_caught"]
+    )
+    # the identical pair survives even the strictest config
+    assert rep[8]["n_caught"] >= 1
+    assert rep[1]["recall"] <= 1.0 and rep[1]["recall"] > 0
+    hs.unpersist(); cands.unpersist()
