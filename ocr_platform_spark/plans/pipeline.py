@@ -275,6 +275,7 @@ def run_corpus_build_job(
     lm_max_oov_pct: int = 10,
     classifier_weights: DataFrame | None = None,
     classifier_keep: tuple[str, ...] = (),
+    classifier_margin: tuple[str, str, int] | None = None,
     decontam_eval: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_fuzzy_threshold: float | None = None,
@@ -321,7 +322,12 @@ def run_corpus_build_job(
     3d. **Classifier gate** (``classifier_weights=<trained NB model>``,
        ``classifier_keep=<labels to keep>``; operators/classify.py): a
        pretrained integer-NB document classifier routes documents in one
-       broadcast Arrow pass — the fastText wiki-vs-spam slot.
+       broadcast Arrow pass — the fastText wiki-vs-spam slot. Pass
+       ``classifier_margin=(pos_label, neg_label, threshold)`` instead of
+       ``classifier_keep`` to gate on the BINARY margin (pos evidence
+       minus neg evidence ≥ threshold) — the calibrated-cutoff deployment
+       the ``quality_threshold_sweep`` report sizes (FineWeb-Edu/DCLM
+       recipe); argmax keep-set is the threshold-0 special case.
     4. **Curate** (plans/curation.run_curation_funnel): the single-pass
        observe-counted funnel — quality/lang/repetition gates fused into
        one scan, exact + MinHash + winnowing dedup — over the EXTRACTED
@@ -480,7 +486,22 @@ def run_corpus_build_job(
         curin = curin.join(keeps, "doc_id", "left_semi")
 
     clf_metrics = None
-    if classifier_weights is not None:
+    if classifier_weights is not None and classifier_margin is not None:
+        # Margin-threshold deployment of a BINARY quality model: keep a
+        # document iff (pos evidence − neg evidence) ≥ the calibrated
+        # cutoff the quality_threshold_sweep report picked. The model
+        # table is vocabulary-sized → the token join broadcasts; the
+        # corpus left-semi-joins the doc-id-sized keep set.
+        from ocr_platform_spark.operators.classify import class_margin_scores
+
+        pos_label, neg_label, cut = classifier_margin
+        margins = class_margin_scores(
+            curin, classifier_weights, "doc_id", "text", pos_label, neg_label
+        )
+        ckeeps = margins.where(F.col("margin") >= cut).select("doc_id")
+        clf_metrics = {"kept": ckeeps.count(), "mode": "margin", "threshold": cut}
+        curin = curin.join(ckeeps, "doc_id", "left_semi")
+    elif classifier_weights is not None:
         # Trained-classifier gate (operators/classify.py) — the fastText
         # slot: a PRETRAINED integer-NB model (trained on labeled data
         # elsewhere, e.g. wiki-vs-spam) routes documents; only predictions
@@ -493,7 +514,7 @@ def run_corpus_build_job(
         ckeeps = pred.where(F.col("predicted").isin(list(classifier_keep))).select(
             "doc_id"
         )
-        clf_metrics = {"kept": ckeeps.count()}
+        clf_metrics = {"kept": ckeeps.count(), "mode": "argmax"}
         curin = curin.join(ckeeps, "doc_id", "left_semi")
 
     report, details = run_curation_funnel(

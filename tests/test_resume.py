@@ -367,8 +367,31 @@ def test_corpus_build_classifier_gate(spark, tmp_path):
     on_in = {s: n for _no, s, n in res_on["funnel"]}["input"]
     off_in = {s: n for _no, s, n in res_off["funnel"]}["input"]
     assert res_on["classifier_gate"]["kept"] == on_in
+    assert res_on["classifier_gate"]["mode"] == "argmax"
     assert res_off["classifier_gate"] is None
     assert off_in - on_in == n_spam  # exactly the marker pages gated out
+
+    # margin-threshold deployment of the same binary model: threshold 0
+    # reproduces the argmax gate (ham ties included), a cut below every
+    # margin keeps all pages — the calibrated-cutoff knob the
+    # quality_threshold_sweep report sizes.
+    with mock.patch.object(staging, "STAGE_ROOT", str(tmp_path / "s3")):
+        res_m0 = run_corpus_build_job(
+            spark, tagged, str(tmp_path / "t3"), run_id="g3",
+            para_min_df=None,
+            classifier_weights=model, classifier_margin=("ham", "spam", 0),
+        )
+    with mock.patch.object(staging, "STAGE_ROOT", str(tmp_path / "s4")):
+        res_mlo = run_corpus_build_job(
+            spark, tagged, str(tmp_path / "t4"), run_id="g4",
+            para_min_df=None,
+            classifier_weights=model, classifier_margin=("ham", "spam", -1000),
+        )
+    m0_in = {s: n for _no, s, n in res_m0["funnel"]}["input"]
+    mlo_in = {s: n for _no, s, n in res_mlo["funnel"]}["input"]
+    assert res_m0["classifier_gate"] == {"kept": m0_in, "mode": "margin", "threshold": 0}
+    assert m0_in == on_in  # threshold 0 ≡ argmax for this label pair
+    assert mlo_in == off_in  # a floor cut gates nothing
     docs.unpersist()
 
 
