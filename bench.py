@@ -108,6 +108,7 @@ HEADLINE = [
     "doc_containment_strip",
     "dedup_lsh_recall",
     "quality_threshold_sweep",
+    "doc_decontam_by_suite",
 ]
 
 

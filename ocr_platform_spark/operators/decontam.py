@@ -380,3 +380,59 @@ def banding_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def eval_ngram_set_by_suite(
+    eval_df: DataFrame, suite_col: str = "suite", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """(suite, g) — the distinct n-gram universe of each eval SUITE. A real
+    decontamination run checks the corpus against dozens of benchmarks at
+    once and must report which benchmark leaked where (dropping is
+    corpus-wide, but the audit is per-suite) — this is the per-suite twin
+    of :func:`eval_ngram_set`, one explode over the whole eval table."""
+    return (
+        eval_df.select(
+            F.col(suite_col).alias("suite"),
+            F.explode(word_ngrams_strict(decontam_tokens(text_col), n)).alias("g"),
+        )
+        .distinct()
+    )
+
+
+def contamination_by_suite(
+    corpus: DataFrame,
+    suite_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(id, suite, n_hits, contaminated) — one row per (document, suite)
+    pair with at least one shared n-gram: how many of the doc's DISTINCT
+    n-grams appear in that suite. The per-benchmark contamination audit —
+    union all suites' hits for the drop set, keep the per-suite rows for
+    the report (which benchmark leaked, how hard, into which documents).
+
+    Scale shape: identical to :func:`mark_contaminated` — the whole
+    multi-suite gram table is still benchmark-sized and broadcasts; the
+    corpus explodes its grams once regardless of suite count; the only
+    aggregate keys on (doc, suite). Clean documents emit no row (the
+    hit-pair table is contamination-sized, not corpus × suites)."""
+    per_doc = corpus.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams_strict(decontam_tokens(text_col), n)).alias(
+            "_grams"
+        ),
+    )
+    return (
+        per_doc.select("id", F.explode("_grams").alias("g"))
+        .join(F.broadcast(suite_grams), "g")
+        .groupBy("id", "suite")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.col("id").alias(id_col),
+            "suite",
+            "n_hits",
+            (F.col("n_hits") >= min_hits).alias("contaminated"),
+        )
+    )

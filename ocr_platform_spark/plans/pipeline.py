@@ -146,6 +146,7 @@ def corpus_refine_stages(
     curated: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    containment_strip_min: float | None = None,
     decontam_eval: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_fuzzy_threshold: float | None = None,
@@ -158,11 +159,13 @@ def corpus_refine_stages(
     persist_fuzzy=None,
 ) -> tuple[DataFrame, DataFrame | None, dict]:
     """The post-curation refinement tail shared by the composed job and
-    the ``corpus_build_report`` catalog query: optional benchmark
-    decontamination (left-anti on exact word n-gram overlap with the eval
-    set, operators/decontam.py) → optional SemDedup over embeddings
-    DERIVED FROM TEXT (operators/embed.py + semdedup.py — no pregenerated
-    vectors) → optional paragraph chunking of the survivors
+    the ``corpus_build_report`` catalog query: optional containment-driven
+    span strip (wrapper pages keep their own content, lose the wrapped
+    article body — operators/dedup.strip_contained_spans) → optional
+    benchmark decontamination (left-anti on exact word n-gram overlap with
+    the eval set, operators/decontam.py) → optional SemDedup over
+    embeddings DERIVED FROM TEXT (operators/embed.py + semdedup.py — no
+    pregenerated vectors) → optional paragraph chunking of the survivors
     (operators/chunking.py).
 
     Returns ``(survivors, chunks_or_None, metrics)``. ``persist_assign``
@@ -176,6 +179,42 @@ def corpus_refine_stages(
     shuffle beyond the cluster regroup SemDedup inherently needs."""
     metrics: dict = {}
     out = curated
+    if containment_strip_min is not None:
+        from ocr_platform_spark.operators.dedup import (
+            strip_contained_spans,
+            winnow_containment_pairs,
+            winnow_fp_postings,
+        )
+
+        # Containment-driven CUT (operators/dedup.strip_contained_spans):
+        # a doc that near-contains another keeps its own chrome/commentary
+        # but loses the wrapped material — the duplicated body leaves the
+        # corpus exactly once, without dropping the wrapper wholesale.
+        # Postings explode only for pair PARTICIPANTS; the rewritten rows
+        # (containment-set-sized) are persisted and patched back over the
+        # corpus with a left join + coalesce — docs outside any pair keep
+        # their text expression untouched.
+        posts = winnow_fp_postings(out, id_col, text_col)
+        pairs = winnow_containment_pairs(
+            posts, min_containment=containment_strip_min
+        )
+        cut = _staged(
+            strip_contained_spans(out, pairs, id_col, text_col)
+        )
+        c = cut.agg(
+            F.count("*").alias("n"), F.sum("n_chars_cut").alias("ch")
+        ).first()
+        metrics["containment_rewritten"] = int(c["n"])
+        metrics["containment_chars_cut"] = int(c["ch"] or 0)
+        out = (
+            out.join(
+                cut.select(F.col(id_col), F.col(text_col).alias("_cut_text")),
+                id_col,
+                "left",
+            )
+            .withColumn(text_col, F.coalesce("_cut_text", F.col(text_col)))
+            .drop("_cut_text")
+        )
     if decontam_eval is not None:
         from ocr_platform_spark.operators.decontam import (
             eval_ngram_set,
@@ -276,6 +315,7 @@ def run_corpus_build_job(
     classifier_weights: DataFrame | None = None,
     classifier_keep: tuple[str, ...] = (),
     classifier_margin: tuple[str, str, int] | None = None,
+    containment_strip_min: float | None = None,
     decontam_eval: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_fuzzy_threshold: float | None = None,
@@ -528,10 +568,12 @@ def run_corpus_build_job(
         stage_prefix=stage_prefix,
     )
 
-    # post-curation refinement: decontamination → SemDedup (derived
-    # embeddings) → (chunking happens AFTER the budget cut, below)
+    # post-curation refinement: containment strip → decontamination →
+    # SemDedup (derived embeddings) → (chunking happens AFTER the budget
+    # cut, below)
     refined, _, refine_metrics = corpus_refine_stages(
         details["curated"].select("doc_id", "text"),
+        containment_strip_min=containment_strip_min,
         decontam_eval=decontam_eval,
         decontam_n=decontam_n,
         decontam_fuzzy_threshold=decontam_fuzzy_threshold,

@@ -1322,6 +1322,65 @@ def doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_decontam_by_suite",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+            FROM t WHERE len(ts) >= 8)
+    ),
+    ev AS (
+      SELECT DISTINCT
+             CASE WHEN doc_id % 14 = 0 THEN 'suite_a' ELSE 'suite_b' END AS suite,
+             g
+      FROM g WHERE doc_id % 7 = 0
+    ),
+    tg AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 7 <> 0)
+    SELECT tg.doc_id, ev.suite,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           COUNT(*) >= 1 AS contaminated
+    FROM tg JOIN ev USING (g)
+    GROUP BY 1, 2
+    ORDER BY doc_id, suite
+    """,
+)
+def doc_decontam_by_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark contamination audit (operators/decontam.
+    contamination_by_suite): the eval pool (``doc_id % 7 = 0``) is split
+    into two suites (``% 14`` → suite_a, the rest suite_b) and every
+    training doc reports, PER SUITE, how many of its distinct 8-grams
+    leak — the audit a real decontamination run publishes alongside the
+    corpus-wide drop set (which benchmark leaked, how hard, into which
+    documents). Clean (doc, suite) pairs emit no row. The multi-suite gram
+    table stays benchmark-sized and broadcasts; the corpus explodes its
+    grams exactly once regardless of suite count. Staging-free oracle:
+    DuckDB recomputes gram construction, suite assignment, and the
+    per-(doc, suite) tallies from the raw parquet."""
+    from ocr_platform_spark.operators.decontam import (
+        contamination_by_suite,
+        eval_ngram_set_by_suite,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ev_docs = d.where(F.col("doc_id") % 7 == 0).select(
+        F.when(F.col("doc_id") % 14 == 0, F.lit("suite_a"))
+        .otherwise(F.lit("suite_b"))
+        .alias("suite"),
+        "text",
+    )
+    sg = eval_ngram_set_by_suite(ev_docs, "suite", "text", n=8)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    return contamination_by_suite(train, sg, "doc_id", "text", n=8).orderBy(
+        "doc_id", "suite"
+    )
+
+
+@q(
     "doc_decontam_fuzzy",
     f"""
     WITH hs AS (SELECT * FROM read_parquet('{staged_glob("fdecon_hs_train")}')),
@@ -7774,9 +7833,9 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embeddings, retrieval-index flagship, strided ExactSubstr, crawl/export
 # tails, fuzzy decontamination + its banding-recall report, the
 # containment pair/strip policy — plus older entries that always sat past
-# the cap). The two newest calibration reports (dedup_lsh_recall,
-# quality_threshold_sweep) sit at positions 51-52 and take the round-5
-# window; cumulative driver coverage: 137/139 after this round, 139/139
+# the cap). The newest entries (dedup_lsh_recall, quality_threshold_sweep,
+# doc_decontam_by_suite) sit at positions 51-53 and take the round-5
+# window; cumulative driver coverage: 137/140 after this round, 140/140
 # after round 5. Every entry remains runnable and oracle-checked by
 # tools/oracle_check.py and tests/test_oracle_parity.py regardless of
 # position.
@@ -7802,8 +7861,8 @@ _PRIORITY = [
     "ingest_path_hygiene", "field_option_dispatch", "blocklist_filter",
     "process_table_subfields", "dimension_as_of_lookup",
     "export_pdf_roundtrip", "corrected_table_cells",
-    # -- positions 51-52: newest calibration reports, round-5 window --
-    "dedup_lsh_recall", "quality_threshold_sweep",
+    # -- positions 51-53: newest entries, round-5 window --
+    "dedup_lsh_recall", "quality_threshold_sweep", "doc_decontam_by_suite",
 ]
 
 

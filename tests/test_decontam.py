@@ -104,3 +104,36 @@ def test_mark_contaminated_fuzzy_best_is_max_then_min_eval_id(spark):
     assert row["n_candidates"] == 2
     assert row["best_eval_id"] == 5
     assert row["contaminated"]
+
+
+def test_contamination_by_suite_partitions_hits(spark):
+    """Per-suite audit: a doc leaking into both suites reports two rows
+    with independent gram tallies; a doc leaking into one reports one;
+    clean docs report none."""
+    from ocr_platform_spark.operators.decontam import (
+        contamination_by_suite,
+        eval_ngram_set_by_suite,
+    )
+
+    s_a = " ".join(f"qa{i}" for i in range(10))        # suite_a passage
+    s_b = " ".join(f"mc{i}" for i in range(10))        # suite_b passage
+    ev = spark.createDataFrame(
+        [("suite_a", s_a), ("suite_b", s_b)], "suite string, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, s_a + " " + s_b),              # leaks into both
+            (2, "filler " + s_b + " trailer"), # suite_b only
+            (3, "nothing shared here at all with any benchmark passage x y z w v u t s"),
+        ],
+        "doc_id long, text string",
+    )
+    sg = eval_ngram_set_by_suite(ev, "suite", "text", n=8)
+    rows = {
+        (r["doc_id"], r["suite"]): r["n_hits"]
+        for r in contamination_by_suite(corpus, sg, "doc_id", "text", n=8).collect()
+    }
+    assert set(rows) == {(1, "suite_a"), (1, "suite_b"), (2, "suite_b")}
+    assert rows[(1, "suite_a")] == 3  # 8-grams of a 10-token passage
+    assert rows[(1, "suite_b")] == 3
+    assert rows[(2, "suite_b")] == 3

@@ -527,3 +527,30 @@ def test_refine_fuzzy_decontam_stage(spark):
     assert m["decontam_dropped"] == 1        # doc 2 (verbatim)
     assert m["decontam_fuzzy_dropped"] == 1  # doc 1 (paraphrase)
     assert kept == {3}
+
+
+def test_refine_containment_strip_stage(spark):
+    """The containment stage REWRITES the wrapper page (its own chrome
+    survives, the wrapped article body is cut) and leaves every other doc
+    byte-untouched; no rows are dropped, metrics count the surgery."""
+    from ocr_platform_spark.plans.pipeline import corpus_refine_stages
+
+    article = " ".join(f"body{i} content{i} sentence{i}" for i in range(12))
+    chrome_a = " ".join(f"nav{i} footer{i} sidebar{i} banner{i}" for i in range(15))
+    chrome_b = " ".join(f"menu{i} widget{i} promo{i} legal{i}" for i in range(15))
+    outer_text = chrome_a + " " + article + " " + chrome_b
+    corpus = spark.createDataFrame(
+        [
+            (1, article),
+            (2, outer_text),
+            (3, "totally unrelated text about warehouse inventory"),
+        ],
+        "doc_id long, text string",
+    )
+    out, _, m = corpus_refine_stages(corpus, containment_strip_min=0.8)
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(rows) == {1, 2, 3}  # strip never drops rows
+    assert rows[1] == article and "warehouse" in rows[3]  # untouched
+    assert article not in rows[2] and rows[2].startswith(chrome_a[:40])
+    assert m["containment_rewritten"] == 1
+    assert m["containment_chars_cut"] == len(outer_text) - len(rows[2])
