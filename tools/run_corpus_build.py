@@ -14,10 +14,13 @@ Usage (cluster — the north rule's ship story):
 The engine's end-to-end story as one job (plans/pipeline.py
 run_corpus_build_job): extract (resumable, lineage-committed) →
 canonical-url dedup → optional PII scrub → paragraph dedup → optional
-compression + pretrained-LM gates → single-pass curation funnel →
-token-budget cut → sharded sink with write-audit manifest. Prints the run
-metrics (funnel rows, per-stage observations, shard manifest totals) as
-one JSON line.
+compression + pretrained-LM + classifier gates (argmax keep-set or the
+calibrated margin threshold the quality_threshold_sweep report sizes) →
+single-pass curation funnel → optional containment strip / benchmark
+decontamination (exact + fuzzy) / SemDedup refinement → token-budget cut
+→ optional paragraph chunking → sharded sink with write-audit manifest.
+Prints the run metrics (funnel rows, per-stage observations, shard
+manifest totals) as one JSON line.
 """
 
 from __future__ import annotations
@@ -53,6 +56,54 @@ def main() -> int:
         default=None,
         help="parquet dir of pretrained (bigram, c) reference counts",
     )
+    ap.add_argument(
+        "--classifier-weights",
+        default=None,
+        help="parquet dir of a pretrained (label, token, w) NB model",
+    )
+    ap.add_argument(
+        "--classifier-keep",
+        default=None,
+        help="comma-separated labels the argmax gate keeps",
+    )
+    ap.add_argument(
+        "--classifier-margin",
+        default=None,
+        help="pos:neg:threshold — gate on the binary margin instead of "
+        "argmax (the quality_threshold_sweep-calibrated cutoff)",
+    )
+    ap.add_argument(
+        "--containment-strip-min",
+        type=float,
+        default=None,
+        help="rewrite wrapper pages whose fingerprint containment of "
+        "another doc reaches this fraction (cut the wrapped body)",
+    )
+    ap.add_argument(
+        "--decontam-eval",
+        default=None,
+        help="parquet dir of eval/benchmark texts to decontaminate against",
+    )
+    ap.add_argument("--decontam-n", type=int, default=8)
+    ap.add_argument(
+        "--decontam-fuzzy-threshold",
+        type=float,
+        default=None,
+        help="also drop near-matches at this shingle-Jaccard (fuzzy pass)",
+    )
+    ap.add_argument(
+        "--semdedup-threshold-q6",
+        type=int,
+        default=None,
+        help="SemDedup cosine threshold in x1e6 units over derived embeddings",
+    )
+    ap.add_argument("--semdedup-n-lists", type=int, default=16)
+    ap.add_argument(
+        "--chunk-budget",
+        type=int,
+        default=None,
+        help="emit paragraph-boundary chunks of at most this many tokens",
+    )
     ap.add_argument("--n-shards", type=int, default=64)
     ap.add_argument(
         "--epoch-budget",
@@ -81,6 +132,24 @@ def main() -> int:
         lo, hi = args.compression_band.split(":", 1)
         band = (int(lo), int(hi))
     lm_counts = spark.read.parquet(args.lm_counts) if args.lm_counts else None
+    clf_weights = (
+        spark.read.parquet(args.classifier_weights)
+        if args.classifier_weights
+        else None
+    )
+    clf_margin = None
+    if args.classifier_margin:
+        pos, neg, cut = args.classifier_margin.split(":", 2)
+        clf_margin = (pos, neg, int(cut))
+    decontam_eval = (
+        spark.read.parquet(args.decontam_eval) if args.decontam_eval else None
+    )
+    if decontam_eval is not None and "doc_id" not in decontam_eval.columns:
+        # the fuzzy pass reports best_eval_id; derive a deterministic id
+        # from the text bytes when the eval parquet ships only text
+        from pyspark.sql import functions as F
+
+        decontam_eval = decontam_eval.withColumn("doc_id", F.xxhash64("text"))
 
     res = run_corpus_build_job(
         spark,
@@ -96,6 +165,18 @@ def main() -> int:
         honor_noindex=args.honor_noindex,
         compression_band=band,
         lm_counts=lm_counts,
+        classifier_weights=clf_weights,
+        classifier_keep=tuple(args.classifier_keep.split(","))
+        if args.classifier_keep
+        else (),
+        classifier_margin=clf_margin,
+        containment_strip_min=args.containment_strip_min,
+        decontam_eval=decontam_eval,
+        decontam_n=args.decontam_n,
+        decontam_fuzzy_threshold=args.decontam_fuzzy_threshold,
+        semdedup_threshold_q6=args.semdedup_threshold_q6,
+        semdedup_n_lists=args.semdedup_n_lists,
+        chunk_budget=args.chunk_budget,
         shard_output=(args.output, args.n_shards) if args.output else None,
         epoch_budget=args.epoch_budget,
         order_shards=args.order_shards,
@@ -103,6 +184,7 @@ def main() -> int:
     )
     res.pop("curated", None)  # DataFrame handle, not JSON
     res.pop("training_order", None)  # DataFrame handle, not JSON
+    res.pop("chunks", None)  # DataFrame handle, not JSON
     print(json.dumps(res, default=str))
     return 0
 
