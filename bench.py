@@ -109,6 +109,7 @@ HEADLINE = [
     "dedup_lsh_recall",
     "quality_threshold_sweep",
     "doc_decontam_by_suite",
+    "doc_decontam_strip",
 ]
 
 

@@ -436,3 +436,59 @@ def contamination_by_suite(
             (F.col("n_hits") >= min_hits).alias("contaminated"),
         )
     )
+
+
+def strip_eval_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+    persist_stage=None,
+) -> DataFrame:
+    """(id, text, n_spans_cut, n_chars_cut) — SURGICAL decontamination:
+    instead of dropping a whole training document that leaks benchmark
+    text (:func:`mark_contaminated`'s verdict), cut out exactly the
+    character spans whose ``k``-grams occur anywhere in the eval set —
+    the document's own prose survives, the quoted eval passage leaves the
+    corpus. One output row per corpus document that had something to cut;
+    untouched documents are the caller's anti-join complement.
+
+    Composition of the decontamination detector with the ExactSubstr cut
+    machinery (operators/dedup.py): corpus char-gram postings semi-join
+    the eval set's DISTINCT gram hashes, marked positions merge into
+    maximal spans per doc (gaps-and-islands, doc-local windows), and
+    ``cut_spans`` rebuilds the text byte-exactly. Restricting the corpus
+    to n-gram-flagged docs BEFORE exploding char grams keeps the postings
+    volume contamination-sized, not corpus-sized — do that restriction in
+    the caller (the catalog query does) when the flag set is available.
+
+    Scale shape: the eval gram table is benchmark-sized → broadcast
+    semi-join; islands/cut are doc-partitioned windows; zero corpus-wide
+    shuffles. ``persist_stage(df, name)`` materializes the two kernel
+    frames (``"corpus_posts"``, ``"eval_hs"``) so a second engine replays
+    the mark + merge + cut tail (the ``doc_decontam_strip`` oracle
+    does)."""
+    from ocr_platform_spark.operators.dedup import (
+        char_gram_postings,
+        cut_spans,
+        merge_position_islands,
+    )
+
+    if persist_stage is None:
+        persist_stage = lambda d, name: d  # noqa: E731
+    posts = persist_stage(
+        char_gram_postings(corpus, id_col, text_col, k), "corpus_posts"
+    )
+    eval_hs = persist_stage(
+        char_gram_postings(eval_df, id_col, text_col, k).select("h").distinct(),
+        "eval_hs",
+    )
+    marked = posts.join(F.broadcast(eval_hs), "h", "left_semi").select("id", "pos")
+    spans = merge_position_islands(marked, k)
+    hit_docs = corpus.join(
+        spans.select("id").distinct().withColumnRenamed("id", id_col),
+        id_col,
+        "left_semi",
+    )
+    return cut_spans(hit_docs, spans, id_col, text_col)

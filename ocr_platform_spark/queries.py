@@ -1381,6 +1381,109 @@ def doc_decontam_by_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_decontam_strip",
+    f"""
+    WITH po AS (SELECT * FROM read_parquet('{staged_glob("dstrip_posts")}')),
+    eh AS (SELECT * FROM read_parquet('{staged_glob("dstrip_eval_hs")}')),
+    m AS (SELECT po.id, po.pos FROM po JOIN eh USING (h)),
+    pe AS (
+      SELECT id, pos,
+             MAX(pos + 30) OVER (
+               PARTITION BY id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM m
+    ),
+    i AS (
+      SELECT id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM pe
+    ),
+    spans AS (
+      SELECT id, MIN(pos) AS span_start, MAX(pos) + 30 AS span_end
+      FROM i GROUP BY id, island
+    ),
+    docs AS (
+      SELECT d.doc_id AS id, d.text FROM documents d
+      JOIN (SELECT DISTINCT id FROM spans) s ON s.id = d.doc_id
+    ),
+    segs AS (
+      SELECT id,
+             COALESCE(LAG(span_end) OVER (PARTITION BY id ORDER BY span_start), 0)
+               AS seg_start,
+             span_start AS seg_end
+      FROM spans
+      UNION ALL
+      SELECT s.id, MAX(s.span_end), length(d.text)
+      FROM spans s JOIN docs d ON s.id = d.id
+      GROUP BY s.id, length(d.text)
+    ),
+    stats AS (
+      SELECT id, COUNT(*) AS n_spans_cut,
+             SUM(span_end - span_start) AS n_chars_cut
+      FROM spans GROUP BY id
+    ),
+    rebuilt AS (
+      SELECT segs.id,
+             string_agg(
+               substr(d.text, seg_start + 1, greatest(seg_end - seg_start, 0)),
+               '' ORDER BY seg_start) AS cut
+      FROM segs JOIN docs d ON segs.id = d.id
+      GROUP BY segs.id
+    )
+    SELECT d.id AS doc_id, r.cut AS text,
+           st.n_spans_cut,
+           CAST(st.n_chars_cut AS BIGINT) AS n_chars_cut
+    FROM docs d
+    JOIN rebuilt r ON d.id = r.id
+    JOIN stats st ON d.id = st.id
+    ORDER BY doc_id
+    """,
+)
+def doc_decontam_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL decontamination (operators/decontam.strip_eval_spans):
+    training docs flagged by the exact 8-gram rule are REWRITTEN — the
+    character spans whose 30-grams occur anywhere in the eval set
+    (``doc_id % 7 = 0``) are cut out, the doc's own prose survives —
+    instead of dropping whole documents (``doc_decontam``'s verdict).
+    The flag restriction runs FIRST, so char-gram postings exist only for
+    contaminated docs (contamination-sized, not corpus-sized); the eval
+    side stages its distinct gram hashes (benchmark-sized, broadcast).
+    BOTH engines replay the semi-join marking, the gaps-and-islands span
+    merge, and the byte-exact complement-segment surgery from the staged
+    frames."""
+    from ocr_platform_spark.operators.decontam import (
+        eval_ngram_set,
+        mark_contaminated,
+        strip_eval_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ev_docs = d.where(F.col("doc_id") % 7 == 0)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    ev = eval_ngram_set(ev_docs, "text", n=8)
+    flagged = (
+        mark_contaminated(train, ev, "doc_id", "text", n=8)
+        .where(F.col("contaminated"))
+        .select("doc_id")
+    )
+    hit = train.join(flagged, "doc_id", "left_semi")
+    names = {"corpus_posts": ("dstrip_posts", 4), "eval_hs": ("dstrip_eval_hs", 1)}
+    return strip_eval_spans(
+        hit,
+        ev_docs,
+        "doc_id",
+        "text",
+        k=30,
+        persist_stage=lambda df, name: stage(
+            df, names[name][0], partitions=names[name][1]
+        ),
+    ).orderBy("doc_id")
+
+
+@q(
     "doc_decontam_fuzzy",
     f"""
     WITH hs AS (SELECT * FROM read_parquet('{staged_glob("fdecon_hs_train")}')),
@@ -7834,9 +7937,10 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tails, fuzzy decontamination + its banding-recall report, the
 # containment pair/strip policy — plus older entries that always sat past
 # the cap). The newest entries (dedup_lsh_recall, quality_threshold_sweep,
-# doc_decontam_by_suite) sit at positions 51-53 and take the round-5
-# window; cumulative driver coverage: 137/140 after this round, 140/140
-# after round 5. Every entry remains runnable and oracle-checked by
+# doc_decontam_by_suite, doc_decontam_strip) sit at positions 51-54 and
+# take the round-5 window; cumulative driver coverage: 137/141 after this
+# round, 141/141 after round 5. Every entry remains runnable and
+# oracle-checked by
 # tools/oracle_check.py and tests/test_oracle_parity.py regardless of
 # position.
 _PRIORITY = [
@@ -7861,8 +7965,9 @@ _PRIORITY = [
     "ingest_path_hygiene", "field_option_dispatch", "blocklist_filter",
     "process_table_subfields", "dimension_as_of_lookup",
     "export_pdf_roundtrip", "corrected_table_cells",
-    # -- positions 51-53: newest entries, round-5 window --
+    # -- positions 51-54: newest entries, round-5 window --
     "dedup_lsh_recall", "quality_threshold_sweep", "doc_decontam_by_suite",
+    "doc_decontam_strip",
 ]
 
 

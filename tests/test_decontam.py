@@ -137,3 +137,31 @@ def test_contamination_by_suite_partitions_hits(spark):
     assert rows[(1, "suite_a")] == 3  # 8-grams of a 10-token passage
     assert rows[(1, "suite_b")] == 3
     assert rows[(2, "suite_b")] == 3
+
+
+def test_strip_eval_spans_cuts_only_leaked_passage(spark):
+    """Surgical decontamination: the doc quoting an eval passage keeps its
+    own prose and loses exactly the quoted span (± gram-edge slack); docs
+    with nothing shared emit no row."""
+    from ocr_platform_spark.operators.decontam import strip_eval_spans
+
+    passage = " ".join(f"bench{i} answer{i} option{i}" for i in range(10))
+    own_a = " ".join(f"intro{i} comment{i}" for i in range(12))
+    own_b = " ".join(f"closing{i} remark{i}" for i in range(12))
+    quoting = own_a + " " + passage + " " + own_b
+    ev = spark.createDataFrame([(100, passage)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, quoting), (2, "entirely original analysis of spark joins and shuffles")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in strip_eval_spans(corpus, ev, "doc_id", "text", k=30).collect()
+    }
+    assert set(got) == {1}
+    r = got[1]
+    assert passage not in r["text"]
+    assert r["text"].startswith(own_a[: len(own_a) - 30])
+    assert r["text"].rstrip().endswith(own_b[30:])
+    assert len(quoting) - len(r["text"]) == r["n_chars_cut"]
+    assert r["n_chars_cut"] >= len(passage) - 2 * 30
