@@ -533,3 +533,69 @@ def test_dedup_banding_recall_monotone(spark):
     assert rep[8]["n_caught"] >= 1
     assert rep[1]["recall"] <= 1.0 and rep[1]["recall"] > 0
     hs.unpersist(); cands.unpersist()
+
+
+def test_span_surgery_randomized_against_reference(spark):
+    """merge_position_islands + cut_spans vs a pure-Python reference over
+    hundreds of random (text, marked-positions) docs in one job each —
+    the shared surgery tail now serves three operators (ExactSubstr cut,
+    containment strip, surgical decontamination), so its island-merge and
+    complement-segment semantics are pinned here once, including the
+    sub-k overshoot edge (span_end past end-of-text cuts what exists and
+    still reports the declared span length)."""
+    import random
+
+    from ocr_platform_spark.operators.dedup import cut_spans, merge_position_islands
+
+    rng = random.Random(20260819)
+    k = 7
+    docs, marks = [], []
+    ref_spans: dict[int, list[tuple[int, int]]] = {}
+    for doc_id in range(120):
+        n = rng.randrange(0, 120)
+        text = "".join(rng.choice("abcdef ") for _ in range(n))
+        docs.append((doc_id, text))
+        hi = max(0, n - k)
+        poss = (
+            sorted(rng.sample(range(hi + 1), rng.randrange(0, min(12, hi + 1) + 1)))
+            if n
+            else []
+        )
+        spans: list[tuple[int, int]] = []
+        for p in poss:
+            marks.append((doc_id, p))
+            if spans and p <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], p + k)
+            else:
+                spans.append((p, p + k))
+        if spans:
+            ref_spans[doc_id] = spans
+    # sub-k overshoot edge: a 3-char doc marked at 0 → span (0, 7) past EOT
+    docs.append((9000, "abc"))
+    marks.append((9000, 0))
+    ref_spans[9000] = [(0, 7)]
+
+    marked = spark.createDataFrame(marks, "id long, pos int")
+    got_spans: dict[int, list[tuple[int, int]]] = {}
+    for r in merge_position_islands(marked, k).collect():
+        got_spans.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+    assert {i: sorted(v) for i, v in got_spans.items()} == ref_spans
+
+    spans_df = spark.createDataFrame(
+        [(i, s, e) for i, v in ref_spans.items() for (s, e) in v],
+        "id long, span_start int, span_end int",
+    )
+    docs_df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in cut_spans(docs_df, spans_df, "doc_id", "text").collect()}
+    assert set(got) == {d for d, _ in docs}
+    for doc_id, text in docs:
+        spans = ref_spans.get(doc_id, [])
+        kept, prev = [], 0
+        for s, e in spans:
+            kept.append(text[prev:s])
+            prev = max(prev, e)
+        kept.append(text[prev:])
+        r = got[doc_id]
+        assert r["text"] == "".join(kept), (doc_id, spans, text)
+        assert r["n_spans_cut"] == len(spans)
+        assert r["n_chars_cut"] == sum(e - s for s, e in spans)
