@@ -296,3 +296,20 @@ def test_retrieval_index_query_path_shape(spark):
     assert "CartesianProduct" not in plan
     win_specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert win_specs and all(("query_id" in s) or ("id" in s) for s in win_specs), win_specs
+
+
+def test_calibration_reports_read_staged_and_stay_jvm_side(spark):
+    """The banding-recall / threshold-sweep calibration family verifies
+    from staged bytes (the xxhash kernel ran exactly once, during staging)
+    and is pure relational arithmetic downstream — no Python eval, no
+    cartesian products (the config VALUES tables broadcast)."""
+    for qname in (
+        "dedup_lsh_recall",
+        "decontam_lsh_recall",
+        "quality_threshold_sweep",
+        "doc_decontam_strip",
+    ):
+        plan = _formatted(CATALOG[qname].fn(spark, SF))
+        assert "EvalPython" not in plan, qname
+        assert "CartesianProduct" not in plan, qname
+        assert "ocr_platform_spark_stage" in plan, qname
