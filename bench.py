@@ -110,6 +110,7 @@ HEADLINE = [
     "quality_threshold_sweep",
     "doc_decontam_by_suite",
     "doc_decontam_strip",
+    "corpus_bpe_encode",
 ]
 
 

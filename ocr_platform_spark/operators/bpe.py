@@ -359,3 +359,72 @@ def train_bpe_merges(
         merges.append((k, pair, cnt))
         syms = _apply_merge(syms, left, right).localCheckpoint(eager=True)
     return merges, syms
+
+
+def encode_with_segmentation(
+    docs: DataFrame, seg: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, ids) — ENCODE every document as its trained-BPE
+    token-id sequence, completing the tokenizer story (train → price →
+    encode): ``seg`` is the trained word→segmentation table
+    ``(word, toks array<string>)`` derived from the final symbol state of
+    :func:`train_bpe_merges`; out-of-vocabulary words (pruned below
+    ``min_count`` at train time) expand to their characters — the same
+    worst-case-BPE fallback as token pricing. Token ids are dense ranks
+    over the corpus's own emitted-token vocabulary ordered by token string
+    (a total order both engines agree on for the corpus's ascii-lowercase
+    tokens), and ``ids`` is the space-joined id sequence in document
+    order — scalar columns, so the catalog oracle hash-compares the full
+    encoding. Documents whose normalized text is empty emit no row.
+
+    Scale shape: the word stream joins the BROADCAST segmentation; the
+    vocabulary rank is a single-partition window over the DISTINCT token
+    table (vocabulary-sized — the documented bound, never the corpus);
+    the per-document regroup is the only corpus-wide shuffle, and the
+    in-document order is restored by a row-local array_sort, not a
+    window."""
+    from pyspark.sql import Window
+
+    w = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(normalized_text(text_col), " "), lambda x: x != F.lit("")
+            )
+        ).alias("wpos", "word"),
+    )
+    exp = w.join(F.broadcast(seg), "word", "left").select(
+        "id",
+        "wpos",
+        F.coalesce(
+            "toks",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ),
+        ).alias("toks"),
+    )
+    tok = exp.select("id", "wpos", F.posexplode("toks").alias("tpos", "token"))
+    vocab = (
+        tok.select("token")
+        .distinct()
+        .select(
+            "token",
+            F.row_number().over(Window.orderBy("token")).cast("int").alias("tok_id"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "tpos", "tok_id"))),
+                    lambda x: x["tok_id"].cast("string"),
+                ),
+            ).alias("ids"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "ids")
+    )

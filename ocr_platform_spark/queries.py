@@ -7670,6 +7670,79 @@ def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_bpe_encode",
+    rf"""
+    WITH seg AS (
+      SELECT word, toks FROM read_parquet('{staged_glob("bpe_enc_seg")}')
+    ),
+    t AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM t)
+      WHERE ws[i] <> ''
+    ),
+    ex AS (
+      SELECT w.doc_id, w.wpos,
+             COALESCE(seg.toks,
+                      list_transform(generate_series(1, length(w.word)),
+                                     j -> substr(w.word, j, 1))) AS toks
+      FROM w LEFT JOIN seg USING (word)
+    ),
+    tk AS (
+      SELECT doc_id, wpos, j AS tpos, toks[j] AS token
+      FROM (SELECT doc_id, wpos, toks,
+                   unnest(generate_series(1, len(toks))) AS j FROM ex)
+    ),
+    v AS (
+      SELECT token, CAST(row_number() OVER (ORDER BY token) AS INT) AS tok_id
+      FROM (SELECT DISTINCT token FROM tk)
+    )
+    SELECT tk.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(CAST(v.tok_id AS VARCHAR), ' '
+                      ORDER BY tk.wpos, tk.tpos) AS ids
+    FROM tk JOIN v USING (token)
+    GROUP BY tk.doc_id
+    ORDER BY doc_id
+    """,
+)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING under the learned vocabulary (operators/bpe.
+    encode_with_segmentation) — the step that turns the curated corpus
+    into the token-id sequences a training run actually consumes,
+    completing train (``corpus_bpe_merges``) → price
+    (``corpus_bpe_token_counts``) → encode. The trained word→segmentation
+    table is staged; BOTH engines replay the word stream, the OOV
+    character fallback, the dense-rank vocabulary ids (row_number over
+    the distinct emitted tokens — vocabulary-sized, never the corpus),
+    and the full space-joined id sequence per document, hash-compared
+    byte-for-byte. Training itself is hash-gated by
+    ``corpus_bpe_merges``."""
+    from ocr_platform_spark.operators.bpe import (
+        encode_with_segmentation,
+        train_bpe_merges,
+        word_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = word_counts(d, "text", min_count=2)
+    _merges, syms = train_bpe_merges(words, n_merges=_BPE_MERGES)
+    seg = stage(
+        syms.select(
+            F.regexp_replace("sym", " ", "").alias("word"),
+            F.split("sym", " ").alias("toks"),
+        ),
+        "bpe_enc_seg",
+    )
+    return encode_with_segmentation(d, seg, "doc_id", "text").orderBy("doc_id")
+
+
+@q(
     "doc_dsir_sample",
     rf"""
     WITH f AS (
@@ -7937,10 +8010,10 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tails, fuzzy decontamination + its banding-recall report, the
 # containment pair/strip policy — plus older entries that always sat past
 # the cap). The newest entries (dedup_lsh_recall, quality_threshold_sweep,
-# doc_decontam_by_suite, doc_decontam_strip) sit at positions 51-54 and
-# take the round-5 window; cumulative driver coverage: 137/141 after this
-# round, 141/141 after round 5. Every entry remains runnable and
-# oracle-checked by
+# doc_decontam_by_suite, doc_decontam_strip, corpus_bpe_encode) sit at
+# positions 51-55 and take the round-5 window; cumulative driver
+# coverage: 137/142 after this round, 142/142 after round 5. Every entry
+# remains runnable and oracle-checked by
 # tools/oracle_check.py and tests/test_oracle_parity.py regardless of
 # position.
 _PRIORITY = [
@@ -7965,9 +8038,9 @@ _PRIORITY = [
     "ingest_path_hygiene", "field_option_dispatch", "blocklist_filter",
     "process_table_subfields", "dimension_as_of_lookup",
     "export_pdf_roundtrip", "corrected_table_cells",
-    # -- positions 51-54: newest entries, round-5 window --
+    # -- positions 51-55: newest entries, round-5 window --
     "dedup_lsh_recall", "quality_threshold_sweep", "doc_decontam_by_suite",
-    "doc_decontam_strip",
+    "doc_decontam_strip", "corpus_bpe_encode",
 ]
 
 

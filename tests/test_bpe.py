@@ -312,3 +312,48 @@ def test_hypothesis_random_vocabularies_match_reference(spark):
     # examples (each still a full train + segmentation comparison)
     for words in collected:
         _check(spark, dict(words), 5)
+
+
+def test_encode_with_segmentation_roundtrip(spark):
+    """Encoding consistency: concatenating the tokens behind each doc's id
+    sequence reproduces the normalized text (spaces dropped), n_tokens
+    matches the priced count, and an OOV word falls back to characters."""
+    import pyspark.sql.functions as F
+
+    from ocr_platform_spark.operators.bpe import (
+        encode_with_segmentation,
+        train_bpe_merges,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low lower lowest"),
+            (2, "low lowest zz"),     # zz is pruned (min_count=2) -> chars
+            (3, "   "),               # empty after normalize -> no row
+        ],
+        "doc_id long, text string",
+    )
+    words = word_counts(docs, "text", min_count=2)
+    _m, syms = train_bpe_merges(words, n_merges=6)
+    seg = syms.select(
+        F.regexp_replace("sym", " ", "").alias("word"),
+        F.split("sym", " ").alias("toks"),
+    ).cache()
+    out = {r["doc_id"]: r for r in encode_with_segmentation(docs, seg, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    # rebuild the id -> token map exactly as the operator defines it
+    seg_rows = {r["word"]: r["toks"] for r in seg.collect()}
+    def expand(text):
+        toks = []
+        for w in text.lower().split():
+            toks.extend(seg_rows.get(w, list(w)))
+        return toks
+    vocab = sorted({t for d in (1, 2) for t in expand({1: "low low lower lowest", 2: "low lowest zz"}[d])})
+    ids = {t: i + 1 for i, t in enumerate(vocab)}
+    for d, text in ((1, "low low lower lowest"), (2, "low lowest zz")):
+        toks = expand(text)
+        assert out[d]["n_tokens"] == len(toks)
+        assert out[d]["ids"] == " ".join(str(ids[t]) for t in toks)
+        assert "".join(toks) == text.lower().replace(" ", "")
+    seg.unpersist()
