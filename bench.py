@@ -111,6 +111,7 @@ HEADLINE = [
     "doc_decontam_by_suite",
     "doc_decontam_strip",
     "corpus_bpe_encode",
+    "corpus_token_blocks",
 ]
 
 

@@ -89,3 +89,72 @@ def sequence_rollup(packed: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.max("fill_after").alias("seq_weight"),
     )
+
+
+def pack_blocks_encoded(
+    enc: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    bucket_span: int = 1024,
+) -> DataFrame:
+    """(block_id, n_tokens, ids) — GPT-style FIXED-BLOCK packing of an
+    encoded corpus: concatenate every document's token-id sequence in
+    ``id_col`` order into one global stream and split it into consecutive
+    blocks of exactly ``seq_len`` tokens (documents SPLIT across block
+    boundaries; only the final block may be short). The complement of
+    :func:`pack_sequences`' whole-document bins — this is the "concatenate
+    and chunk to context length" recipe most published LLM data pipelines
+    feed pretraining with.
+
+    ``enc`` is (id, n_tokens, ids) from ``bpe.encode_with_segmentation``.
+    Each document's global offset is an ORDERED prefix sum computed at two
+    levels with no global window: documents map to order-preserving range
+    buckets (``id div bucket_span``), bucket token totals roll up to a
+    bucket-count-sized table whose window is trivial, and the intra-bucket
+    prefix runs partitioned BY BUCKET (sort bounded by bucket population —
+    size ``bucket_span`` for dense ids; pick ``bucket_span`` ≈ rows per
+    task). Tokens then shuffle once, keyed by block id; in-block order is
+    restored by a row-local array_sort. The catalog oracle replays the
+    offsets as one flat window over the same total order (equivalent by
+    prefix-sum associativity) and hash-compares every block's id
+    sequence."""
+    from pyspark.sql import Window
+
+    d = enc.select(
+        F.col(id_col).alias("id"), "n_tokens", "ids"
+    ).withColumn("_b", (F.col("id") / F.lit(bucket_span)).cast("long"))
+    buckets = d.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))
+    bw = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = buckets.select(
+        "_b", F.coalesce(F.sum("_bt").over(bw), F.lit(0)).alias("_boff")
+    )
+    iw = (
+        Window.partitionBy("_b")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        d.join(F.broadcast(boff), "_b")
+        .withColumn("_ioff", F.coalesce(F.sum("n_tokens").over(iw), F.lit(0)))
+        .withColumn("_off", (F.col("_boff") + F.col("_ioff")).cast("long"))
+    )
+    tok = off.select(
+        "_off", F.posexplode(F.split("ids", " ")).alias("_j", "_tok")
+    ).select(
+        (F.col("_off") + F.col("_j")).alias("_gpos"),
+        "_tok",
+    )
+    return (
+        tok.withColumn("block_id", (F.col("_gpos") / F.lit(seq_len)).cast("long"))
+        .groupBy("block_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_gpos", "_tok"))),
+                    lambda x: x["_tok"],
+                ),
+            ).alias("ids"),
+        )
+    )

@@ -7743,6 +7743,64 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_token_blocks",
+    f"""
+    WITH e AS (SELECT * FROM read_parquet('{staged_glob("bpack_enc")}')),
+    o AS (
+      SELECT doc_id, ids,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM e
+    ),
+    tt AS (SELECT off, string_split(ids, ' ') AS ts FROM o),
+    tk AS (
+      SELECT off + i - 1 AS gpos, ts[i] AS tok
+      FROM (SELECT off, ts, unnest(generate_series(1, len(ts))) AS i FROM tt)
+    )
+    SELECT CAST(gpos // 64 AS BIGINT) AS block_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY gpos) AS ids
+    FROM tk GROUP BY 1
+    ORDER BY block_id
+    """,
+)
+def corpus_token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-block packing of the tokenized corpus (operators/packing.
+    pack_blocks_encoded): the encoded id sequences concatenate in doc_id
+    order and split into consecutive 64-token blocks, documents crossing
+    block boundaries — the "concatenate and chunk to context length"
+    recipe pretraining actually consumes, completing encode
+    (``corpus_bpe_encode``) → pack. Offsets are a two-level ordered
+    prefix sum (order-preserving range buckets; no global window — the
+    oracle replays them as one flat window over the same total order,
+    equivalent by associativity). The encoded table is staged; BOTH
+    engines replay offsets, the token-position explode, block assignment,
+    and every block's exact id sequence."""
+    from ocr_platform_spark.operators.bpe import (
+        encode_with_segmentation,
+        train_bpe_merges,
+        word_counts,
+    )
+    from ocr_platform_spark.operators.packing import pack_blocks_encoded
+
+    d = _t(spark, sf_dir, "documents")
+    words = word_counts(d, "text", min_count=2)
+    _merges, syms = train_bpe_merges(words, n_merges=_BPE_MERGES)
+    seg = stage(
+        syms.select(
+            F.regexp_replace("sym", " ", "").alias("word"),
+            F.split("sym", " ").alias("toks"),
+        ),
+        "bpack_seg",
+    )
+    enc = stage(
+        encode_with_segmentation(d, seg, "doc_id", "text"), "bpack_enc", partitions=4
+    )
+    return pack_blocks_encoded(enc, seq_len=64, id_col="doc_id").orderBy("block_id")
+
+
+@q(
     "doc_dsir_sample",
     rf"""
     WITH f AS (
@@ -8010,10 +8068,10 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tails, fuzzy decontamination + its banding-recall report, the
 # containment pair/strip policy — plus older entries that always sat past
 # the cap). The newest entries (dedup_lsh_recall, quality_threshold_sweep,
-# doc_decontam_by_suite, doc_decontam_strip, corpus_bpe_encode) sit at
-# positions 51-55 and take the round-5 window; cumulative driver
-# coverage: 137/142 after this round, 142/142 after round 5. Every entry
-# remains runnable and oracle-checked by
+# doc_decontam_by_suite, doc_decontam_strip, corpus_bpe_encode,
+# corpus_token_blocks) sit at positions 51-56 and take the round-5
+# window; cumulative driver coverage: 137/143 after this round, 143/143
+# after round 5. Every entry remains runnable and oracle-checked by
 # tools/oracle_check.py and tests/test_oracle_parity.py regardless of
 # position.
 _PRIORITY = [
@@ -8040,7 +8098,7 @@ _PRIORITY = [
     "export_pdf_roundtrip", "corrected_table_cells",
     # -- positions 51-55: newest entries, round-5 window --
     "dedup_lsh_recall", "quality_threshold_sweep", "doc_decontam_by_suite",
-    "doc_decontam_strip", "corpus_bpe_encode",
+    "doc_decontam_strip", "corpus_bpe_encode", "corpus_token_blocks",
 ]
 
 

@@ -80,3 +80,33 @@ def test_pack_sequences_string_ids(spark):
     assert len(out) == 30
     assert all(isinstance(r["doc_id"], str) for r in out)
     assert all(r["fill_after"] <= 100 for r in out)
+
+
+def test_pack_blocks_encoded_stream_semantics(spark):
+    """Fixed-block packing: the concatenation of all blocks' ids in
+    block order equals the concatenation of all docs' ids in doc order;
+    every block holds exactly seq_len tokens except the last; doc
+    boundaries are crossed (a doc longer than seq_len spans blocks);
+    bucket_span smaller than the id range exercises the two-level path."""
+    from ocr_platform_spark.operators.packing import pack_blocks_encoded
+
+    enc = spark.createDataFrame(
+        [
+            (10, 3, "1 2 3"),
+            (500, 5, "4 5 6 7 8"),
+            (2000, 2, "9 10"),
+            (5000, 7, "11 12 13 14 15 16 17"),
+        ],
+        "doc_id long, n_tokens long, ids string",
+    )
+    rows = sorted(
+        pack_blocks_encoded(enc, seq_len=4, id_col="doc_id", bucket_span=1024)
+        .collect(),
+        key=lambda r: r["block_id"],
+    )
+    assert [r["block_id"] for r in rows] == [0, 1, 2, 3, 4]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 4, 1]
+    stream = " ".join(r["ids"] for r in rows)
+    assert stream == " ".join(str(i) for i in range(1, 18))
+    # doc 500's tokens (4..8) straddle blocks 0 and 1
+    assert rows[0]["ids"].endswith("4") and rows[1]["ids"].startswith("5")
