@@ -313,3 +313,18 @@ def test_calibration_reports_read_staged_and_stay_jvm_side(spark):
         assert "EvalPython" not in plan, qname
         assert "CartesianProduct" not in plan, qname
         assert "ocr_platform_spark_stage" in plan, qname
+
+
+def test_token_blocks_prefix_sum_is_two_level(spark):
+    """Fixed-block packing's ordered prefix sum must not sort the corpus
+    in one task: every window keys on the range bucket (the empty-spec
+    window runs only over the bucket-count-sized rollup, whose order
+    column is the bucket itself), and the bucket offsets come back to the
+    row side via broadcast."""
+    import re
+
+    plan = _formatted(CATALOG["corpus_token_blocks"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    win_specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert win_specs and all("_b" in s for s in win_specs), win_specs
