@@ -2431,16 +2431,19 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     completing the justify-the-approximation family (``ann_lsh_recall``
     for ANN, ``decontam_lsh_recall`` for decontamination). Ground truth is
     sparse (explode + self-equi-join on the shingle hash with id_a < id_b —
-    exhaustive for thresholds > 0, never all-pairs; a calibration-sample
-    shape, not a corpus-wide operator). The hashed shingle sets and the
-    multi-config candidates are staged; BOTH engines replay truth, catch
-    counts, and recall."""
+    exhaustive for thresholds > 0, never all-pairs) and, as the operator
+    docstring prescribes, the report runs on a BOUNDED CALIBRATION SAMPLE
+    (a deterministic third of the corpus here — Σ df(h)² over the sample's
+    shingles, never corpus-scale), while the production path stays the
+    banded operator. The sampled shingle sets and the multi-config
+    candidates are staged; BOTH engines replay truth, catch counts, and
+    recall from the same bytes."""
     from ocr_platform_spark.operators.dedup import (
         banding_candidates_multi_self,
         dedup_banding_recall_report,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
     hs = stage(
         dedup.hashed_shingle_sets(d, "doc_id", "text"), "ddrecall_hs", partitions=4
     )
