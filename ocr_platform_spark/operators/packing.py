@@ -122,7 +122,13 @@ def pack_blocks_encoded(
 
     d = enc.select(
         F.col(id_col).alias("id"), "n_tokens", "ids"
-    ).withColumn("_b", (F.col("id") / F.lit(bucket_span)).cast("long"))
+    ).withColumn(
+        # floor, not cast-truncation: hash-derived ids can be negative, and
+        # truncation toward zero would fold ids around 0 into one bucket
+        # out of order
+        "_b",
+        F.floor(F.col("id") / F.lit(bucket_span)).cast("long"),
+    )
     buckets = d.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))
     bw = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     boff = buckets.select(
