@@ -96,12 +96,17 @@ def pack_blocks_encoded(
     seq_len: int,
     id_col: str = "doc_id",
     bucket_span: int = 1024,
+    sep_id: int | None = None,
 ) -> DataFrame:
     """(block_id, n_tokens, ids) — GPT-style FIXED-BLOCK packing of an
     encoded corpus: concatenate every document's token-id sequence in
     ``id_col`` order into one global stream and split it into consecutive
     blocks of exactly ``seq_len`` tokens (documents SPLIT across block
-    boundaries; only the final block may be short). The complement of
+    boundaries; only the final block may be short). ``sep_id`` appends a
+    document-separator token (the EOS id) after EVERY document before
+    packing — the published concatenation recipe, so a model can learn
+    where one document ends inside a block; the final block then ends in
+    the separator. The complement of
     :func:`pack_sequences`' whole-document bins — this is the "concatenate
     and chunk to context length" recipe most published LLM data pipelines
     feed pretraining with.
@@ -120,9 +125,14 @@ def pack_blocks_encoded(
     sequence."""
     from pyspark.sql import Window
 
-    d = enc.select(
-        F.col(id_col).alias("id"), "n_tokens", "ids"
-    ).withColumn(
+    d = enc.select(F.col(id_col).alias("id"), "n_tokens", "ids")
+    if sep_id is not None:
+        d = d.select(
+            "id",
+            (F.col("n_tokens") + 1).alias("n_tokens"),
+            F.concat_ws(" ", "ids", F.lit(str(sep_id))).alias("ids"),
+        )
+    d = d.withColumn(
         # floor, not cast-truncation: hash-derived ids can be negative, and
         # truncation toward zero would fold ids around 0 into one bucket
         # out of order

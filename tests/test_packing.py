@@ -110,3 +110,22 @@ def test_pack_blocks_encoded_stream_semantics(spark):
     assert stream == " ".join(str(i) for i in range(1, 18))
     # doc 500's tokens (4..8) straddle blocks 0 and 1
     assert rows[0]["ids"].endswith("4") and rows[1]["ids"].startswith("5")
+
+
+def test_pack_blocks_encoded_with_separator(spark):
+    """sep_id appends the EOS id after every doc before packing: the
+    stream interleaves separators at doc boundaries and the final block
+    ends in the separator."""
+    from ocr_platform_spark.operators.packing import pack_blocks_encoded
+
+    enc = spark.createDataFrame(
+        [(1, 2, "7 8"), (2, 3, "9 10 11")],
+        "doc_id long, n_tokens long, ids string",
+    )
+    rows = sorted(
+        pack_blocks_encoded(enc, seq_len=3, id_col="doc_id", sep_id=0).collect(),
+        key=lambda r: r["block_id"],
+    )
+    stream = " ".join(r["ids"] for r in rows)
+    assert stream == "7 8 0 9 10 11 0"
+    assert [r["n_tokens"] for r in rows] == [3, 3, 1]
