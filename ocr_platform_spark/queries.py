@@ -7804,6 +7804,68 @@ def corpus_token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_token_blocks_sep",
+    f"""
+    WITH e AS (
+      SELECT doc_id, n_tokens + 1 AS n_tokens, ids || ' 0' AS ids
+      FROM read_parquet('{staged_glob("bpacksep_enc")}')
+    ),
+    o AS (
+      SELECT doc_id, ids,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM e
+    ),
+    tt AS (SELECT off, string_split(ids, ' ') AS ts FROM o),
+    tk AS (
+      SELECT off + i - 1 AS gpos, ts[i] AS tok
+      FROM (SELECT off, ts, unnest(generate_series(1, len(ts))) AS i FROM tt)
+    )
+    SELECT CAST(gpos // 64 AS BIGINT) AS block_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY gpos) AS ids
+    FROM tk GROUP BY 1
+    ORDER BY block_id
+    """,
+)
+def corpus_token_blocks_sep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_token_blocks`` with the published document-separator
+    recipe (operators/packing.pack_blocks_encoded ``sep_id``): an EOS id
+    (0 — the dense-rank vocabulary is 1-based, so 0 is reserved) is
+    appended after EVERY document before the stream splits into 64-token
+    blocks, so a model can learn where one document ends inside a block.
+    The encoded table is staged; the oracle appends the same separator
+    per document and replays offsets, the token-position explode, block
+    assignment, and every block's exact id sequence."""
+    from ocr_platform_spark.operators.bpe import (
+        encode_with_segmentation,
+        train_bpe_merges,
+        word_counts,
+    )
+    from ocr_platform_spark.operators.packing import pack_blocks_encoded
+
+    d = _t(spark, sf_dir, "documents")
+    words = word_counts(d, "text", min_count=2)
+    _merges, syms = train_bpe_merges(words, n_merges=_BPE_MERGES)
+    seg = stage(
+        syms.select(
+            F.regexp_replace("sym", " ", "").alias("word"),
+            F.split("sym", " ").alias("toks"),
+        ),
+        "bpacksep_seg",
+    )
+    enc = stage(
+        encode_with_segmentation(d, seg, "doc_id", "text"),
+        "bpacksep_enc",
+        partitions=4,
+    )
+    return pack_blocks_encoded(enc, seq_len=64, id_col="doc_id", sep_id=0).orderBy(
+        "block_id"
+    )
+
+
+@q(
     "doc_dsir_sample",
     rf"""
     WITH f AS (
@@ -8099,9 +8161,10 @@ _PRIORITY = [
     "ingest_path_hygiene", "field_option_dispatch", "blocklist_filter",
     "process_table_subfields", "dimension_as_of_lookup",
     "export_pdf_roundtrip", "corrected_table_cells",
-    # -- positions 51-55: newest entries, round-5 window --
+    # -- positions 51+: newest entries, round-5 window --
     "dedup_lsh_recall", "quality_threshold_sweep", "doc_decontam_by_suite",
     "doc_decontam_strip", "corpus_bpe_encode", "corpus_token_blocks",
+    "corpus_token_blocks_sep",
 ]
 
 
