@@ -219,14 +219,25 @@ _TOKEN = re.compile(
     # mid-stream rescans. The attrs run excludes '/' only when it would
     # self-close the tag ('/(?!>)'), so <script/> falls through to the
     # plain tag branch exactly like before (self-close, no swallow).
-    r"(?i:<script\b(?:[^>\"'/]+|\"[^\"]*\"|'[^']*'|/(?!>))*>.*?(?:</script\s*>|$))"
-    r"|(?i:<style\b(?:[^>\"'/]+|\"[^\"]*\"|'[^']*'|/(?!>))*>.*?(?:</style\s*>|$))"
+    #
+    # The attribute runs are POSSESSIVE (*+, Python 3.11): an unterminated
+    # tag followed by plain text (`<a href` at a truncation point — common
+    # in real crawl payloads) makes the backtracking form (x+|..)* explore
+    # exponentially many segmentations of the char run before failing
+    # (~10 s at 26 chars, unbounded beyond). Possessive is output-identical
+    # here: every backtrack give-back position lands on a char the run
+    # excludes ('"', '\'', or a non-'>' run char), never on the required
+    # '>', so backtracking can never rescue a match — it only burns time.
+    # Pinned by test_kernels.py::test_tokenizer_pathological_inputs_linear
+    # and a randomized old-vs-new split equivalence fuzz.
+    r"(?i:<script\b(?:[^>\"'/]+|\"[^\"]*\"|'[^']*'|/(?!>))*+>.*?(?:</script\s*>|$))"
+    r"|(?i:<style\b(?:[^>\"'/]+|\"[^\"]*\"|'[^']*'|/(?!>))*+>.*?(?:</style\s*>|$))"
     # start/end tag; attribute values may carry quoted '>' characters.
     # run-wise body ([^>"']+ | quoted string) keeps the scan in C loops.
     # The common tag branch sits before the comment/doctype branches —
     # they are mutually exclusive on the second character, and ~99% of
     # tokens are tags.
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']+|\"[^\"]*\"|'[^']*')*)>"
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']+|\"[^\"]*\"|'[^']*')*+)>"
     r"|<!--.*?(?:-->|$)"          # comments (tolerate unterminated)
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
     r"|<[!?][^>]*>?",             # doctype / processing instructions

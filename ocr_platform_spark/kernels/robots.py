@@ -24,9 +24,16 @@ import re
 
 from ocr_platform_spark.kernels.html_extract import decode_html
 
-# complete-attribute scan like links._ANCHOR_RE: quoted values may hold '>'
+# complete-attribute scan like links._ANCHOR_RE: quoted values may hold '>'.
+# The inner attribute run is POSSESSIVE (++, Python 3.11): the optional \s?
+# separator lets the backtracking form re-segment one char run across
+# outer iterations — exponential on an unterminated `<meta ` + plain text
+# (~33 s at 28 chars). Possessive keeps outputs identical (give-backs can
+# only land on chars the run excludes, never on the '/>' terminator) and
+# makes failure linear; pinned by
+# test_robots.py::test_meta_regex_pathological_inputs_linear.
 _META_RE = re.compile(
-    r"<meta\s(?:(?:[^<>\s\"'=]|\"[^\"]*\"|'[^']*'|=)+\s?)*?/?>",
+    r"<meta\s(?:(?:[^<>\s\"'=]|\"[^\"]*\"|'[^']*'|=)++\s?)*?/?>",
     re.I | re.S,
 )
 _NAME_RE = re.compile(r"""\bname\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.I)

@@ -393,3 +393,38 @@ def test_pdf_filter_chains():
 
     text, _, err = extract_pdf(pdf_with(b"zz not85\xff", b"/ASCII85Decode"))
     assert text == "" and err == "pdf-ascii85-error"
+
+
+def test_tokenizer_pathological_inputs_linear():
+    """Regression: the _TOKEN attribute runs are possessive — an
+    unterminated tag followed by a plain char run used to backtrack
+    exponentially ((x+|..)* segmentation: ~10 s at 26 chars, unbounded
+    beyond), which on a real crawl means one truncated page pins an
+    executor core forever. 100k-char pathological payloads must tokenize
+    in well under a second, and the tag-soup must come back as TEXT (no
+    token match), same as the backtracking form decided — possessive only
+    changes the time, not the answer (old-vs-new split equality fuzzed at
+    patch time over 350k adversarial strings)."""
+    import time
+
+    from ocr_platform_spark.kernels.html_extract import _TOKEN, extract_html
+
+    cases = [
+        "<a " + "x" * 100_000,               # unterminated tag, plain run
+        "<a " + "\"'" * 50_000,              # alternating quote junk
+        "<script " + "x/" * 50_000,          # raw-text branch, /(?!>) run
+        "<meta " + "a=b " * 25_000,          # attr-shaped run, no '>'
+    ]
+    for s in cases:
+        t0 = time.perf_counter()
+        parts = _TOKEN.split(s)
+        elapsed = time.perf_counter() - t0
+        assert elapsed < 1.0, (s[:20], elapsed)
+        # no tag token: the whole string survives as one text segment
+        assert parts == [s], s[:20]
+
+    # end-to-end: the kernel treats the soup as text, error-as-data holds
+    t0 = time.perf_counter()
+    text, spans, err = extract_html(("<p>" + "y" * 30 + "</p><a " + "x" * 100_000).encode())
+    assert time.perf_counter() - t0 < 2.0
+    assert err is None and text.startswith("yyy")

@@ -111,3 +111,26 @@ def test_corpus_build_honor_noindex(spark, tmp_path):
         )
     assert res["extraction"]["rows"] == res_off["extraction"]["rows"] - n_noindex
     docs.unpersist()
+
+
+def test_meta_regex_pathological_inputs_linear():
+    """Regression: _META_RE's inner attribute run is possessive — the
+    optional \\s? separator let the backtracking form re-segment a char
+    run across outer iterations (exponential: ~33 s at 28 chars on an
+    unterminated `<meta ` + plain text). Pathological payloads must parse
+    in well under a second with unchanged verdicts."""
+    import time
+
+    from ocr_platform_spark.kernels.robots import parse_robots_meta
+
+    for soup in (
+        b"<meta " + b"x" * 100_000,
+        b"<meta " + b"a=b " * 25_000,
+        b'<meta name="robots" content="noindex"><meta ' + b"z" * 100_000,
+    ):
+        t0 = time.perf_counter()
+        noindex, nofollow = parse_robots_meta(soup)
+        assert time.perf_counter() - t0 < 1.0
+        # only the complete tag counts; unterminated soup contributes nothing
+        assert noindex == (b'content="noindex"' in soup)
+        assert nofollow is False
