@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ocr_platform_spark.functions import conversions as C
+from ocr_platform_spark.functions import encodingfns as ENC
 from ocr_platform_spark.functions import textfns as TX
 from ocr_platform_spark.operators import ann, dedup, embed
 from ocr_platform_spark.operators.select_mapping import (
@@ -1134,6 +1135,86 @@ def doc_nfc_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "norm", "changed", "len_before", "len_after")
         .orderBy("doc_id")
     )
+
+
+@q(
+    "doc_mojibake_scan",
+    f"""
+    WITH acc AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN replace(replace(COALESCE(text, ''), 'e', 'é'), 'o', 'ô')
+                  ELSE COALESCE(text, '') END AS clean
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, clean,
+             CASE WHEN doc_id % 6 = 0
+                  THEN {ENC.corrupt_mojibake_sql("clean")}
+                  ELSE clean END AS wire
+      FROM acc
+    ),
+    s AS (
+      SELECT doc_id, clean, wire, {ENC.mojibake_count_sql("wire")} AS n_markers
+      FROM w
+    ),
+    r AS (
+      SELECT doc_id, clean, wire, n_markers,
+             CASE WHEN n_markers > 0
+                  THEN {ENC.repair_mojibake_sql("wire")}
+                  ELSE wire END AS fixed
+      FROM s
+    )
+    SELECT doc_id, n_markers, (n_markers > 0) AS is_mojibake,
+           (fixed = clean) AS recovered,
+           CAST(length(wire) - length(fixed) AS BIGINT) AS n_chars_fixed
+    FROM r ORDER BY doc_id
+    """,
+)
+def doc_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding hygiene (functions/encodingfns.py) — the ftfy/CCNet "fix
+    unicode" stage of a web corpus build: detect windows-1252 mojibake
+    (UTF-8 bytes decoded with the wrong codec: 'é' arriving as 'Ã©') and
+    repair it. The corpus text is ASCII, so the query deterministically
+    accentizes a third of the docs and wire-corrupts half of those using
+    the SAME derived table the repair uses (the corrupt chain is pinned
+    equal to a true utf-8-encode/cp1252-decode round trip in
+    tests/test_encodingfns.py); detection counts marker occurrences with
+    pure length/replace arithmetic (no regex dialect risk) and repair is a
+    longest-marker-first replace chain. Both engines replay the full
+    inject → corrupt → scan → repair path from the raw parquet; the
+    ``recovered`` column asserts end-to-end that repair inverts the
+    corruption byte-exactly. Everything is a column expression — JVM-side,
+    no UDF, no shuffle (scale shape: a map-only pass)."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    clean = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.replace(F.replace(text, F.lit("e"), F.lit("é")), F.lit("o"), F.lit("ô")),
+    ).otherwise(text)
+    df = (
+        d.select("doc_id", clean.alias("clean"))
+        .withColumn(
+            "wire",
+            F.when(
+                F.col("doc_id") % 6 == 0, ENC.corrupt_mojibake("clean")
+            ).otherwise(F.col("clean")),
+        )
+        .withColumn("n_markers", ENC.mojibake_count("wire"))
+    )
+    df = df.withColumn(
+        "fixed",
+        F.when(F.col("n_markers") > 0, ENC.repair_mojibake("wire")).otherwise(
+            F.col("wire")
+        ),
+    )
+    return df.select(
+        "doc_id",
+        "n_markers",
+        (F.col("n_markers") > 0).alias("is_mojibake"),
+        (F.col("fixed") == F.col("clean")).alias("recovered"),
+        (F.length("wire") - F.length("fixed")).cast("long").alias("n_chars_fixed"),
+    ).orderBy("doc_id")
 
 
 @q(
@@ -8164,7 +8245,7 @@ _PRIORITY = [
     # -- positions 51+: newest entries, round-5 window --
     "dedup_lsh_recall", "quality_threshold_sweep", "doc_decontam_by_suite",
     "doc_decontam_strip", "corpus_bpe_encode", "corpus_token_blocks",
-    "corpus_token_blocks_sep",
+    "corpus_token_blocks_sep", "doc_mojibake_scan",
 ]
 
 
