@@ -6614,6 +6614,67 @@ def corpus_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_vocab_growth",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(
+        list_transform(
+          generate_series(1, greatest(len(words) - 2, 1)),
+          i -> array_to_string(words[i:i+2], ' '))) AS term
+      FROM (
+        SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        FROM documents
+      )
+    ),
+    firsts AS (SELECT term, MIN(doc_id) AS first_seen FROM toks GROUP BY term),
+    mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    b AS (
+      SELECT CAST(first_seen * 10 // n AS INT) AS decile
+      FROM firsts, mx
+    ),
+    g AS (SELECT decile, COUNT(*) AS n_new_terms FROM b GROUP BY decile)
+    SELECT decile, CAST(n_new_terms AS BIGINT) AS n_new_terms,
+           CAST(SUM(n_new_terms) OVER (ORDER BY decile) AS BIGINT) AS vocab_size
+    FROM g ORDER BY decile
+    """,
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve — the corpus-analytics readout
+    behind tokenizer sizing and dedup health checks (a flattening type
+    curve on a growing crawl usually means near-duplicate flooding). The
+    vocabulary unit is the 3-word shingle (the same convention as the
+    Jaccard/MinHash family — single words saturate instantly on any
+    corpus with a bounded lexicon); each shingle is attributed to the
+    decile of the corpus where it FIRST appears (min(doc_id)), and the
+    running sum of new-term counts is the vocabulary size after each
+    tenth of the corpus. Scale shape: one vocabulary-keyed shuffle with
+    map-side combine (explode → min(doc_id) per term); the cumulative
+    window runs over 10 rows, never the corpus. Deciles are exact
+    integer arithmetic (`* 10 div n`) in both engines — no float
+    boundary drift."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.word_shingles("text", 3)).alias("term")
+    )
+    firsts = toks.groupBy("term").agg(F.min("doc_id").alias("first_seen"))
+    n = d.agg((F.max("doc_id") + 1).alias("n"))
+    g = (
+        firsts.crossJoin(F.broadcast(n))
+        .select(F.expr("CAST(first_seen * 10 div n AS INT)").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_new_terms"))
+    )
+    # the window runs over at most 10 decile rows, never the corpus
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        "decile",
+        F.col("n_new_terms").cast("long").alias("n_new_terms"),
+        F.sum("n_new_terms").over(w).cast("long").alias("vocab_size"),
+    ).orderBy("decile")
+
+
+@q(
     "host_quality_rollup",
     r"""
     WITH c AS (
@@ -8245,7 +8306,7 @@ _PRIORITY = [
     # -- positions 51+: newest entries, round-5 window --
     "dedup_lsh_recall", "quality_threshold_sweep", "doc_decontam_by_suite",
     "doc_decontam_strip", "corpus_bpe_encode", "corpus_token_blocks",
-    "corpus_token_blocks_sep", "doc_mojibake_scan",
+    "corpus_token_blocks_sep", "doc_mojibake_scan", "corpus_vocab_growth",
 ]
 
 
