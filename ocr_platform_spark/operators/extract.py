@@ -189,3 +189,34 @@ def extraction_stats(extracted: DataFrame) -> DataFrame:
         )
         .orderBy("payload_kind")
     )
+
+
+_DOM_STATS_DDL = (
+    "url string, n_chars_raw int, n_chars_text int, n_tags int, "
+    "n_links int, n_blocks int, max_depth int"
+)
+
+
+def _dom_stats_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from ocr_platform_spark.kernels.dom_stats import FIELDS, dom_stats
+
+    for batch in batches:
+        payloads = batch.column("html").to_pylist()
+        stats = [dom_stats(d) for d in payloads]
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("url"),
+                *[
+                    pa.array([s[field] for s in stats], pa.int32())
+                    for field in FIELDS
+                ],
+            ],
+            names=["url", *FIELDS],
+        )
+
+
+def dom_stats_df(docs: DataFrame) -> DataFrame:
+    """documents(url, html, ...) → per-document DOM-structure integers
+    (kernels/dom_stats.py): one ``mapInArrow`` pass, no per-row Python,
+    same column-pruning contract as :func:`extract_documents`."""
+    return docs.select("url", "html").mapInArrow(_dom_stats_batches, _DOM_STATS_DDL)

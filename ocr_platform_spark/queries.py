@@ -4454,6 +4454,60 @@ def extract_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "extract_dom_stats",
+    f"""
+    WITH s AS (SELECT * FROM read_parquet('{staged_glob("dom_stats")}'))
+    SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tags) AS BIGINT) AS total_tags,
+           CAST(SUM(n_links) AS BIGINT) AS total_links,
+           CAST(SUM(n_blocks) AS BIGINT) AS total_blocks,
+           CAST(MAX(max_depth) AS INT) AS deepest,
+           CAST(SUM(n_chars_text) AS BIGINT) AS total_text_chars,
+           CAST(SUM(n_chars_raw) AS BIGINT) AS total_raw_chars,
+           (SUM(n_chars_text) * 2 < SUM(n_chars_raw)) AS markup_heavy
+    FROM s
+    WHERE n_chars_raw > 0
+    GROUP BY host ORDER BY host
+    """,
+)
+def extract_dom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-structure profile of the crawl (kernels/dom_stats.py) — the
+    structural quality features host-level models consume: tag/link/block
+    counts, nesting depth, and the text-to-markup ratio, rolled up per
+    host. The per-document kernel integers are staged (the kernel itself
+    is pinned by goldens + fuzz in tests/test_dom_stats.py); BOTH engines
+    derive the host from the url and aggregate the same rows, including
+    the ``markup_heavy`` flag (text is less than half the decoded bytes —
+    all-integer, no float ratio drift). Scale shape: one mapInArrow pass
+    + one host-keyed map-side-combinable aggregation; non-HTML payloads
+    are all-zeros rows excluded by the n_chars_raw > 0 gate in both
+    engines."""
+    from ocr_platform_spark.operators.extract import dom_stats_df
+
+    stats = dom_stats_df(_synth_docs(spark))
+    staged = stage(stats, "dom_stats", partitions=4)
+    host = F.regexp_extract("url", r"^https?://([^/?#]+)", 1).alias("host")
+    return (
+        staged.where(F.col("n_chars_raw") > 0)
+        .groupBy(host)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tags").cast("long").alias("total_tags"),
+            F.sum("n_links").cast("long").alias("total_links"),
+            F.sum("n_blocks").cast("long").alias("total_blocks"),
+            F.max("max_depth").cast("int").alias("deepest"),
+            F.sum("n_chars_text").cast("long").alias("total_text_chars"),
+            F.sum("n_chars_raw").cast("long").alias("total_raw_chars"),
+            (F.sum("n_chars_text") * 2 < F.sum("n_chars_raw")).alias(
+                "markup_heavy"
+            ),
+        )
+        .orderBy("host")
+    )
+
+
+@q(
     "process_template_fields",
     f"""
     SELECT field_name, COUNT(*) AS n_rows, COUNT(conversion_error) AS n_errors
@@ -8307,6 +8361,7 @@ _PRIORITY = [
     "dedup_lsh_recall", "quality_threshold_sweep", "doc_decontam_by_suite",
     "doc_decontam_strip", "corpus_bpe_encode", "corpus_token_blocks",
     "corpus_token_blocks_sep", "doc_mojibake_scan", "corpus_vocab_growth",
+    "extract_dom_stats",
 ]
 
 
