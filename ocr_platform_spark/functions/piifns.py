@@ -87,3 +87,80 @@ def has_pii(col: Column | str) -> Column:
     for _name, pattern, _token in PII_RULES:
         pred = pred | x.rlike(pattern)
     return pred
+
+
+# -- payment-card detection (Luhn-verified) ---------------------------------
+#
+# Card-shaped digit runs are too common in web text (timestamps, order ids)
+# to redact on shape alone; the industry-standard disambiguator is the Luhn
+# checksum every real card number satisfies. The policy here:
+#   scrub  — redact ALL card-shaped runs (13-19 digits, optional space/dash
+#            separators): privacy-conservative, pure regexp_replace;
+#   counts — report shaped vs Luhn-VALID separately, so the redaction
+#            false-positive rate is observable per source.
+# The Luhn check itself is pure integer column arithmetic (digit array via
+# generate_series + substr — the same construction both engines share in
+# the BPE OOV fallback), with a DuckDB twin generated here so the two
+# engines can never drift (the encodingfns single-source pattern).
+
+CC_RE = r"\b(?:\d[ \-]?){12,18}\d\b"
+CC_TOKEN = "<CARD>"
+
+
+def scrub_cards(col: Column | str) -> Column:
+    """Redact every card-shaped run (shape-based — see policy note)."""
+    return F.regexp_replace(_c(col), CC_RE, CC_TOKEN)
+
+
+def _luhn_ok(cand: Column) -> Column:
+    """Luhn checksum over a candidate string (separators stripped)."""
+    ds = F.regexp_replace(cand, r"[^0-9]", "")
+    n = F.length(ds)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            ((n - i) % 2) == 1,  # doubled positions (2nd from right, ...)
+            F.when(
+                ds.substr(i, F.lit(1)).cast("int") * 2 > 9,
+                ds.substr(i, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(ds.substr(i, F.lit(1)).cast("int") * 2),
+        ).otherwise(ds.substr(i, F.lit(1)).cast("int")),
+    )
+    return (total % 10) == 0
+
+
+def card_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_card_shaped, n_luhn_valid) for a text column."""
+    cands = F.regexp_extract_all(_c(col), F.lit(CC_RE), F.lit(0))
+    n_shaped = F.size(cands).cast("int")
+    n_valid = F.size(F.filter(cands, _luhn_ok)).cast("int")
+    return n_shaped, n_valid
+
+
+def luhn_ok_sql(cand: str) -> str:
+    """DuckDB twin of :func:`_luhn_ok` over a candidate expression."""
+    ds = f"regexp_replace({cand}, '[^0-9]', '', 'g')"
+    return (
+        "(CAST(list_sum(list_transform(generate_series(1, length(" + ds + ")), "
+        "i -> CASE WHEN (length(" + ds + ") - i) % 2 = 1 "
+        "THEN CASE WHEN CAST(substr(" + ds + ", i, 1) AS INT) * 2 > 9 "
+        "THEN CAST(substr(" + ds + ", i, 1) AS INT) * 2 - 9 "
+        "ELSE CAST(substr(" + ds + ", i, 1) AS INT) * 2 END "
+        "ELSE CAST(substr(" + ds + ", i, 1) AS INT) END)) AS BIGINT) % 10 = 0)"
+    )
+
+
+def card_counts_sql(col: str) -> tuple[str, str]:
+    """DuckDB twins of :func:`card_counts` (n_shaped, n_valid)."""
+    cands = f"regexp_extract_all({col}, '{CC_RE}')"
+    n_shaped = f"CAST(len({cands}) AS INT)"
+    n_valid = (
+        f"CAST(len(list_filter({cands}, c -> {luhn_ok_sql('c')})) AS INT)"
+    )
+    return n_shaped, n_valid
+
+
+def scrub_cards_sql(col: str) -> str:
+    return f"regexp_replace({col}, '{CC_RE}', '{CC_TOKEN}', 'g')"

@@ -2261,6 +2261,86 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_cards_oracle() -> str:
+    from ocr_platform_spark.functions.piifns import (
+        CC_RE,
+        card_counts_sql,
+        scrub_cards_sql,
+    )
+
+    n_shaped, n_valid = card_counts_sql("wire")
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             COALESCE(text, '')
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' card 4111 1111 1111 1111 please' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' ref 4111-1111-1111-1112 thanks' ELSE '' END AS wire
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, wire,
+             {n_shaped} AS n_card_shaped,
+             {n_valid} AS n_luhn_valid,
+             {scrub_cards_sql("wire")} AS clean
+      FROM w
+    )
+    SELECT doc_id, n_card_shaped, n_luhn_valid,
+           NOT regexp_matches(clean, '{CC_RE}') AS fully_redacted,
+           CAST(length(wire) - length(clean) AS BIGINT) AS n_chars_delta
+    FROM s ORDER BY doc_id
+    """
+
+
+@q("doc_pii_cards", _pii_cards_oracle())
+def doc_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card redaction with Luhn verification (functions/piifns.py
+    card family). Card-shaped digit runs are planted deterministically —
+    one Luhn-VALID number on the doc_id%5 residue, one shaped-but-invalid
+    on %7 — then both engines replay shape detection (13-19 digits with
+    optional separators), the Luhn checksum as pure integer column
+    arithmetic over a generate_series digit walk (the Spark lambda and
+    the generated DuckDB twin come from the same module, encodingfns-style
+    single source), and the conservative shape-based scrub. ``n_luhn_valid
+    < n_card_shaped`` on the %7 rows is the observable false-positive rate
+    the policy note documents; ``fully_redacted`` asserts the scrub left
+    nothing card-shaped behind. Map-only pass, no UDF, no shuffle."""
+    from ocr_platform_spark.functions.piifns import (
+        CC_RE,
+        card_counts,
+        scrub_cards,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    wire = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(did % 5 == 0, F.lit(" card 4111 1111 1111 1111 please")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 7 == 0, F.lit(" ref 4111-1111-1111-1112 thanks")).otherwise(
+            F.lit("")
+        ),
+    )
+    base = d.select("doc_id", wire.alias("wire"))
+    n_shaped, n_valid = card_counts("wire")
+    s = base.select(
+        "doc_id",
+        "wire",
+        n_shaped.alias("n_card_shaped"),
+        n_valid.alias("n_luhn_valid"),
+        scrub_cards("wire").alias("clean"),
+    )
+    return s.select(
+        "doc_id",
+        "n_card_shaped",
+        "n_luhn_valid",
+        (~F.col("clean").rlike(CC_RE)).alias("fully_redacted"),
+        (F.length("wire") - F.length("clean")).cast("long").alias("n_chars_delta"),
+    ).orderBy("doc_id")
+
+
 @q(
     "doc_c4_line_filter",
     r"""
@@ -8361,7 +8441,7 @@ _PRIORITY = [
     "dedup_lsh_recall", "quality_threshold_sweep", "doc_decontam_by_suite",
     "doc_decontam_strip", "corpus_bpe_encode", "corpus_token_blocks",
     "corpus_token_blocks_sep", "doc_mojibake_scan", "corpus_vocab_growth",
-    "extract_dom_stats",
+    "extract_dom_stats", "doc_pii_cards",
 ]
 
 

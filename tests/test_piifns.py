@@ -72,3 +72,54 @@ def test_phone_not_matched_inside_longer_digit_runs(spark):
     assert rows[0].phone == 0
     for r in rows[1:]:
         assert "<PHONE>" in r.clean and r.phone == 1
+
+
+def test_card_luhn_spark_matches_reference(spark):
+    """The Luhn column expression must agree with a straightforward Python
+    Luhn on the standard test numbers and separator variants."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.functions.piifns import card_counts, scrub_cards
+
+    def py_luhn(s):
+        ds = [int(c) for c in s if c.isdigit()]
+        total = 0
+        for i, d in enumerate(reversed(ds)):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    cases = [
+        "4111 1111 1111 1111",      # visa, valid
+        "4111 1111 1111 1112",      # off-by-one, invalid
+        "378282246310005",          # amex, valid (15 digits)
+        "5500-0055-5555-5559",      # mc, valid, dashes
+        "4012888888881881",         # visa, valid, bare
+        "6011111111111117",         # discover, valid
+        "1234567890123",            # 13 digits, invalid
+    ]
+    rows = [(i, f"pay {c} now") for i, c in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, s string")
+    n_shaped, n_valid = card_counts("s")
+    got = (
+        df.select("i", n_shaped.alias("ns"), n_valid.alias("nv"),
+                  scrub_cards("s").alias("clean"))
+        .orderBy("i")
+        .collect()
+    )
+    for row, c in zip(got, cases):
+        assert row["ns"] == 1, c
+        assert row["nv"] == (1 if py_luhn(c) else 0), c
+        assert "<CARD>" in row["clean"] and not any(
+            ch.isdigit() for ch in row["clean"]
+        )
+    # non-card digit runs: too short / too long / word-soup text
+    clean_rows = [(0, "order 123456789012 ts"), (1, "id 12345678901234567890123"),
+                  (2, "no digits"), (3, None)]
+    df2 = spark.createDataFrame(clean_rows, "i int, s string")
+    n_shaped2, n_valid2 = card_counts(F.coalesce(F.col("s"), F.lit("")))
+    got2 = df2.select(n_shaped2.alias("ns"), n_valid2.alias("nv")).collect()
+    assert all(r["ns"] == 0 and r["nv"] == 0 for r in got2)
