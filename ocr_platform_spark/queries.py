@@ -4533,6 +4533,164 @@ def extract_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_host_stats(staged, hot, size=F.col("n_bytes"))
 
 
+#: Sitemap metadata spans carry the owning <loc> line's OFFSETS and their
+#: own value (the typed view the flat text cannot hold —
+#: kernels/sitemap_extract.py module docstring); every other field is a
+#: byte-exact substring pointer.
+_TYPED_SPAN_FIELDS = ("lastmod", "changefreq", "priority")
+
+
+@q(
+    "extract_span_audit",
+    f"""
+    WITH s AS (SELECT * FROM read_parquet('{staged_glob("span_rows")}')),
+    t AS (SELECT * FROM read_parquet('{staged_glob("span_texts")}')),
+    ptr AS (
+      SELECT url, span_idx, field, start, "end", value FROM s
+      WHERE field NOT IN {_TYPED_SPAN_FIELDS!r}
+    ),
+    pj AS (
+      SELECT p.field,
+             (substr(t.text, p.start + 1, p."end" - p.start) = p.value
+              AND p.start >= COALESCE(
+                LAG(p."end") OVER (PARTITION BY p.url ORDER BY p.span_idx), 0))
+               AS ok
+      FROM ptr p JOIN t USING (url)
+    ),
+    tj AS (
+      SELECT ty.field, (l.url IS NOT NULL) AS ok
+      FROM (SELECT url, field, start, "end" FROM s
+            WHERE field IN {_TYPED_SPAN_FIELDS!r}) ty
+      LEFT JOIN (SELECT DISTINCT url, start, "end" FROM s WHERE field = 'loc') l
+        ON ty.url = l.url AND ty.start = l.start AND ty."end" = l."end"
+    )
+    SELECT field, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+    FROM (SELECT * FROM pj UNION ALL SELECT * FROM tj)
+    GROUP BY field ORDER BY field
+    """,
+)
+def extract_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-span CONTRACT audit — the north rule emits (text, spans)
+    per url; this query proves the whole contract in both engines.
+    Pointer spans (html blocks, pdf lines, feed entries, sitemap locs):
+    ``substr(text, start+1, end-start) = value`` AND ascending
+    non-overlapping offsets per document. Typed sitemap metadata spans
+    (lastmod/changefreq/priority) deliberately alias their owning loc
+    line's offsets (the kernel's documented typed-view rule), so their
+    check is that the offsets match a loc span of the same document
+    exactly. The exploded span rows and per-doc texts are staged; the
+    per-field rollup must show n_ok = n_spans everywhere (pinned by
+    tests/test_extraction.py::test_span_audit_all_ok). Scale shape:
+    extraction's mapInArrow pass + one field-keyed aggregation; the
+    window runs per document over its handful of spans."""
+    from ocr_platform_spark.operators.extract import extract_documents
+
+    ext = extract_documents(_synth_docs(spark)).where(F.size("spans") > 0)
+    spans = stage(
+        ext.select(
+            "url", F.posexplode("spans").alias("span_idx", "sp")
+        ).select(
+            "url",
+            "span_idx",
+            F.col("sp.field").alias("field"),
+            F.col("sp.start").alias("start"),
+            F.col("sp.end").alias("end"),
+            F.col("sp.value").alias("value"),
+        ),
+        "span_rows",
+        partitions=4,
+    )
+    texts = stage(ext.select("url", "text"), "span_texts", partitions=2)
+    typed = F.col("field").isin(*_TYPED_SPAN_FIELDS)
+    w = Window.partitionBy("url").orderBy("span_idx")
+    pj = (
+        spans.where(~typed)
+        .withColumn("prev_end", F.coalesce(F.lag("end").over(w), F.lit(0)))
+        .join(texts, "url")
+        .select(
+            "field",
+            (
+                (F.expr("substr(text, start + 1, end - start)") == F.col("value"))
+                & (F.col("start") >= F.col("prev_end"))
+            ).alias("ok"),
+        )
+    )
+    locs = (
+        spans.where(F.col("field") == "loc")
+        .select(
+            F.col("url").alias("_lu"),
+            F.col("start").alias("_ls"),
+            F.col("end").alias("_le"),
+        )
+        .distinct()
+    )
+    tj = (
+        spans.where(typed)
+        .select("url", "field", "start", "end")
+        .join(
+            locs,
+            (F.col("url") == F.col("_lu"))
+            & (F.col("start") == F.col("_ls"))
+            & (F.col("end") == F.col("_le")),
+            "left",
+        )
+        .select("field", F.col("_lu").isNotNull().alias("ok"))
+    )
+    return (
+        pj.unionByName(tj)
+        .groupBy("field")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_ok"),
+        )
+        .orderBy("field")
+    )
+
+
+@q(
+    "extract_lineage_audit",
+    f"""
+    WITH s AS (SELECT * FROM read_parquet('{staged_glob("lineage_docs")}'))
+    SELECT partition_id, CAST(COUNT(*) AS BIGINT) AS input_count,
+           CAST(SUM(input_bytes) AS BIGINT) AS input_bytes
+    FROM s GROUP BY partition_id
+    UNION ALL
+    SELECT -1, CAST(COUNT(*) AS BIGINT), CAST(SUM(input_bytes) AS BIGINT) FROM s
+    ORDER BY partition_id
+    """,
+)
+def extract_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition LINEAGE rollup, oracle-replayed — the north rule's
+    resumability bookkeeping (partition id, input count, bytes) recomputed
+    by an independent engine from the staged per-document rows, with a
+    grand-total row (partition_id = -1) making the "lineage sums to the
+    corpus" invariant visible in the data itself. The Spark side is the
+    same one hash aggregate ``lineage_from_extracted`` runs (map-side
+    combinable, partition-count-sized result)."""
+    from ocr_platform_spark.operators.extract import extract_documents
+    from ocr_platform_spark.operators.partitioning import (
+        repartition_for_extraction,
+    )
+
+    ext = extract_documents(
+        repartition_for_extraction(_synth_docs(spark), 8)
+    )
+    docs = stage(
+        ext.select("url", "partition_id", "input_bytes"), "lineage_docs", partitions=4
+    )
+    per_part = docs.groupBy("partition_id").agg(
+        F.count("*").cast("long").alias("input_count"),
+        F.sum("input_bytes").cast("long").alias("input_bytes"),
+    )
+    total = docs.agg(
+        F.lit(-1).cast("int").alias("partition_id"),
+        F.count("*").cast("long").alias("input_count"),
+        F.sum("input_bytes").cast("long").alias("input_bytes"),
+    )
+    return per_part.unionByName(total).orderBy("partition_id")
+
+
 @q(
     "extract_dom_stats",
     f"""
@@ -8441,7 +8599,8 @@ _PRIORITY = [
     "dedup_lsh_recall", "quality_threshold_sweep", "doc_decontam_by_suite",
     "doc_decontam_strip", "corpus_bpe_encode", "corpus_token_blocks",
     "corpus_token_blocks_sep", "doc_mojibake_scan", "corpus_vocab_growth",
-    "extract_dom_stats", "doc_pii_cards",
+    "extract_dom_stats", "doc_pii_cards", "extract_span_audit",
+    "extract_lineage_audit",
 ]
 
 

@@ -123,3 +123,31 @@ def test_size_tiered_repartition_separates_big_payloads(spark):
     big_pids = {r["pid"] for r in with_pid.where(F.length("html") > 4000).select("pid").distinct().collect()}
     small_pids = {r["pid"] for r in with_pid.where(F.length("html") <= 4000).select("pid").distinct().collect()}
     assert big_pids.isdisjoint(small_pids)
+
+
+def test_span_audit_all_ok(spark):
+    """The span contract holds for every field of every payload kind:
+    pointer spans are byte-exact ordered substrings, typed sitemap
+    metadata spans alias their owning loc offsets (extract_span_audit's
+    cross-engine twin checks the same rollup values match DuckDB)."""
+    from ocr_platform_spark.queries import CATALOG
+
+    rows = CATALOG["extract_span_audit"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 8  # html blocks + pdf lines + feed + sitemap fields
+    fields = {r["field"] for r in rows}
+    assert {"p", "h1", "line", "loc", "lastmod", "changefreq"} <= fields
+    for r in rows:
+        assert r["n_ok"] == r["n_spans"], (r["field"], r["n_ok"], r["n_spans"])
+
+
+def test_lineage_audit_totals(spark):
+    """The lineage rollup's grand-total row equals the per-partition sum
+    and the corpus size (the north rule's resumability bookkeeping)."""
+    from ocr_platform_spark.queries import CATALOG
+
+    rows = CATALOG["extract_lineage_audit"].fn(spark, "/root/testdata/sf0.001").collect()
+    total = [r for r in rows if r["partition_id"] == -1]
+    parts = [r for r in rows if r["partition_id"] >= 0]
+    assert len(total) == 1 and len(parts) >= 2
+    assert total[0]["input_count"] == sum(r["input_count"] for r in parts) == 400
+    assert total[0]["input_bytes"] == sum(r["input_bytes"] for r in parts) > 0
