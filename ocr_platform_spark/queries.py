@@ -8559,6 +8559,106 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n"), "bigram").limit(50)
 
 
+@q(
+    "corpus_kmeans_domains",
+    f"""
+    WITH a AS (
+      SELECT id, cluster, cent_sim FROM read_parquet('{staged_glob("kmeans_assign")}')
+    ),
+    j AS (
+      SELECT a.cluster, a.cent_sim, d.lang, d.n_chars
+      FROM a JOIN documents d ON a.id = d.doc_id
+    ),
+    base AS (
+      SELECT cluster, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(cent_sim) AS BIGINT) AS cent_sim_sum
+      FROM j GROUP BY cluster
+    ),
+    pl AS (SELECT cluster, lang, COUNT(*) AS _n FROM j GROUP BY cluster, lang),
+    top AS (
+      SELECT cluster, lang AS top_lang, CAST(_n AS BIGINT) AS top_lang_docs
+      FROM pl
+      QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY _n DESC, lang) = 1
+    )
+    SELECT b.cluster, b.n_docs, b.total_chars, b.n_langs, b.cent_sim_sum,
+           t.top_lang, t.top_lang_docs
+    FROM base b JOIN top t USING (cluster) ORDER BY cluster
+    """,
+)
+def corpus_kmeans_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovered-domain profile (operators/clustering.py): k-means-cluster
+    the embedding space with the IVF coarse quantizer (bounded driver
+    sample, deterministic Lloyd), stage the numpy assignment, and profile
+    every cluster against document metadata — size, text mass, language
+    spread, the plurality language (count ties broken on the language
+    value), and the exact integer sum of ×10^6 centroid similarities. The
+    oracle recomputes the whole profile from the staged assignment plus
+    raw parquet. This is the topic axis a mixture build uses when metadata
+    has none (SemDedup's coarse stage repurposed as curation dimension)."""
+    from ocr_platform_spark.operators.clustering import cluster_profile
+    from ocr_platform_spark.operators.semdedup import assign_with_centroid_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ann.train_ivf(emb, n_lists=16)
+    a = stage(assign_with_centroid_sim(emb, cents), "kmeans_assign")
+    d = _t(spark, sf_dir, "documents")
+    prof = cluster_profile(d, a)
+    return prof.select(
+        "cluster",
+        "n_docs",
+        "total_chars",
+        "n_langs",
+        F.col("cent_sim_sum"),
+        "top_lang",
+        "top_lang_docs",
+    ).orderBy("cluster")
+
+
+@q(
+    "corpus_cluster_sample",
+    f"""
+    WITH a AS (
+      SELECT id, cluster FROM read_parquet('{staged_glob("cluster_sample_assign")}')
+    ),
+    r AS (
+      SELECT id, cluster,
+             row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY md5(CAST(id AS VARCHAR) || 'cb'), CAST(id AS VARCHAR)
+             ) AS rk
+      FROM a
+    )
+    SELECT id AS vec_id, cluster, CAST(rk AS INT) AS draw_rank
+    FROM r WHERE rk <= 40 ORDER BY cluster, vec_id
+    """,
+)
+def corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced downsampling (operators/clustering.py): at most 40
+    docs per discovered k-means cluster, drawn by md5 order — the
+    ClusterClip-style flattening that stops a template-farm cluster from
+    dominating the mix the way a mega-host would without host_downsample.
+    The (id, cluster) assignment is staged; BOTH engines rank within
+    cluster under the identical md5 draw and apply the cap, so draw order
+    and cap are verified cross-engine. The rank filter compiles to
+    WindowGroupLimit — no cluster is ever fully sorted."""
+    from ocr_platform_spark.operators.clustering import cluster_balanced_sample
+    from ocr_platform_spark.operators.semdedup import assign_with_centroid_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ann.train_ivf(emb, n_lists=16)
+    a = stage(
+        assign_with_centroid_sim(emb, cents).select("id", "cluster"),
+        "cluster_sample_assign",
+    )
+    return (
+        cluster_balanced_sample(a, cap=40)
+        .select(F.col("id").alias("vec_id"), "cluster", "draw_rank")
+        .orderBy("cluster", "vec_id")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -8600,7 +8700,7 @@ _PRIORITY = [
     "doc_decontam_strip", "corpus_bpe_encode", "corpus_token_blocks",
     "corpus_token_blocks_sep", "doc_mojibake_scan", "corpus_vocab_growth",
     "extract_dom_stats", "doc_pii_cards", "extract_span_audit",
-    "extract_lineage_audit",
+    "extract_lineage_audit", "corpus_kmeans_domains", "corpus_cluster_sample",
 ]
 
 
