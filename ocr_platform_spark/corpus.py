@@ -25,6 +25,7 @@ miniature world) at web scale:
 from __future__ import annotations
 
 import datetime as dt
+import json
 import random
 import zlib
 from collections.abc import Iterator
@@ -154,6 +155,67 @@ def _head_metadata(
     return "".join(parts)
 
 
+def _jsonld_blocks(ld_rng: random.Random, lang: str, title: str) -> str:
+    """0-2 ``<script type="application/ld+json">`` structured-data blocks
+    (schema.org Article / Product / BreadcrumbList / Organization), drawn
+    from a FORKED rng keyed on the page url so the main-content and
+    metadata streams — and every historical golden — are untouched. ~6% of
+    blocks are truncated mid-object: invalid JSON under any RFC 8259
+    parser, exercising the validity contract of kernels/structdata.py on
+    both engines. Serialization is ``json.dumps(ensure_ascii=True)`` —
+    no NaN/Infinity extensions, no raw non-ASCII — so CPython ``json`` and
+    DuckDB's JSON extension agree on every block's validity and values."""
+    r = ld_rng.random()
+    n = 0 if r < 0.45 else (1 if r < 0.85 else 2)
+    blocks: list[str] = []
+    for _ in range(n):
+        kind = ld_rng.randrange(4)
+        if kind == 0:
+            obj: dict = {
+                "@context": "https://schema.org",
+                "@type": "Article",
+                "headline": title,
+                "inLanguage": lang,
+                "wordCount": ld_rng.randint(50, 900),
+            }
+        elif kind == 1:
+            obj = {
+                "@context": "https://schema.org",
+                "@type": "Product",
+                "name": title,
+                "offers": {
+                    "@type": "Offer",
+                    "price": f"{ld_rng.randint(1, 999)}.{ld_rng.randint(0, 99):02d}",
+                    "priceCurrency": ld_rng.choice(("USD", "EUR", "INR")),
+                },
+            }
+        elif kind == 2:
+            obj = {
+                "@context": "https://schema.org",
+                "@type": "BreadcrumbList",
+                "itemListElement": [
+                    {
+                        "@type": "ListItem",
+                        "position": i + 1,
+                        "name": _WORDS[ld_rng.randrange(len(_WORDS))],
+                    }
+                    for i in range(ld_rng.randint(1, 3))
+                ],
+            }
+        else:
+            # array-valued @type exercises the first-element rule
+            obj = {
+                "@context": "https://schema.org",
+                "@type": ["Organization", "Brand"],
+                "name": _WORDS[ld_rng.randrange(len(_WORDS))],
+            }
+        s = json.dumps(obj, separators=(",", ":"))
+        if ld_rng.random() < 0.06:
+            s = s[: max(2, len(s) // 2)]  # truncated → invalid in any engine
+        blocks.append(f'<script type="application/ld+json">{s}</script>')
+    return "".join(blocks)
+
+
 def _build_html(
     rng: random.Random,
     lang: str,
@@ -215,11 +277,19 @@ def _build_html(
     meta = (
         _head_metadata(meta_rng, lang, url, title) if meta_rng is not None else ""
     )
+    # structured data only on pages that carry head metadata (the organic
+    # corpus); the rng fork is keyed on the url so nothing else re-rolls
+    ld = (
+        _jsonld_blocks(random.Random(f"ld-{url}"), lang, title)
+        if meta_rng is not None and url is not None
+        else ""
+    )
     html = (
         f'<!DOCTYPE html><html lang="{lang}"><head><title>'
         + title
         + "</title>"
         + meta
+        + ld
         + "<style>body{margin:0}</style>"
         + '<script>var x = "tracking";</script></head><body>'
         + "".join(body_parts)

@@ -8559,6 +8559,63 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n"), "bigram").limit(50)
 
 
+def _structdata_oracle() -> str:
+    from ocr_platform_spark.kernels.structdata import blocks_sql_expr, sql_block_exprs
+
+    e = sql_block_exprs("j")
+    return f"""
+    WITH s AS (SELECT url, raw FROM read_parquet('{staged_glob("structdata")}')),
+    blocks AS (
+      SELECT url, unnest(list_transform({blocks_sql_expr("raw")},
+                                        (b, i) -> struct_pack(idx := i - 1, b := b))) AS u
+      FROM s
+    ),
+    f AS (
+      SELECT url, CAST(u.idx AS INT) AS block_idx, TRY_CAST(u.b AS JSON) AS j0
+      FROM blocks
+    ),
+    g AS (
+      SELECT url, block_idx,
+             CASE WHEN j0 IS NOT NULL AND json_type(j0) = 'OBJECT' THEN j0 END AS j
+      FROM f
+    )
+    SELECT url, block_idx, {e["is_valid"]} AS is_valid,
+           {e["schema_type"]} AS schema_type, {e["n_keys"]} AS n_keys
+    FROM g ORDER BY url, block_idx
+    """
+
+
+@q("extract_structured_data", _structdata_oracle())
+def extract_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org JSON-LD extraction (kernels/structdata.py): synth corpus →
+    one mapInArrow pass per page emitting the decoded payload plus every
+    ``<script type="application/ld+json">`` block parsed to (is_valid,
+    @type, key count). The decoded payload is staged and the oracle replays
+    BOTH halves over identical characters — block discovery with the same
+    compiled regex under RE2, and the JSON semantics under DuckDB's JSON
+    extension vs CPython ``json`` (two independent RFC 8259 parsers —
+    validity verdicts, root-object rule, @type string-or-first-of-array,
+    key counts all hash-checked per block). Reference typed-record face:
+    ``ocr_backend/app/services/processing_service.py`` (field/table records
+    per document)."""
+    from ocr_platform_spark.operators.extract import structured_data_df
+
+    sd = structured_data_df(_synth_docs(spark))
+    staged = stage(sd, "structdata")
+    b = F.explode("blocks").alias("b")
+    return (
+        staged.select("url", b)
+        .select(
+            "url",
+            F.col("b.block_idx").alias("block_idx"),
+            F.col("b.is_valid").alias("is_valid"),
+            F.col("b.schema_type").alias("schema_type"),
+            F.col("b.n_keys").alias("n_keys"),
+        )
+        .orderBy("url", "block_idx")
+    )
+
+
 @q(
     "corpus_kmeans_domains",
     f"""
