@@ -8617,6 +8617,66 @@ def extract_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "host_heavy_hitters",
+    f"""
+    WITH s AS (SELECT * FROM read_parquet('{staged_glob("cms_hosts")}')),
+    grid AS (SELECT r, b, CAST(SUM(n) AS BIGINT) AS c FROM s GROUP BY r, b),
+    est AS (
+      SELECT s.host, s.n, MIN(g.c) AS cms_est
+      FROM s JOIN grid g ON s.r = g.r AND s.b = g.b
+      GROUP BY s.host, s.n
+    )
+    SELECT host, CAST(n AS BIGINT) AS exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - n AS BIGINT) AS overcount
+    FROM est ORDER BY exact_n DESC, host LIMIT 20
+    """,
+)
+def host_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (operators/sketches.py): per-host crawl
+    frequency read from a 4×32 additive counter grid instead of a full
+    per-key shuffle, reported against the exact count (the same
+    sketch-vs-exact twin convention as host_cardinality /
+    host_cardinality_exact — here BOTH halves are oracle-checked). The
+    xxhash64 bucket map is staged with the exact counts; both engines
+    rebuild the grid, take every host's min-cell estimate, and verify the
+    over-estimate gap row by row. Width 32 against ~50 hosts forces real
+    collisions, so nonzero overcounts are part of the hash-checked
+    output. The row-path grid (no per-key aggregation — the 10^12-row
+    shape) is pinned equal to this staged-path grid in
+    tests/test_sketches.py."""
+    from ocr_platform_spark.operators import sketches as SK
+    from ocr_platform_spark.operators.partitioning import host_of
+
+    docs = _synth_docs(spark)
+    exact = (
+        docs.select(host_of("url").alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+    )
+    bm = SK.cms_bucket_map(exact, "host", depth=4, width=32)
+    staged = stage(
+        exact.join(bm, exact.host == bm.key).select("host", "n", "r", "b"),
+        "cms_hosts",
+    )
+    grid = staged.groupBy("r", "b").agg(F.sum("n").alias("c"))
+    est = (
+        staged.join(grid, ["r", "b"])
+        .groupBy("host", "n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "host",
+            F.col("n").alias("exact_n"),
+            "cms_est",
+            (F.col("cms_est") - F.col("n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "host")
+        .limit(20)
+    )
+
+
+@q(
     "corpus_kmeans_domains",
     f"""
     WITH a AS (
@@ -8758,6 +8818,7 @@ _PRIORITY = [
     "corpus_token_blocks_sep", "doc_mojibake_scan", "corpus_vocab_growth",
     "extract_dom_stats", "doc_pii_cards", "extract_span_audit",
     "extract_lineage_audit", "corpus_kmeans_domains", "corpus_cluster_sample",
+    "extract_structured_data", "host_heavy_hitters",
 ]
 
 
