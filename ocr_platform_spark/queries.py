@@ -8617,6 +8617,74 @@ def extract_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_repeated_spans_sa",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST({oracle_bucket_sql("doc_id", 4, "sa")} AS INT) AS shard
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, shard, CAST(i - 1 AS INT) AS pos, substr(text, i, 30) AS g
+      FROM (SELECT doc_id, shard, text,
+                   unnest(generate_series(1, greatest(len(text) - 29, 1))) AS i
+            FROM d)
+    ),
+    rep AS (
+      SELECT shard, g FROM (SELECT shard, g, doc_id FROM g GROUP BY 1, 2, 3)
+      GROUP BY shard, g HAVING COUNT(*) >= 2
+    ),
+    m AS (SELECT g.doc_id, g.pos FROM g JOIN rep ON g.shard = rep.shard AND g.g = rep.g),
+    pe AS (
+      SELECT doc_id, pos,
+             MAX(pos + 30) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM m
+    ),
+    i AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM pe
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 30 AS span_end
+    FROM i GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def doc_repeated_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array ExactSubstr marking (operators/suffix_array.py — Lee et
+    al. 2022's own data structure): docs are md5-bucketed into 4 shards,
+    each shard's repeated spans found by one in-memory rank-doubling pass —
+    ZERO shuffle for the marking, the exact-local half of the
+    exact-local + winnowed-global composition that runs at 10^12 docs.
+    NOTHING is staged: shard assignment is the md5 bucket both engines
+    share, and the oracle replays gram extraction from raw parquet BY
+    SUBSTRING VALUE — exact codepoints on both sides, no hash anywhere —
+    then the same distinct-doc filter and island merge. Differential
+    equality with the char-gram exact operator on a single shard is pinned
+    in tests/test_suffix_array.py."""
+    from ocr_platform_spark.operators.sampling import hash_bucket
+    from ocr_platform_spark.operators.suffix_array import sa_repeated_spans
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id", "text", hash_bucket("doc_id", 4, "sa").cast("int").alias("shard")
+        )
+    )
+    return (
+        sa_repeated_spans(d, "doc_id", "text", "shard", k=30)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@q(
     "host_heavy_hitters",
     f"""
     WITH s AS (SELECT * FROM read_parquet('{staged_glob("cms_hosts")}')),
@@ -8818,7 +8886,7 @@ _PRIORITY = [
     "corpus_token_blocks_sep", "doc_mojibake_scan", "corpus_vocab_growth",
     "extract_dom_stats", "doc_pii_cards", "extract_span_audit",
     "extract_lineage_audit", "corpus_kmeans_domains", "corpus_cluster_sample",
-    "extract_structured_data", "host_heavy_hitters",
+    "extract_structured_data", "host_heavy_hitters", "doc_repeated_spans_sa",
 ]
 
 
