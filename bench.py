@@ -112,6 +112,18 @@ HEADLINE = [
     "doc_decontam_strip",
     "corpus_bpe_encode",
     "corpus_token_blocks",
+    # round-4 closing additions (discovered-domain clustering, structured
+    # data, count-min sketch, suffix-array span marking)
+    "corpus_kmeans_domains",
+    "corpus_cluster_sample",
+    "extract_structured_data",
+    "structured_product_offers",
+    "host_heavy_hitters",
+    "doc_repeated_spans_sa",
+    "corpus_cluster_weights",
+    "structured_product_offers",
+    "corpus_cluster_epoch_plan",
+    "doc_canonical_dups",
 ]
 
 

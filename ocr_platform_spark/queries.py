@@ -4246,6 +4246,66 @@ def extract_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select("url", *FIELDS, "n_hreflang").orderBy("url")
 
 
+def _canonical_dups_oracle() -> str:
+    from ocr_platform_spark.kernels.page_meta import sql_exprs
+
+    canon = sql_exprs("raw")["canonical"]
+    return f"""
+    WITH m AS (
+      SELECT url, {canon} AS canonical
+      FROM read_parquet('{staged_glob("canon_meta")}')
+    ),
+    t AS (SELECT url, COALESCE(canonical, url) AS target FROM m)
+    SELECT target AS canonical_url,
+           COUNT(*) AS n_pages,
+           CAST(SUM(CASE WHEN url <> target THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_noncanonical,
+           MIN(url) AS representative
+    FROM t GROUP BY target
+    HAVING COUNT(*) >= 2
+       AND SUM(CASE WHEN url <> target THEN 1 ELSE 0 END) >= 1
+    ORDER BY canonical_url
+    """
+
+
+@q("doc_canonical_dups", _canonical_dups_oracle())
+def doc_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup from DECLARED canonicals — the dedup signal that
+    costs no content hashing at all: pages whose ``<link rel="canonical">``
+    targets coincide are duplicates by the site's own declaration
+    (tracking-parameter variants, print views, pagination mirrors), and
+    real crawl pipelines collapse them before any MinHash runs. The kernel
+    frame (url, raw, canonical) is staged; the oracle re-extracts the
+    canonical from the raw payload with the same RE2∩``re`` pattern
+    (kernels/page_meta.py dialect-parity contract) and rebuilds every
+    cluster — so the parse AND the clustering are cross-engine-checked.
+    A page with no canonical is its own target (self-canonical pages count
+    toward their cluster but never create one). Scale shape: one
+    mapInArrow extraction pass, one hash aggregate on the canonical
+    target — the cheapest dedup family in the engine, run FIRST in the
+    published crawl recipes. Complements content-side families in
+    operators/dedup.py; reference parity: URL-keyed document identity
+    (``ocr_backend/app/models/document.py`` unique url per document)."""
+    from ocr_platform_spark.operators.extract import page_metadata_df
+
+    meta = page_metadata_df(_synth_docs(spark)).select("url", "raw", "canonical")
+    staged = stage(meta, "canon_meta")
+    t = staged.select(
+        "url", F.coalesce("canonical", "url").alias("target")
+    )
+    nonc = F.sum((F.col("url") != F.col("target")).cast("long"))
+    return (
+        t.groupBy(F.col("target").alias("canonical_url"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            nonc.alias("n_noncanonical"),
+            F.min("url").alias("representative"),
+        )
+        .where((F.col("n_pages") >= 2) & (F.col("n_noncanonical") >= 1))
+        .orderBy("canonical_url")
+    )
+
+
 def _zorder_oracle() -> str:
     from ocr_platform_spark.operators.layout import zorder_sql
 
@@ -8617,6 +8677,254 @@ def extract_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_cluster_weights",
+    f"""
+    WITH a AS (
+      SELECT id, cluster FROM read_parquet('{staged_glob("cluster_weights_assign")}')
+    ),
+    toks AS (
+      SELECT a.cluster,
+        CAST(CASE WHEN d.text IS NULL OR trim(d.text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS BIGINT)
+          AS n_tokens
+      FROM documents d JOIN a ON d.doc_id = a.id
+    ),
+    avail AS (
+      SELECT cluster, CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+      FROM toks GROUP BY cluster HAVING SUM(n_tokens) > 0
+    ),
+    raw AS (
+      SELECT cluster, avail_tokens,
+             CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) * {float(_TEMP_SCALE)}) AS BIGINT) AS rw
+      FROM avail
+    ),
+    tot AS (SELECT *, CAST(SUM(rw) OVER () AS BIGINT) AS rsum FROM raw),
+    quota AS (
+      SELECT cluster, avail_tokens,
+             (1000 * rw) // rsum AS q, (1000 * rw) % rsum AS rem
+      FROM tot
+    ),
+    seats AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY rem DESC, CAST(cluster AS VARCHAR))
+                  <= 1000 - CAST(SUM(q) OVER () AS BIGINT) AS BIGINT) AS extra
+      FROM quota
+    )
+    SELECT cluster, avail_tokens, CAST(q + extra AS INT) AS weight_per_mille
+    FROM seats WHERE q + extra > 0 ORDER BY cluster
+    """,
+)
+def corpus_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture weights over DISCOVERED domains: the same
+    Hamilton-seat T=2 arithmetic as ``corpus_temperature_weights``, but the
+    group axis is the staged k-means cluster instead of the language tag —
+    the piece that turns clustering-as-curation-dimension into an actual
+    sampling plan (profile → weight → epoch plan, all reusing
+    operators/sampling.py unchanged). Exact integers after one correctly-
+    rounded sqrt; weights sum to exactly 1000 in both engines."""
+    from ocr_platform_spark.operators.sampling import temperature_weights
+    from ocr_platform_spark.operators.semdedup import assign_with_centroid_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ann.train_ivf(emb, n_lists=16)
+    a = stage(
+        assign_with_centroid_sim(emb, cents).select("id", "cluster"),
+        "cluster_weights_assign",
+    )
+    d = _t(spark, sf_dir, "documents")
+    toks = d.join(a, d.doc_id == a.id).select(
+        "cluster", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    return (
+        temperature_weights(toks, "cluster", "n_tokens", sqrt_iters=1, scale=_TEMP_SCALE)
+        .orderBy("cluster")
+    )
+
+
+_CLUSTER_EPOCH_TOTAL = 120_000
+
+
+@q(
+    "corpus_cluster_epoch_plan",
+    f"""
+    WITH a AS (
+      SELECT id, cluster FROM read_parquet('{staged_glob("cluster_epoch_assign")}')
+    ),
+    toks AS (
+      SELECT d.doc_id, CAST(a.cluster AS VARCHAR) AS cluster,
+        CAST(CASE WHEN d.text IS NULL OR trim(d.text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS BIGINT)
+          AS n_tokens
+      FROM documents d JOIN a ON d.doc_id = a.id
+    ),
+    avail AS (
+      SELECT cluster, CAST(SUM(n_tokens) AS BIGINT) AS avail
+      FROM toks GROUP BY cluster HAVING SUM(n_tokens) > 0
+    ),
+    raw AS (
+      SELECT cluster, avail,
+             CAST(floor(sqrt(CAST(avail AS DOUBLE)) * {float(_TEMP_SCALE)}) AS BIGINT) AS rw
+      FROM avail
+    ),
+    tot AS (SELECT *, CAST(SUM(rw) OVER () AS BIGINT) AS rsum FROM raw),
+    quota AS (
+      SELECT cluster, avail, (1000 * rw) // rsum AS q, (1000 * rw) % rsum AS qrem
+      FROM tot
+    ),
+    seats AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY qrem DESC, cluster)
+                  <= 1000 - CAST(SUM(q) OVER () AS BIGINT) AS BIGINT) AS extra
+      FROM quota
+    ),
+    w AS (SELECT cluster, avail, q + extra AS w FROM seats WHERE q + extra > 0),
+    need AS (
+      SELECT cluster,
+             ((CAST({_CLUSTER_EPOCH_TOTAL} AS BIGINT) * w) // 1000) // avail AS fullep,
+             ((CAST({_CLUSTER_EPOCH_TOTAL} AS BIGINT) * w) // 1000) % avail AS rem
+      FROM w
+    ),
+    ord AS (
+      SELECT t.*, {oracle_bucket_sql("t.doc_id", _EPOCH_BUCKETS, "cep")} AS b,
+             md5(CAST(t.doc_id AS VARCHAR) || 'cep') AS h
+      FROM toks t
+    ),
+    cum AS (
+      SELECT *, COALESCE(SUM(n_tokens) OVER (
+          PARTITION BY cluster ORDER BY b, h, CAST(doc_id AS VARCHAR)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumpre
+      FROM ord
+    )
+    SELECT c.doc_id, CAST(c.cluster AS INT) AS cluster,
+           CAST(c.n_tokens AS INT) AS n_tokens,
+           CAST(n.fullep + CASE WHEN c.cumpre < n.rem THEN 1 ELSE 0 END AS INT)
+             AS n_epochs,
+           CAST(c.n_tokens
+                * (n.fullep + CASE WHEN c.cumpre < n.rem THEN 1 ELSE 0 END)
+               AS BIGINT) AS planned_tokens
+    FROM cum c JOIN need n ON c.cluster = n.cluster
+    WHERE n.fullep + CASE WHEN c.cumpre < n.rem THEN 1 ELSE 0 END > 0
+    ORDER BY c.doc_id
+    """,
+)
+def corpus_cluster_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full discovered-domain sampling chain in ONE oracled job:
+    k-means clusters over the embedding space (staged assignment) →
+    temperature weights (T=2, Hamilton seats) → token-budget epoch plan
+    with upsampling. This is what corpus_kmeans_domains exists FOR — the
+    published cluster-as-domain recipes (DoReMi-style domain reweighting
+    over discovered rather than labeled domains) end in exactly this plan:
+    small semantic clusters get super-proportional weight from the sqrt
+    flattening, and when a small cluster's target share exceeds its
+    available tokens it plans whole repeat epochs plus a deterministic
+    partial epoch. Both engines recompute weights AND the plan from the
+    staged (id, cluster) table — every integer (seats, full epochs,
+    boundary-doc selection) is hash-checked end to end. Scale shape
+    inherits from operators/sampling.py: weights from one dimension-sized
+    aggregate; the plan's running sum is the two-level prefix sum (only
+    the single boundary bucket per cluster sorts rows in a task).
+    Engine-side training-data surface (no counterpart in the reference)."""
+    from ocr_platform_spark.operators.sampling import (
+        collect_weights,
+        epoch_plan,
+        temperature_weights,
+    )
+    from ocr_platform_spark.operators.semdedup import assign_with_centroid_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ann.train_ivf(emb, n_lists=16)
+    a = stage(
+        assign_with_centroid_sim(emb, cents).select("id", "cluster"),
+        "cluster_epoch_assign",
+    )
+    d = _t(spark, sf_dir, "documents")
+    toks = d.join(a, d.doc_id == a.id).select(
+        F.col("cluster").cast("string").alias("cluster"),
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+    )
+    w = collect_weights(
+        temperature_weights(toks, "cluster", "n_tokens", sqrt_iters=1, scale=_TEMP_SCALE),
+        "cluster",
+    )
+    plan = epoch_plan(
+        toks,
+        "cluster",
+        "doc_id",
+        "n_tokens",
+        w,
+        _CLUSTER_EPOCH_TOTAL,
+        n_buckets=_EPOCH_BUCKETS,
+        salt="cep",
+    )
+    return plan.select(
+        "doc_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "n_epochs",
+        "planned_tokens",
+    ).orderBy("doc_id")
+
+
+@q(
+    "structured_product_offers",
+    f"""
+    WITH b AS (SELECT url, block FROM read_parquet('{staged_glob("product_blocks")}')),
+    o AS (
+      SELECT url,
+             TRY_CAST(json_extract_string(block, '$.offers.price') AS DECIMAL(10,2))
+               AS price,
+             json_extract_string(block, '$.offers.priceCurrency') AS currency
+      FROM b
+    )
+    SELECT currency, COUNT(*) AS n_offers,
+           CAST(MIN(price) AS DOUBLE) AS min_price,
+           CAST(MAX(price) AS DOUBLE) AS max_price,
+           CAST(SUM(price) AS DOUBLE) AS sum_price
+    FROM o GROUP BY currency ORDER BY currency
+    """,
+)
+def structured_product_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed records out of structured data: the valid schema.org Product
+    blocks (from the JSON-LD kernel) priced per currency — JSON-path
+    extraction runs ENTIRELY JVM-side (``get_json_object``, whole-stage
+    codegen; no Python after the staged kernel boundary), with exact
+    DECIMAL aggregation. The oracle runs the same paths under DuckDB's
+    JSON extension over the staged block strings — a third engine-pair
+    check (Jackson vs yyjson) on top of the per-block parse contract of
+    ``extract_structured_data``. This is the web-corpus analogue of the
+    reference's typed field extraction + voucher arithmetic
+    (``ocr_backend/app/services/processing_service.py``,
+    ``tally_service.py``: string fields → validated decimals → totals)."""
+    from ocr_platform_spark.operators.extract import structured_data_df
+
+    sd = structured_data_df(_synth_docs(spark))
+    blocks = (
+        sd.select("url", F.explode("blocks").alias("b"))
+        .where(F.col("b.is_valid") & (F.col("b.schema_type") == F.lit("Product")))
+        .select("url", F.col("b.block").alias("block"))
+    )
+    staged = stage(blocks, "product_blocks")
+    offers = staged.select(
+        "url",
+        F.expr(
+            "try_cast(get_json_object(block, '$.offers.price') AS DECIMAL(10,2))"
+        ).alias("price"),
+        F.get_json_object("block", "$.offers.priceCurrency").alias("currency"),
+    )
+    return (
+        offers.groupBy("currency")
+        .agg(
+            F.count("*").alias("n_offers"),
+            F.min("price").cast("double").alias("min_price"),
+            F.max("price").cast("double").alias("max_price"),
+            F.sum("price").cast("double").alias("sum_price"),
+        )
+        .orderBy("currency")
+    )
+
+
+@q(
     "doc_repeated_spans_sa",
     f"""
     WITH d AS (
@@ -8887,6 +9195,8 @@ _PRIORITY = [
     "extract_dom_stats", "doc_pii_cards", "extract_span_audit",
     "extract_lineage_audit", "corpus_kmeans_domains", "corpus_cluster_sample",
     "extract_structured_data", "host_heavy_hitters", "doc_repeated_spans_sa",
+    "corpus_cluster_weights", "structured_product_offers",
+    "corpus_cluster_epoch_plan", "doc_canonical_dups",
 ]
 
 
