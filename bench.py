@@ -124,6 +124,7 @@ HEADLINE = [
     "structured_product_offers",
     "corpus_cluster_epoch_plan",
     "doc_canonical_dups",
+    "hreflang_frontier_seeds",
 ]
 
 

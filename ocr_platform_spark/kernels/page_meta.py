@@ -57,6 +57,15 @@ _OGT_CP = re.compile(r'(?is)<meta[ \t\n][^>]*?content="([^"]*)"[^>]*?property="o
 _OGL_PC = re.compile(r'(?is)<meta[ \t\n][^>]*?property="og:locale"[^>]*?content="([^"]*)"')
 _OGL_CP = re.compile(r'(?is)<meta[ \t\n][^>]*?content="([^"]*)"[^>]*?property="og:locale"')
 _HREFLANG_RE = re.compile(r'(?i)hreflang="')
+# full alternate pairs: hreflang-before-href attribute order only (the
+# dominant authored form and the only one the corpus emits; the reversed
+# order reads as absent on every engine — same single-order restriction
+# as the contract's double-quoted-values rule). Both capture groups live
+# in one pattern so group-1 and group-2 extract_all lists are positionally
+# aligned by construction on every engine.
+_ALT_HH = re.compile(
+    r'(?is)<link[ \t\n][^>]*?hreflang="([^"]*)"[^>]*?href="([^"]*)"'
+)
 
 FIELDS = (
     "title",
@@ -104,6 +113,28 @@ def page_metadata(data: bytes | None) -> dict:
         "robots": _first(raw, _ROBOTS_NC, _ROBOTS_CN),
         "n_hreflang": len(_HREFLANG_RE.findall(raw)),
     }
+
+
+def hreflang_alternates(raw: str) -> list[tuple[str, str]]:
+    """(hreflang, href) pairs in document order — the declared-alternate
+    face of the <head>: each pair names a translation of this page at
+    another URL. Empty lang or href reads as absent (dropped), matching
+    the ''≡absent convention. Python half of the parity contract;
+    :func:`alternates_sql_exprs` is the DuckDB half and the catalog query
+    runs the same pattern JVM-side via ``F.regexp_extract_all`` — one
+    pattern string, three engines."""
+    return [(lg, hf) for lg, hf in _ALT_HH.findall(raw) if lg and hf]
+
+
+def alternates_sql_exprs(raw_col: str = "raw") -> tuple[str, str]:
+    """DuckDB expressions for the positionally-aligned (hreflang list,
+    href list) of :func:`hreflang_alternates` — unnest both in one SELECT
+    (DuckDB zips parallel unnests) to recover the pairs."""
+    pat = _ALT_HH.pattern
+    return (
+        f"regexp_extract_all({raw_col}, '{pat}', 1)",
+        f"regexp_extract_all({raw_col}, '{pat}', 2)",
+    )
 
 
 def sql_exprs(raw_col: str = "raw") -> dict[str, str]:

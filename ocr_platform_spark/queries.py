@@ -4306,6 +4306,85 @@ def doc_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hreflang_seeds_oracle() -> str:
+    from ocr_platform_spark.kernels.page_meta import alternates_sql_exprs
+
+    langs_sql, hrefs_sql = alternates_sql_exprs("raw")
+    return f"""
+    WITH m AS (
+      SELECT url, raw FROM read_parquet('{staged_glob("hreflang_meta")}')
+    ),
+    alts AS (
+      SELECT url,
+             unnest({langs_sql}) AS alt_lang,
+             unnest({hrefs_sql}) AS alt_url
+      FROM m
+    ),
+    f AS (SELECT * FROM alts WHERE alt_lang <> '' AND alt_url <> ''),
+    seeds AS (
+      SELECT f.* FROM f LEFT JOIN m d ON f.alt_url = d.url
+      WHERE d.url IS NULL
+    )
+    SELECT alt_url AS seed_url, alt_lang AS declared_lang,
+           COUNT(*) AS n_declaring, MIN(url) AS representative
+    FROM seeds GROUP BY alt_url, alt_lang
+    ORDER BY seed_url, declared_lang
+    """
+
+
+@q("hreflang_frontier_seeds", _hreflang_seeds_oracle())
+def hreflang_frontier_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-targeted crawl expansion from DECLARED alternates: every
+    ``<link rel="alternate" hreflang=..>`` names a translation of the page
+    at another URL — the multilingual-corpus recipes mine exactly these
+    declarations to find parallel pages, and a crawler uses the ones NOT
+    yet in the corpus as frontier seeds pre-tagged with their language
+    (fetch priority for low-resource langs costs nothing here). One
+    pattern string runs on THREE engines: the kernel's ``re`` form
+    (kernels/page_meta.hreflang_alternates), Spark's JVM regex via
+    ``F.regexp_extract_all`` over the staged decoded payload (group-1 and
+    group-2 lists zipped positionally — whole-stage codegen, zero Python
+    past the staging boundary), and DuckDB RE2 in the oracle, which
+    replays extraction, the not-in-corpus anti-join, and the per-seed
+    rollup from the same staged rows. Scale shape: one extraction scan +
+    one left-anti hash join on url — the same shape as Bloom-accelerated
+    resume (operators/bloom.py) if the crawled set outgrows a shuffle
+    join. Crawl-face sibling of bitext_url_candidates (those INFER pairs
+    from URL structure; this reads the site's declaration)."""
+    from ocr_platform_spark.kernels.page_meta import _ALT_HH
+    from ocr_platform_spark.operators.extract import page_metadata_df
+
+    meta = page_metadata_df(_synth_docs(spark)).select("url", "raw")
+    staged = stage(meta, "hreflang_meta")
+    pat = F.lit(_ALT_HH.pattern)
+    alts = (
+        staged.select(
+            "url",
+            F.explode(
+                F.arrays_zip(
+                    F.regexp_extract_all("raw", pat, F.lit(1)).alias("alt_lang"),
+                    F.regexp_extract_all("raw", pat, F.lit(2)).alias("alt_url"),
+                )
+            ).alias("a"),
+        )
+        .select("url", F.col("a.alt_lang").alias("alt_lang"), F.col("a.alt_url").alias("alt_url"))
+        .where((F.col("alt_lang") != "") & (F.col("alt_url") != ""))
+    )
+    seeds = alts.join(
+        staged.select(F.col("url").alias("alt_url")), "alt_url", "left_anti"
+    )
+    return (
+        seeds.groupBy(
+            F.col("alt_url").alias("seed_url"), F.col("alt_lang").alias("declared_lang")
+        )
+        .agg(
+            F.count("*").alias("n_declaring"),
+            F.min("url").alias("representative"),
+        )
+        .orderBy("seed_url", "declared_lang")
+    )
+
+
 def _zorder_oracle() -> str:
     from ocr_platform_spark.operators.layout import zorder_sql
 
@@ -9197,6 +9276,7 @@ _PRIORITY = [
     "extract_structured_data", "host_heavy_hitters", "doc_repeated_spans_sa",
     "corpus_cluster_weights", "structured_product_offers",
     "corpus_cluster_epoch_plan", "doc_canonical_dups",
+    "hreflang_frontier_seeds",
 ]
 
 

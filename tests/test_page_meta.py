@@ -117,6 +117,68 @@ def test_dialect_parity_python_vs_duckdb():
         assert got_py["n_hreflang"] == got_sql["n_hreflang"], raw
 
 
+_ALT_ADVERSARIAL = [
+    # plain pair, document order
+    '<link rel="alternate" hreflang="de" href="https://x.org/?hl=de">',
+    # two pairs — list alignment must hold
+    '<link hreflang="a" href="u1"><link hreflang="b" href="u2">',
+    # reversed attribute order: out of contract, reads as absent
+    '<link rel="alternate" href="u" hreflang="es">',
+    # hreflang with NO href in the same tag must not bleed into the next tag
+    '<link hreflang="fr" rel="alternate"><link rel="next" href="u9">',
+    # empty values drop after the zip
+    '<link hreflang="" href="u"><link hreflang="x" href="">',
+    # uppercase tag + newline whitespace
+    '<LINK\nhreflang="pt" href="u-pt">',
+]
+
+
+def test_alternates_parity_python_vs_duckdb():
+    """hreflang_alternates (Python re) must agree pair-for-pair with the
+    oracle's RE2 unnest-zip — the contract hreflang_frontier_seeds rests
+    on. The no-href case pins that [^>]*? cannot cross a tag boundary."""
+    from ocr_platform_spark.kernels.page_meta import (
+        alternates_sql_exprs,
+        hreflang_alternates,
+    )
+
+    con = duckdb.connect()
+    langs_sql, hrefs_sql = alternates_sql_exprs("raw")
+    for raw in _ALT_ADVERSARIAL:
+        got_py = hreflang_alternates(raw)
+        rows = con.execute(
+            f"SELECT unnest({langs_sql}) AS l, unnest({hrefs_sql}) AS h "
+            "FROM (SELECT ? AS raw)",
+            [raw],
+        ).fetchall()
+        got_sql = [(lg, hf) for lg, hf in rows if lg and hf]
+        assert got_py == got_sql, (raw, got_py, got_sql)
+
+
+def test_alternates_parity_python_vs_spark(spark):
+    """Third engine: Spark's JVM regexp_extract_all over the same pattern
+    — the form the catalog query executes — matches the Python pairs."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.kernels.page_meta import _ALT_HH, hreflang_alternates
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(_ALT_ADVERSARIAL)], "i int, raw string")
+    pat = F.lit(_ALT_HH.pattern)
+    out = (
+        df.select(
+            "i",
+            F.arrays_zip(
+                F.regexp_extract_all("raw", pat, F.lit(1)).alias("l"),
+                F.regexp_extract_all("raw", pat, F.lit(2)).alias("h"),
+            ).alias("z"),
+        )
+        .collect()
+    )
+    for r in out:
+        got_spark = [(p["l"], p["h"]) for p in r["z"] if p["l"] and p["h"]]
+        assert got_spark == hreflang_alternates(_ALT_ADVERSARIAL[r["i"]])
+
+
 def test_corpus_pages_carry_metadata(spark):
     """The synthetic corpus emits every metadata field somewhere, and the
     operator's per-field coverage matches the generator's draw rates."""
