@@ -121,10 +121,15 @@ HEADLINE = [
     "host_heavy_hitters",
     "doc_repeated_spans_sa",
     "corpus_cluster_weights",
-    "structured_product_offers",
     "corpus_cluster_epoch_plan",
     "doc_canonical_dups",
     "hreflang_frontier_seeds",
+    # round-4 tail (url hygiene, readability, code routing, quality-aware
+    # dedup eviction)
+    "url_param_stats",
+    "doc_readability",
+    "doc_code_density",
+    "dedup_quality_eviction",
 ]
 
 

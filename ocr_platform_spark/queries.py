@@ -9231,6 +9231,283 @@ def corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Round-4 tail: URL hygiene, readability, code routing, quality-aware dedup
+# =========================================================================
+
+
+@q(
+    "url_param_stats",
+    rf"""
+    WITH u AS (SELECT url FROM read_parquet('{staged_glob("url_param_urls")}')),
+    kv AS (
+      SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+             url,
+             unnest(str_split(regexp_extract(url, '\?([^#]*)', 1), '&')) AS pair
+      FROM u
+    ),
+    p AS (
+      SELECT host, url, split_part(pair, '=', 1) AS param,
+             split_part(pair, '=', 2) AS val
+      FROM kv WHERE pair <> ''
+    )
+    SELECT host, param,
+           COUNT(DISTINCT url) AS n_urls,
+           COUNT(DISTINCT val) AS n_vals,
+           (COUNT(DISTINCT val) = COUNT(DISTINCT url)
+            AND COUNT(DISTINCT url) >= 4) AS per_visit
+    FROM p GROUP BY host, param ORDER BY host, param
+    """,
+)
+def url_param_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking/session query-parameter mining — the evidence table behind a
+    URL-canonicalization strip list (`url_canonicalization` hard-codes the
+    utm/gclid list; this DISCOVERS per-visit params from the crawl itself):
+    a (host, param) whose distinct-value count equals its url count is a
+    per-visit identifier (session ids, cache busters) and safe to strip
+    before URL-level dedup. Fully relational — one explode + one groupBy on
+    (host, param), so at 10^12 urls it is a single shuffle keyed far finer
+    than host. Both engines parse the SAME staged url table with the same
+    regex/split chain; counts are exact integers."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    host = F.concat(
+        F.lit("site-"), F.pmod("doc_id", F.lit(8)).cast("string"), F.lit(".example.org")
+    )
+    qstr = F.concat(
+        F.lit("q="), F.pmod("doc_id", F.lit(10)).cast("string"),
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.concat(F.lit("&sid=s"), did))
+        .otherwise(F.lit("")),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.concat(F.lit("&page="), F.pmod("doc_id", F.lit(5)).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit("&utm_source=feed"))
+        .otherwise(F.lit("")),
+    )
+    urls = d.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), did, F.lit("?"), qstr).alias("url")
+    )
+    staged = stage(urls, "url_param_urls", partitions=2)
+    kv = staged.select(
+        F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1).alias("host"),
+        "url",
+        F.explode(F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&")).alias("pair"),
+    ).where(F.col("pair") != "")
+    p = kv.select(
+        "host",
+        "url",
+        F.substring_index("pair", "=", 1).alias("param"),
+        F.substring_index("pair", "=", -1).alias("val"),
+    )
+    return (
+        p.groupBy("host", "param")
+        .agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("val").alias("n_vals"),
+        )
+        .withColumn(
+            "per_visit",
+            (F.col("n_vals") == F.col("n_urls")) & (F.col("n_urls") >= 4),
+        )
+        .orderBy("host", "param")
+    )
+
+
+@q(
+    "doc_readability",
+    """
+    WITH c AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(coalesce(text,'')), '[a-z]+')) AS BIGINT) AS words,
+        CAST(greatest(len(regexp_extract_all(coalesce(text,''), '[.!?]+')), 1) AS BIGINT) AS sents,
+        CAST(len(regexp_extract_all(lower(coalesce(text,'')), '[aeiouy]+')) AS BIGINT) AS sylls
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, words, sents, sylls,
+        round(206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))
+              - 84.6 * (CAST(sylls AS DOUBLE) / CAST(greatest(words, 1) AS DOUBLE)),
+              4) AS flesch
+      FROM c
+    )
+    SELECT doc_id, words, sents, sylls, flesch,
+      CASE WHEN flesch >= 70 THEN 'easy' WHEN flesch >= 50 THEN 'standard'
+           WHEN flesch >= 30 THEN 'difficult' ELSE 'very_difficult' END AS band
+    FROM s ORDER BY doc_id
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — a standard curation quality axis
+    alongside `doc_quality`/`doc_gopher_rules` (readability bands drive
+    mixture weights for kid-safe / technical subsets). Deterministic
+    syllable proxy: vowel groups ``[aeiouy]+`` in lowercased text (the usual
+    cheap estimator); sentences = ``[.!?]+`` runs, floored at 1. The score
+    is ONE double op sequence over exact integer counts, identical per
+    IEEE-754 in both engines, rounded to 4 dp; the band is derived from the
+    rounded value so the CASE sees identical inputs. Map-side only — no
+    shuffle at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    words = F.size(F.regexp_extract_all(F.lower(txt), F.lit("[a-z]+"), F.lit(0))).cast("long")
+    sents = (
+        F.greatest(F.size(F.regexp_extract_all(txt, F.lit("[.!?]+"), F.lit(0))), F.lit(1))
+        .cast("long")
+    )
+    sylls = F.size(F.regexp_extract_all(F.lower(txt), F.lit("[aeiouy]+"), F.lit(0))).cast("long")
+    c = d.select("doc_id", words.alias("words"), sents.alias("sents"), sylls.alias("sylls"))
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sents").cast("double"))
+        - F.lit(84.6)
+        * (
+            F.col("sylls").cast("double")
+            / F.greatest(F.col("words"), F.lit(1).cast("long")).cast("double")
+        ),
+        4,
+    )
+    return (
+        c.withColumn("flesch", flesch)
+        .withColumn(
+            "band",
+            F.when(F.col("flesch") >= 70, F.lit("easy"))
+            .when(F.col("flesch") >= 50, F.lit("standard"))
+            .when(F.col("flesch") >= 30, F.lit("difficult"))
+            .otherwise(F.lit("very_difficult")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Code-line predicate shared by engine and oracle: indentation, statement
+#: terminators, or a leading keyword. RE2∩Java-safe (no lookaround).
+_CODE_LINE_RE = r"^(    |\t)|[;{}] *$|^(def |class |import |return |while |for )"
+
+
+@q(
+    "doc_code_density",
+    rf"""
+    WITH l AS (
+      SELECT doc_id, unnest(str_split(coalesce(text,''), chr(10))) AS line
+      FROM read_parquet('{staged_glob("code_density_docs")}')
+    ),
+    nz AS (SELECT doc_id, line FROM l WHERE trim(line) <> ''),
+    a AS (
+      SELECT doc_id, COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN regexp_matches(line,
+               '^(    |\t)|[;{{}}] *$|^(def |class |import |return |while |for )')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_code
+      FROM nz GROUP BY doc_id
+    )
+    SELECT doc_id, n_lines, n_code,
+           round(CAST(n_code AS DOUBLE) / CAST(n_lines AS DOUBLE), 4) AS code_ratio,
+           n_code * 10 >= n_lines * 3 AS is_code
+    FROM a ORDER BY doc_id
+    """,
+)
+def doc_code_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prose/code routing gate (StarCoder-style corpus splitting): per-doc
+    share of code-shaped lines (indent, ``;{{}}`` terminators, leading
+    keyword), flag ``is_code`` decided by the EXACT integer comparison
+    ``10·n_code ≥ 3·n_lines`` (no float threshold drift). Every 5th doc is
+    deterministically rewritten as a synthetic code snippet so the gate has
+    both classes to separate; the mixed text is staged and BOTH engines
+    classify the same bytes with the same regex. Explode + groupBy(doc_id)
+    keys the one shuffle on the finest key there is — scale-indifferent."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("import os\ndef fn_"), did,
+        F.lit("(x):\n    y = x + "), F.pmod("doc_id", F.lit(97)).cast("string"),
+        F.lit(";\n    return y * 2\nclass C"), did,
+        F.lit(":\n    pass\nwhile x:\n    x -= 1\nresult = fn_"), did,
+        F.lit("(3);\n# done\n"),
+    )
+    mixed = d.withColumn(
+        "text", F.when(F.pmod("doc_id", F.lit(5)) == 0, code).otherwise(F.col("text"))
+    )
+    staged = stage(mixed, "code_density_docs", partitions=2)
+    lines = staged.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), "\n")).alias("line"),
+    ).where(F.trim("line") != "")
+    agg = lines.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("line").rlike(_CODE_LINE_RE), 1).otherwise(0))
+        .cast("long")
+        .alias("n_code"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_code",
+        F.round(F.col("n_code").cast("double") / F.col("n_lines").cast("double"), 4)
+        .alias("code_ratio"),
+        (F.col("n_code") * 10 >= F.col("n_lines") * 3).alias("is_code"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "dedup_quality_eviction",
+    rf"""
+    WITH lab AS (SELECT * FROM read_parquet('{staged_glob("qevict_labels")}')),
+    s AS (
+      SELECT d.doc_id,
+             COALESCE(l.comp, d.doc_id) AS cluster_id,
+             CAST(100 * len(regexp_extract_all(lower(coalesce(d.text,'')),
+                    '\b(the|and|of|to|in|that|with)\b'))
+                  + length(coalesce(d.text,'')) AS BIGINT) AS score
+      FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+      FROM s
+    )
+    SELECT doc_id, cluster_id, score, rn = 1 AS kept
+    FROM r ORDER BY cluster_id, doc_id
+    """,
+)
+def dedup_quality_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup eviction: keep the HIGHEST-quality doc per
+    near-dup cluster instead of the min-id survivor (`doc_dedup_survivors`)
+    — the policy real curation uses so a cleaner mirror beats a boilerplate-
+    laden original (RefinedWeb keeps "best by heuristic" within clusters).
+    Cluster labels ride the already-oracled MinHash→connected-components
+    pipeline (`doc_dedup_clusters` replays that recurrence cross-engine;
+    here the final labels are staged) and BOTH engines recompute the integer
+    quality score ``100·stopword_hits + n_chars`` from the raw parquet, rank
+    within cluster under the identical (score DESC, doc_id) order, and keep
+    rank 1. Unclustered docs are their own cluster via the left join. The
+    rank-1 filter compiles to WindowGroupLimit — no cluster fully sorted."""
+    from ocr_platform_spark.operators.linkgraph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(d, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    labels = stage(connected_components(pairs, iterations=_CC_ITER), "qevict_labels")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    stops = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|and|of|to|in|that|with)\b"), F.lit(0)
+        )
+    ).cast("long")
+    scored = d.select(
+        "doc_id", (F.lit(100).cast("long") * stops + F.length(txt).cast("long")).alias("score")
+    )
+    assigned = (
+        scored.join(labels, scored.doc_id == labels.id, "left")
+        .select("doc_id", F.coalesce("comp", "doc_id").alias("cluster_id"), "score")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "cluster_id", "score", (F.col("rn") == 1).alias("kept"))
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -9277,6 +9554,8 @@ _PRIORITY = [
     "corpus_cluster_weights", "structured_product_offers",
     "corpus_cluster_epoch_plan", "doc_canonical_dups",
     "hreflang_frontier_seeds",
+    "url_param_stats", "doc_readability", "doc_code_density",
+    "dedup_quality_eviction",
 ]
 
 
