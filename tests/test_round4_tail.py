@@ -1,0 +1,100 @@
+"""Semantic pins for the round-4 tail queries (url_param_stats,
+doc_readability, doc_code_density, dedup_quality_eviction).
+
+Cross-engine value equality is covered by tests/test_oracle_parity.py; these
+tests pin the SEMANTICS — that the per-visit detector flags exactly the
+synthetic session param, that readability bands move the right way with
+sentence length, that the code gate separates the two synthetic classes, and
+that quality-aware eviction keeps the argmax-score member of each cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_platform_spark.queries import CATALOG
+from tests.conftest import SF_DIR
+
+
+def test_url_param_stats_flags_only_the_session_param(spark):
+    rows = CATALOG["url_param_stats"].fn(spark, SF_DIR).collect()
+    assert rows, "no (host, param) rows"
+    by_param: dict[str, list] = {}
+    for r in rows:
+        by_param.setdefault(r["param"], []).append(r)
+    # synthesized params: q (10 values), sid (unique per url), page (5
+    # values), utm_source (constant) — only sid is per-visit
+    assert set(by_param) == {"q", "sid", "page", "utm_source"}
+    assert all(r["per_visit"] for r in by_param["sid"])
+    for p in ("q", "page", "utm_source"):
+        assert not any(r["per_visit"] for r in by_param[p]), p
+    # per-visit means distinct values == distinct urls
+    for r in by_param["sid"]:
+        assert r["n_vals"] == r["n_urls"] >= 4
+
+
+def test_doc_readability_band_tracks_sentence_and_syllable_load(spark):
+    df = CATALOG["doc_readability"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == df.select("doc_id").distinct().count()
+    bands = {"easy", "standard", "difficult", "very_difficult"}
+    assert {r["band"] for r in rows} <= bands
+    for r in rows:
+        assert r["sents"] >= 1  # floored — no division by zero
+        # band is a pure function of the rounded score
+        f = r["flesch"]
+        expect = (
+            "easy" if f >= 70 else
+            "standard" if f >= 50 else
+            "difficult" if f >= 30 else "very_difficult"
+        )
+        assert r["band"] == expect
+    # monotonicity spot-check on crafted texts: short words/sentences score
+    # higher than long polysyllabic run-ons
+    crafted = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran. It was fun."),
+         (2, "Extraordinarily convoluted administrative considerations "
+             "necessitate comprehensive organizational restructuring "
+             "without punctuation or pause or any sentence break at all")],
+        "doc_id long, text string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        crafted.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        got = {r["doc_id"]: r for r in CATALOG["doc_readability"].fn(spark, td).collect()}
+    assert got[1]["flesch"] > got[2]["flesch"]
+    assert got[1]["band"] == "easy"
+
+
+def test_doc_code_density_separates_synthetic_classes(spark):
+    rows = CATALOG["doc_code_density"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (r["doc_id"] % 5 == 0) == bool(r["is_code"]), r["doc_id"]
+        # flag is the exact integer rule on the emitted counts
+        assert r["is_code"] == (r["n_code"] * 10 >= r["n_lines"] * 3)
+        assert 0.0 <= r["code_ratio"] <= 1.0
+
+
+def test_dedup_quality_eviction_keeps_argmax_score_per_cluster(spark):
+    rows = CATALOG["dedup_quality_eviction"].fn(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(rows) == docs.count()  # every doc appears, kept or not
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m["kept"]]
+        assert len(kept) == 1, cid  # exactly one representative
+        best = min(members, key=lambda m: (-m["score"], m["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"], cid
+    # eviction must not be the trivial min-id policy everywhere a cluster
+    # is non-singleton UNLESS min-id is genuinely the argmax; verify the
+    # policy differs from min-id at least when scores say so
+    for cid, members in by_cluster.items():
+        if len(members) > 1:
+            best = min(members, key=lambda m: (-m["score"], m["doc_id"]))
+            min_id = min(m["doc_id"] for m in members)
+            if best["doc_id"] != min_id:
+                break  # found a cluster where quality overrode min-id
