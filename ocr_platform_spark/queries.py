@@ -9517,9 +9517,11 @@ def dedup_quality_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # containment pair/strip policy — plus older entries that always sat past
 # the cap). The newest entries (dedup_lsh_recall, quality_threshold_sweep,
 # doc_decontam_by_suite, doc_decontam_strip, corpus_bpe_encode,
-# corpus_token_blocks) sit at positions 51-56 and take the round-5
-# window; cumulative driver coverage: 137/143 after this round, 143/143
-# after round 5. Every entry remains runnable and oracle-checked by
+# corpus_token_blocks, … through the round-4 tail entries) sit past
+# position 50 and take the round-5 window; cumulative driver coverage:
+# 137/164 after this round (87 from r1-r3 + the 50-slot window), the
+# remaining 27 fit round 5's window → 164/164. Every entry remains
+# runnable and oracle-checked by
 # tools/oracle_check.py and tests/test_oracle_parity.py regardless of
 # position.
 _PRIORITY = [
