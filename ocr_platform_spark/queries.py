@@ -9508,6 +9508,92 @@ def dedup_quality_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "crawl_budget_allocation",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+        CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS toks,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|that|with)\b')) AS DOUBLE) AS stops,
+        CAST(length(text) - length(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE) AS punct
+      FROM documents
+    ),
+    d AS (
+      SELECT 'site-' || CAST(doc_id % 40 AS VARCHAR) AS host,
+        CAST(round(round(
+          least(toks / 100.0, 1.0) * 0.4
+          + least((CASE WHEN toks > 0 THEN stops / toks ELSE 0.0 END) * 5.0, 1.0) * 0.3
+          + (1.0 - least((CASE WHEN toks > 0 THEN punct / toks ELSE 1.0 END) * 2.0, 1.0)) * 0.3,
+          4) * 1000) AS BIGINT) AS q_x1000
+      FROM c
+    ),
+    m AS (SELECT host, CAST(SUM(q_x1000) AS BIGINT) AS mass FROM d GROUP BY host),
+    t AS (SELECT CAST(SUM(mass) AS BIGINT) AS total FROM m),
+    b AS (
+      SELECT host, mass,
+             (1000 * mass) // total AS base,
+             (1000 * mass) % total AS rem
+      FROM m, t
+    ),
+    l AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover FROM b),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk FROM b
+    )
+    SELECT host, mass,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS slots,
+           CAST(least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, 120)
+                AS BIGINT) AS capped_slots
+    FROM r, l ORDER BY host
+    """,
+)
+def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-budget apportionment: split a 1000-slot fetch budget across
+    hosts proportional to their quality MASS (sum of per-doc quality in
+    integer milli-units — the host_quality_rollup substrate), by exact
+    largest-remainder rounding: ``base = ⌊B·m/M⌋`` plus one extra slot to
+    the top-remainder hosts until the budget is whole, then a politeness
+    cap (120 slots/host, cap losses intentionally unredistributed). This is
+    the planning step between `host_quality_rollup` (which hosts deserve
+    crawl) and `crawl_fetch_schedule` (when to fetch) — the same integer
+    apportionment recipe as `corpus_epoch_plan`, applied to the frontier.
+    All arithmetic is BIGINT so both engines agree bit-for-bit; the two
+    scalar aggregates (total mass, leftover) broadcast — at 10^8 hosts the
+    only shuffle is the host rollup plus one global top-leftover rank over
+    host-count-sized (not corpus-sized) data."""
+    d = _t(spark, sf_dir, "documents")
+    q1000 = F.round(TX.quality_score("text") * 1000).cast("long")
+    mass = (
+        d.select(
+            F.concat(F.lit("site-"), (F.col("doc_id") % 40).cast("string")).alias("host"),
+            q1000.alias("q_x1000"),
+        )
+        .groupBy("host")
+        .agg(F.sum("q_x1000").cast("long").alias("mass"))
+    )
+    total = mass.agg(F.sum("mass").cast("long").alias("total"))
+    b = mass.crossJoin(F.broadcast(total)).select(
+        "host",
+        "mass",
+        F.expr("(1000 * mass) div total").alias("base"),
+        F.pmod(F.lit(1000) * F.col("mass"), F.col("total")).alias("rem"),
+    )
+    leftover = b.agg((F.lit(1000) - F.sum("base")).cast("long").alias("leftover"))
+    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    slots = F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return (
+        b.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "host",
+            "mass",
+            slots.cast("long").alias("slots"),
+            F.least(slots, F.lit(120)).cast("long").alias("capped_slots"),
+        )
+        .orderBy("host")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -9557,7 +9643,7 @@ _PRIORITY = [
     "corpus_cluster_epoch_plan", "doc_canonical_dups",
     "hreflang_frontier_seeds",
     "url_param_stats", "doc_readability", "doc_code_density",
-    "dedup_quality_eviction",
+    "dedup_quality_eviction", "crawl_budget_allocation",
 ]
 
 

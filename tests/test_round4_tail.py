@@ -98,3 +98,15 @@ def test_dedup_quality_eviction_keeps_argmax_score_per_cluster(spark):
             min_id = min(m["doc_id"] for m in members)
             if best["doc_id"] != min_id:
                 break  # found a cluster where quality overrode min-id
+
+
+def test_crawl_budget_allocation_is_exact_apportionment(spark):
+    rows = CATALOG["crawl_budget_allocation"].fn(spark, SF_DIR).collect()
+    assert rows
+    total_mass = sum(r["mass"] for r in rows)
+    assert sum(r["slots"] for r in rows) == 1000  # budget spent exactly
+    for r in rows:
+        # largest-remainder: every host within one slot of its exact share
+        exact = 1000 * r["mass"] / total_mass
+        assert exact - 1 < r["slots"] < exact + 1
+        assert r["capped_slots"] == min(r["slots"], 120)
