@@ -130,6 +130,8 @@ HEADLINE = [
     "doc_readability",
     "doc_code_density",
     "dedup_quality_eviction",
+    "crawl_budget_allocation",
+    "corpus_code_route_report",
 ]
 
 

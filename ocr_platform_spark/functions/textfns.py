@@ -336,3 +336,29 @@ def gopher_stats(col: Column | str) -> Column:
         )
 
     return bind_once(normalized_text(raw), stats_of)
+
+
+#: Code-line predicate shared by the engine and every oracle: indentation,
+#: statement terminators, or a leading keyword. RE2∩Java-safe (no
+#: lookaround), applied per line after blank-line removal.
+CODE_LINE_RE = r"^(    |\t)|[;{}] *$|^(def |class |import |return |while |for )"
+
+
+def code_line_counts(col: Column | str) -> Column:
+    """(n_lines, n_code) struct over non-blank lines — pure column
+    expressions (split + filter + size), no explode, so the prose/code
+    router fuses into the same map-side scan as the other gates."""
+    lines = F.filter(
+        F.split(F.coalesce(_c(col), F.lit("")), "\n"),
+        lambda l: F.trim(l) != "",
+    )
+    n_lines = F.size(lines).cast("long")
+    n_code = F.size(F.filter(lines, lambda l: l.rlike(CODE_LINE_RE))).cast("long")
+    return F.struct(n_lines.alias("n_lines"), n_code.alias("n_code"))
+
+
+def is_code_doc(col: Column | str) -> Column:
+    """The integer routing rule ``10·n_code ≥ 3·n_lines`` (no float
+    threshold drift); blank docs are prose."""
+    c = code_line_counts(col)
+    return (c["n_code"] * 10 >= c["n_lines"] * 3) & (c["n_lines"] > 0)

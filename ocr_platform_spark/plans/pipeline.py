@@ -146,6 +146,7 @@ def corpus_refine_stages(
     curated: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    code_route: str | None = None,
     containment_strip_min: float | None = None,
     decontam_eval: DataFrame | None = None,
     decontam_n: int = 8,
@@ -159,7 +160,10 @@ def corpus_refine_stages(
     persist_fuzzy=None,
 ) -> tuple[DataFrame, DataFrame | None, dict]:
     """The post-curation refinement tail shared by the composed job and
-    the ``corpus_build_report`` catalog query: optional containment-driven
+    the ``corpus_build_report`` catalog query: optional prose/code ROUTE
+    (``code_route='prose'`` keeps prose and drops code-shaped docs,
+    ``'code'`` the inverse — textfns.is_code_doc's integer line-share
+    rule, map-side) → optional containment-driven
     span strip (wrapper pages keep their own content, lose the wrapped
     article body — operators/dedup.strip_contained_spans) → optional
     benchmark decontamination (left-anti on exact word n-gram overlap with
@@ -179,6 +183,23 @@ def corpus_refine_stages(
     shuffle beyond the cluster regroup SemDedup inherently needs."""
     metrics: dict = {}
     out = curated
+    if code_route is not None:
+        from ocr_platform_spark.functions.textfns import is_code_doc
+
+        # Prose/code ROUTING (StarCoder-style corpus splitting) ahead of
+        # every dedup/decontam stage: the integer line-share rule
+        # (textfns.is_code_doc) is a pure map-side expression, so the
+        # router costs no shuffle; the drop list (id-only) is persisted so
+        # downstream branches re-derive `out` from raw input + a tiny
+        # anti-join, same as the decontam stages.
+        if code_route not in ("prose", "code"):
+            raise ValueError(f"code_route must be 'prose' or 'code': {code_route!r}")
+        drop_cond = (
+            is_code_doc(text_col) if code_route == "prose" else ~is_code_doc(text_col)
+        )
+        bad_c = _staged(out.where(drop_cond).select(id_col))
+        metrics["code_route_dropped"] = bad_c.count()
+        out = out.join(bad_c, id_col, "left_anti")
     if containment_strip_min is not None:
         from ocr_platform_spark.operators.dedup import (
             strip_contained_spans,
@@ -315,6 +336,7 @@ def run_corpus_build_job(
     classifier_weights: DataFrame | None = None,
     classifier_keep: tuple[str, ...] = (),
     classifier_margin: tuple[str, str, int] | None = None,
+    code_route: str | None = None,
     containment_strip_min: float | None = None,
     decontam_eval: DataFrame | None = None,
     decontam_n: int = 8,
@@ -568,11 +590,12 @@ def run_corpus_build_job(
         stage_prefix=stage_prefix,
     )
 
-    # post-curation refinement: containment strip → decontamination →
-    # SemDedup (derived embeddings) → (chunking happens AFTER the budget
-    # cut, below)
+    # post-curation refinement: prose/code route → containment strip →
+    # decontamination → SemDedup (derived embeddings) → (chunking happens
+    # AFTER the budget cut, below)
     refined, _, refine_metrics = corpus_refine_stages(
         details["curated"].select("doc_id", "text"),
+        code_route=code_route,
         containment_strip_min=containment_strip_min,
         decontam_eval=decontam_eval,
         decontam_n=decontam_n,

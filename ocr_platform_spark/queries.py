@@ -9379,9 +9379,28 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Code-line predicate shared by engine and oracle: indentation, statement
-#: terminators, or a leading keyword. RE2∩Java-safe (no lookaround).
-_CODE_LINE_RE = r"^(    |\t)|[;{}] *$|^(def |class |import |return |while |for )"
+#: One source of truth for the code-line predicate lives in
+#: functions/textfns.CODE_LINE_RE (shared with the pipeline's code_route
+#: stage); the oracle SQL embeds it literally and the parity test catches
+#: any drift.
+_CODE_LINE_RE = TX.CODE_LINE_RE
+
+
+def _mix_code_docs(d: DataFrame) -> DataFrame:
+    """Deterministically rewrite every 5th doc as a synthetic code snippet
+    (pure function of doc_id) so the prose/code router has both classes —
+    shared by `doc_code_density` and `corpus_code_route_report`."""
+    did = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("import os\ndef fn_"), did,
+        F.lit("(x):\n    y = x + "), F.pmod("doc_id", F.lit(97)).cast("string"),
+        F.lit(";\n    return y * 2\nclass C"), did,
+        F.lit(":\n    pass\nwhile x:\n    x -= 1\nresult = fn_"), did,
+        F.lit("(3);\n# done\n"),
+    )
+    return d.withColumn(
+        "text", F.when(F.pmod("doc_id", F.lit(5)) == 0, code).otherwise(F.col("text"))
+    )
 
 
 @q(
@@ -9415,18 +9434,7 @@ def doc_code_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     classify the same bytes with the same regex. Explode + groupBy(doc_id)
     keys the one shuffle on the finest key there is — scale-indifferent."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    did = F.col("doc_id").cast("string")
-    code = F.concat(
-        F.lit("import os\ndef fn_"), did,
-        F.lit("(x):\n    y = x + "), F.pmod("doc_id", F.lit(97)).cast("string"),
-        F.lit(";\n    return y * 2\nclass C"), did,
-        F.lit(":\n    pass\nwhile x:\n    x -= 1\nresult = fn_"), did,
-        F.lit("(3);\n# done\n"),
-    )
-    mixed = d.withColumn(
-        "text", F.when(F.pmod("doc_id", F.lit(5)) == 0, code).otherwise(F.col("text"))
-    )
-    staged = stage(mixed, "code_density_docs", partitions=2)
+    staged = stage(_mix_code_docs(d), "code_density_docs", partitions=2)
     lines = staged.select(
         "doc_id",
         F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), "\n")).alias("line"),
@@ -9594,6 +9602,120 @@ def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "corpus_code_route_report",
+    rf"""
+    WITH ccr AS (SELECT doc_id, text FROM read_parquet('{staged_glob("croute_docs")}')),
+    lines AS (
+      SELECT doc_id, unnest(str_split(coalesce(text,''), chr(10))) AS line FROM ccr
+    ),
+    nz AS (SELECT doc_id, line FROM lines WHERE trim(line) <> ''),
+    lc AS (
+      SELECT doc_id, COUNT(*) AS n_lines,
+             SUM(CASE WHEN regexp_matches(line,
+               '^(    |\t)|[;{{}}] *$|^(def |class |import |return |while |for )')
+               THEN 1 ELSE 0 END) AS n_code
+      FROM nz GROUP BY doc_id
+    ),
+    codes AS (SELECT doc_id FROM lc WHERE n_code * 10 >= n_lines * 3),
+    routed AS (
+      SELECT doc_id, text FROM ccr
+      WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM codes)
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM ccr
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+            FROM t WHERE len(ts) >= 8)
+    ),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+    contaminated AS (
+      SELECT DISTINCT gg.doc_id FROM g gg JOIN ev USING (g)
+      WHERE gg.doc_id IN (SELECT doc_id FROM routed)
+    ),
+    s1 AS (
+      SELECT doc_id, text FROM routed
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    split2 AS (
+      SELECT doc_id, string_split_regex(text, '\n{{2,}}') AS ps FROM s1
+    ),
+    paras AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS idx, ps[i] AS para
+      FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM split2)
+      WHERE length(ps[i]) >= 1
+    ),
+    toks AS (
+      SELECT doc_id, idx,
+             CAST(len(list_filter(string_split_regex(para, '\s+'), x -> x <> ''))
+                  AS BIGINT) AS tok
+      FROM paras
+    ),
+    cum AS (
+      SELECT doc_id, idx, tok,
+             COALESCE(SUM(tok) OVER (PARTITION BY doc_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM toks
+    ),
+    chunkcnt AS (
+      SELECT COUNT(*) AS n FROM (
+        SELECT doc_id, cum_before // 40 AS cid FROM cum GROUP BY doc_id, cum_before // 40
+      )
+    )
+    SELECT CAST(stage_no AS INT) AS stage_no, stage, CAST(n AS BIGINT) AS n_docs
+    FROM (
+      VALUES (0, 'input',       (SELECT COUNT(*) FROM ccr)),
+             (1, 'train_split', (SELECT COUNT(*) FROM ccr WHERE doc_id % 7 <> 0)),
+             (2, 'code_route',  (SELECT COUNT(*) FROM routed)),
+             (3, 'decontam',    (SELECT COUNT(*) FROM s1)),
+             (4, 'chunks',      (SELECT n FROM chunkcnt))
+    ) AS v(stage_no, stage, n)
+    ORDER BY stage_no
+    """,
+)
+def corpus_code_route_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refine tail's new prose/code ROUTER composed with its neighbors
+    (plans/pipeline.corpus_refine_stages ``code_route='prose'``) and
+    oracle-verified as a funnel: a mixed prose+code corpus (every 5th doc
+    rewritten as a deterministic code snippet, staged) → eval split
+    (doc_id % 7 = 0) → code routing by the integer line-share rule →
+    benchmark decontamination (exact word 8-gram overlap vs the eval set)
+    → paragraph chunking of the survivors (40-token budget). The oracle
+    replays line classification, the gram overlap, and the chunk plan from
+    the same staged bytes — each stage count cross-engine checked. The
+    router itself is a pure map-side expression (textfns.is_code_doc):
+    composing it adds NO shuffle ahead of the decontam anti-join."""
+    from ocr_platform_spark.plans.pipeline import corpus_refine_stages
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mixed = stage(_mix_code_docs(d), "croute_docs", partitions=2)
+    ev = mixed.where(F.col("doc_id") % 7 == 0)
+    train = mixed.where(F.col("doc_id") % 7 != 0)
+    _, _, metrics = corpus_refine_stages(
+        train,
+        code_route="prose",
+        decontam_eval=ev,
+        decontam_n=8,
+        chunk_budget=40,
+    )
+    n0 = mixed.count()
+    nt = train.count()
+    n_route = nt - metrics["code_route_dropped"]
+    n_dec = n_route - metrics["decontam_dropped"]
+    rows = [
+        (0, "input", n0),
+        (1, "train_split", nt),
+        (2, "code_route", n_route),
+        (3, "decontam", n_dec),
+        (4, "chunks", metrics["n_chunks"]),
+    ]
+    return spark.createDataFrame(rows, "stage_no int, stage string, n_docs bigint")
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -9644,6 +9766,7 @@ _PRIORITY = [
     "hreflang_frontier_seeds",
     "url_param_stats", "doc_readability", "doc_code_density",
     "dedup_quality_eviction", "crawl_budget_allocation",
+    "corpus_code_route_report",
 ]
 
 

@@ -100,6 +100,30 @@ def test_dedup_quality_eviction_keeps_argmax_score_per_cluster(spark):
                 break  # found a cluster where quality overrode min-id
 
 
+def test_corpus_refine_code_route_stage(spark):
+    import pytest
+
+    from ocr_platform_spark.plans.pipeline import corpus_refine_stages
+
+    docs = spark.createDataFrame(
+        [
+            (1, "import os\ndef f(x):\n    return x;\n"),
+            (2, "Plain prose here. More prose follows!"),
+            (3, "for i in xs:\n    total += i;\n"),
+            (4, "Another prose document with words."),
+        ],
+        "doc_id long, text string",
+    )
+    prose, _, m = corpus_refine_stages(docs, code_route="prose")
+    assert sorted(r["doc_id"] for r in prose.collect()) == [2, 4]
+    assert m["code_route_dropped"] == 2
+    code, _, m2 = corpus_refine_stages(docs, code_route="code")
+    assert sorted(r["doc_id"] for r in code.collect()) == [1, 3]
+    assert m2["code_route_dropped"] == 2
+    with pytest.raises(ValueError):
+        corpus_refine_stages(docs, code_route="both")
+
+
 def test_crawl_budget_allocation_is_exact_apportionment(spark):
     rows = CATALOG["crawl_budget_allocation"].fn(spark, SF_DIR).collect()
     assert rows

@@ -73,6 +73,13 @@ def main() -> int:
         "argmax (the quality_threshold_sweep-calibrated cutoff)",
     )
     ap.add_argument(
+        "--code-route",
+        choices=("prose", "code"),
+        default=None,
+        help="route by the integer code-line-share rule before the dedup "
+        "stages: 'prose' drops code-shaped docs, 'code' keeps only them",
+    )
+    ap.add_argument(
         "--containment-strip-min",
         type=float,
         default=None,
@@ -164,6 +171,7 @@ def main() -> int:
         scrub_pii=args.scrub_pii,
         honor_noindex=args.honor_noindex,
         compression_band=band,
+        code_route=args.code_route,
         lm_counts=lm_counts,
         classifier_weights=clf_weights,
         classifier_keep=tuple(args.classifier_keep.split(","))
