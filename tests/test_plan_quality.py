@@ -328,3 +328,34 @@ def test_token_blocks_prefix_sum_is_two_level(spark):
     assert "BroadcastHashJoin" in plan
     win_specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert win_specs and all("_b" in s for s in win_specs), win_specs
+
+
+def test_readability_is_map_side_single_pass(spark):
+    # the whole score is column expressions over one scan: no Python eval,
+    # no aggregate/join exchange — the only exchange is the final sort
+    plan = _formatted(CATALOG["doc_readability"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+    assert "HashAggregate" not in plan and "Join" not in plan
+    # exactly one exchange node — the final sort's range partitioning
+    assert plan.count("+- Exchange") == 1
+    assert "rangepartitioning" in plan and "hashpartitioning" not in plan
+
+
+def test_code_route_filter_is_jvm_side(spark):
+    # the router rule (textfns.is_code_doc) must compile to JVM column
+    # expressions — no Python eval anywhere in the mixed-corpus classify
+    from ocr_platform_spark.functions.textfns import is_code_doc
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(docs.where(~is_code_doc("text")))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Filter" in plan
+
+
+def test_crawl_budget_scalars_broadcast(spark):
+    # total mass and leftover are scalar aggregates joined back via
+    # broadcast — the host table must never sort-merge against them
+    plan = _formatted(CATALOG["crawl_budget_allocation"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # two scalar sides
+    assert "BatchEvalPython" not in plan
