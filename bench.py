@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_quality_eviction",
     "crawl_budget_allocation",
     "corpus_code_route_report",
+    "url_revisit_policy",
 ]
 
 

@@ -9716,6 +9716,63 @@ def corpus_code_route_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "stage_no int, stage string, n_docs bigint")
 
 
+@q(
+    "url_revisit_policy",
+    f"""
+    WITH stats AS ({{revisit_sql}}),
+    pol AS (
+      SELECT doc_id,
+             'site-' || CAST(doc_id % 40 AS VARCHAR) AS host,
+             latest_cycle + (CASE WHEN change_rate_pm >= 500 THEN 1
+                                  WHEN change_rate_pm >= 250 THEN 2
+                                  WHEN change_rate_pm > 0 THEN 4
+                                  ELSE 8 END) AS next_fetch
+      FROM stats
+    )
+    SELECT host,
+           COUNT(*) AS n_pages,
+           CAST(SUM(CASE WHEN next_fetch <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_due,
+           CAST(greatest(
+             SUM(CASE WHEN next_fetch <= 3 THEN 1 ELSE 0 END) - 20, 0
+           ) AS BIGINT) AS n_overflow
+    FROM pol GROUP BY host ORDER BY host
+    """.format(revisit_sql=CATALOG["url_revisit_diff"].oracle),
+)
+def url_revisit_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit SCHEDULING on top of `url_revisit_diff`'s change
+    detection (Cho & Garcia-Molina: refresh frequency ∝ observed change
+    rate): each page's next-fetch cycle = latest cycle + an integer
+    interval tier from its per-mille change rate (≥500‰ → every cycle,
+    ≥250‰ → 2, any change → 4, static → 8), then a per-host load report
+    for the upcoming cycle — pages due, and the overflow past a 20-page
+    per-host-per-cycle politeness cap that must spill to later cycles.
+    The oracle embeds url_revisit_diff's SQL verbatim as a CTE (one
+    source of truth for the replay) and reapplies the same integer
+    tiers. Scale shape unchanged from the diff query — one window + two
+    aggregates, all keyed by doc_id then host."""
+    stats = url_revisit_diff(spark, sf_dir)
+    interval = (
+        F.when(F.col("change_rate_pm") >= 500, 1)
+        .when(F.col("change_rate_pm") >= 250, 2)
+        .when(F.col("change_rate_pm") > 0, 4)
+        .otherwise(8)
+    )
+    pol = stats.select(
+        F.concat(F.lit("site-"), (F.col("doc_id") % 40).cast("string")).alias("host"),
+        (F.col("latest_cycle") + interval).alias("next_fetch"),
+    )
+    n_due = F.sum(F.when(F.col("next_fetch") <= 3, 1).otherwise(0)).cast("long")
+    return (
+        pol.groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            n_due.alias("n_due"),
+        )
+        .withColumn("n_overflow", F.greatest(F.col("n_due") - 20, F.lit(0).cast("long")))
+        .orderBy("host")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -9766,7 +9823,7 @@ _PRIORITY = [
     "hreflang_frontier_seeds",
     "url_param_stats", "doc_readability", "doc_code_density",
     "dedup_quality_eviction", "crawl_budget_allocation",
-    "corpus_code_route_report",
+    "corpus_code_route_report", "url_revisit_policy",
 ]
 
 

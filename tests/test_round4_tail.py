@@ -124,6 +124,23 @@ def test_corpus_refine_code_route_stage(spark):
         corpus_refine_stages(docs, code_route="both")
 
 
+def test_url_revisit_policy_load_report_consistency(spark):
+    rows = CATALOG["url_revisit_policy"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 40  # one row per synthesized host
+    stats = CATALOG["url_revisit_diff"].fn(spark, SF_DIR).collect()
+    # replay the tiers in python and cross-check the per-host due counts
+    due_by_host: dict[str, int] = {}
+    for s in stats:
+        r = s["change_rate_pm"]
+        interval = 1 if r >= 500 else 2 if r >= 250 else 4 if r > 0 else 8
+        if s["latest_cycle"] + interval <= 3:
+            h = f"site-{s['doc_id'] % 40}"
+            due_by_host[h] = due_by_host.get(h, 0) + 1
+    for row in rows:
+        assert row["n_due"] == due_by_host.get(row["host"], 0), row["host"]
+        assert row["n_overflow"] == max(row["n_due"] - 20, 0)
+
+
 def test_crawl_budget_allocation_is_exact_apportionment(spark):
     rows = CATALOG["crawl_budget_allocation"].fn(spark, SF_DIR).collect()
     assert rows
