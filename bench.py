@@ -133,6 +133,7 @@ HEADLINE = [
     "crawl_budget_allocation",
     "corpus_code_route_report",
     "url_revisit_policy",
+    "host_token_budget_cut",
 ]
 
 

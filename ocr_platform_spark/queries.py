@@ -9773,6 +9773,80 @@ def url_revisit_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "host_token_budget_cut",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+        'site-' || CAST(doc_id % 40 AS VARCHAR) AS host,
+        CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+             END AS BIGINT) AS tok,
+        CAST(100 * len(regexp_extract_all(lower(coalesce(text,'')),
+               '\b(the|and|of|to|in|that|with)\b'))
+             + length(coalesce(text,'')) AS BIGINT) AS score
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, host, tok, score,
+             COALESCE(SUM(tok) OVER (PARTITION BY host
+               ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM c
+    )
+    SELECT host,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN cum_before < 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN cum_before < 2000 THEN tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept
+    FROM w GROUP BY host ORDER BY host
+    """,
+)
+def host_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host TOKEN budget (the unit training mixes are actually priced
+    in — `host_downsample` caps doc COUNT by random draw; this caps token
+    share, keeping each host's best docs first): within every host, docs
+    ranked by the integer quality score (100·stopword_hits + n_chars,
+    the dedup_quality_eviction scale) descending, kept while the running
+    token total BEFORE the doc is under the 2000-token host budget — the
+    same keep-iff-cum-before-under-budget rule as the composed job's
+    global cut, applied per host. One window + one aggregate, both
+    partitioned by host: at 10^8 hosts the shuffle key is host and no
+    global sort exists. All arithmetic integer; both engines replay the
+    identical (score DESC, doc_id) order."""
+    d = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    stops = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|and|of|to|in|that|with)\b"), F.lit(0)
+        )
+    ).cast("long")
+    c = d.select(
+        "doc_id",
+        F.concat(F.lit("site-"), (F.col("doc_id") % 40).cast("string")).alias("host"),
+        TX.token_count("text").cast("long").alias("tok"),
+        (F.lit(100).cast("long") * stops + F.length(txt).cast("long")).alias("score"),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = F.col("cum_before") < 2000
+    return (
+        c.withColumn("cum_before", F.coalesce(F.sum("tok").over(w), F.lit(0).cast("long")))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum("tok").cast("long").alias("tokens_total"),
+            F.sum(F.when(kept, F.col("tok")).otherwise(0)).cast("long").alias("tokens_kept"),
+        )
+        .orderBy("host")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -9824,6 +9898,7 @@ _PRIORITY = [
     "url_param_stats", "doc_readability", "doc_code_density",
     "dedup_quality_eviction", "crawl_budget_allocation",
     "corpus_code_route_report", "url_revisit_policy",
+    "host_token_budget_cut",
 ]
 
 

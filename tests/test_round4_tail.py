@@ -141,6 +141,19 @@ def test_url_revisit_policy_load_report_consistency(spark):
         assert row["n_overflow"] == max(row["n_due"] - 20, 0)
 
 
+def test_host_token_budget_cut_keeps_quality_prefix(spark):
+    rows = CATALOG["host_token_budget_cut"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert 1 <= r["n_kept"] <= r["n_docs"]  # first doc always kept
+        assert r["tokens_kept"] <= r["tokens_total"]
+        # kept-iff-cum-before-under-budget: all but the last kept doc fit
+        # under the budget, so tokens_kept minus the overshooting last doc
+        # is < 2000; with no overshoot possible below the budget itself
+        if r["n_kept"] < r["n_docs"]:
+            assert r["tokens_kept"] >= 2000  # the cut actually bit
+
+
 def test_crawl_budget_allocation_is_exact_apportionment(spark):
     rows = CATALOG["crawl_budget_allocation"].fn(spark, SF_DIR).collect()
     assert rows
