@@ -134,6 +134,7 @@ HEADLINE = [
     "corpus_code_route_report",
     "url_revisit_policy",
     "host_token_budget_cut",
+    "doc_script_mix",
 ]
 
 

@@ -9847,6 +9847,75 @@ def host_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: genuinely script-mixed fixture pages for `doc_script_mix` (the synth
+#: corpus is Latin-only; SEO spam and boilerplate-injected pages are not) —
+#: identical literals on both engines.
+_MIX_FIXTURES: list[tuple[int, str]] = [
+    (910001, "english words mixed with 中文字符测试 and русские буквы here"),
+    (910002, "这是一个纯中文文档 没有其他文字"),
+    (910003, "plain english with وثيقة عربية مختلطة inside the page"),
+    (910004, "entirely latin text with no other scripts at all"),
+    (910005, "ひらがな文書 with trailing english tail words"),
+]
+_MIX_FIXTURES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _MIX_FIXTURES)
+_MIX_SCRIPTS = ["lat"] + [lang for lang, _ in TX.SCRIPT_RANGES]
+_MIX_NS_SQL = " + ".join(
+    f"(CASE WHEN c_{s} >= {TX.SCRIPT_MIN_CHARS} THEN 1 ELSE 0 END)"
+    for s in _MIX_SCRIPTS
+)
+
+
+@q(
+    "doc_script_mix",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id AS BIGINT), text
+      FROM (VALUES {_MIX_FIXTURES_SQL}) AS fx(doc_id, text)
+    ),
+    s AS (SELECT doc_id, {_SCRIPT_COUNTS_SQL} FROM docs)
+    SELECT doc_id,
+      {', '.join(f"CAST(c_{x} AS INT) AS c_{x}" for x in _MIX_SCRIPTS)},
+      CAST({_MIX_NS_SQL} AS INT) AS n_scripts,
+      ({_MIX_NS_SQL}) >= 2 AS mixed
+    FROM s ORDER BY doc_id
+    """,
+)
+def doc_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-MIXING detection — the spam/SEO signal `doc_lang_id`'s
+    dominance rule deliberately ignores (it picks ONE language; keyword
+    stuffers interleave scripts): per-doc character counts for Latin and
+    each non-Latin block in textfns.SCRIPT_RANGES, the number of scripts
+    present at the shared SCRIPT_MIN_CHARS threshold, and a ``mixed``
+    flag at ≥2 scripts. Both engines derive their counting expressions
+    from the SAME textfns constants (ranges, threshold), so the rule
+    cannot drift; mixed fixture pages extend the Latin-only testdata.
+    Pure map-side column expressions — no shuffle before the final sort."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fx = spark.createDataFrame(_MIX_FIXTURES, "doc_id long, text string")
+    docs = d.unionByName(fx)
+
+    def script_count(rng: str):
+        return (
+            F.length("text") - F.length(F.regexp_replace("text", f"[{rng}]", ""))
+        ).cast("int")
+
+    counts = [script_count(TX.LATIN_RANGE).alias("c_lat")] + [
+        script_count(rng).alias(f"c_{lang}") for lang, rng in TX.SCRIPT_RANGES
+    ]
+    s = docs.select("doc_id", *counts)
+    ns = sum(
+        F.when(F.col(f"c_{x}") >= TX.SCRIPT_MIN_CHARS, 1).otherwise(0)
+        for x in _MIX_SCRIPTS
+    )
+    return (
+        s.withColumn("n_scripts", ns.cast("int"))
+        .withColumn("mixed", F.col("n_scripts") >= 2)
+        .orderBy("doc_id")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -9898,7 +9967,7 @@ _PRIORITY = [
     "url_param_stats", "doc_readability", "doc_code_density",
     "dedup_quality_eviction", "crawl_budget_allocation",
     "corpus_code_route_report", "url_revisit_policy",
-    "host_token_budget_cut",
+    "host_token_budget_cut", "doc_script_mix",
 ]
 
 

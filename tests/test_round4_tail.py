@@ -154,6 +154,17 @@ def test_host_token_budget_cut_keeps_quality_prefix(spark):
             assert r["tokens_kept"] >= 2000  # the cut actually bit
 
 
+def test_doc_script_mix_fixture_verdicts(spark):
+    rows = {r["doc_id"]: r for r in CATALOG["doc_script_mix"].fn(spark, SF_DIR).collect()}
+    assert rows[910001]["mixed"] and rows[910001]["n_scripts"] == 3  # lat+zh+ru
+    assert not rows[910002]["mixed"] and rows[910002]["c_zh"] >= 4   # pure zh
+    assert rows[910003]["mixed"] and rows[910003]["c_ar"] >= 4       # lat+ar
+    assert not rows[910004]["mixed"] and rows[910004]["n_scripts"] == 1
+    assert rows[910005]["mixed"]                                     # ja+lat
+    # the Latin-only synth corpus must be uniformly unmixed
+    assert not any(r["mixed"] for i, r in rows.items() if i < 900000)
+
+
 def test_crawl_budget_allocation_is_exact_apportionment(spark):
     rows = CATALOG["crawl_budget_allocation"].fn(spark, SF_DIR).collect()
     assert rows
