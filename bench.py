@@ -135,6 +135,7 @@ HEADLINE = [
     "url_revisit_policy",
     "host_token_budget_cut",
     "doc_script_mix",
+    "extract_headings",
 ]
 
 

@@ -9916,6 +9916,68 @@ def doc_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: regex shared verbatim by both engines (page_meta dialect-parity
+#: contract: no lookaround, ASCII classes, (?is) flags only)
+_HEADING_PAT = r"(?is)<h([1-3])[^>]*>([^<]*)</h"
+
+#: multi-level outline fixtures — the synth corpus emits a single <h1>
+#: per page, so nested h2/h3 structure rides fixture pages (identical
+#: literals through the same staged table both engines read).
+_HEADING_FIXTURES: list[tuple[str, str]] = [
+    (
+        "fixture://outline-1",
+        '<html><body><h1>Alpha One</h1><p>x</p><h2 class="s">Beta Two</h2>'
+        "<h3>Gamma Three</h3><h2>Delta Four</h2></body></html>",
+    ),
+    ("fixture://outline-2", "<html><body><h1>Only Top</h1></body></html>"),
+    ("fixture://outline-3", "<html><body><p>no headings here</p></body></html>"),
+]
+
+
+@q(
+    "extract_headings",
+    rf"""
+    WITH r AS (SELECT url, raw FROM read_parquet('{staged_glob("headings_raw")}')),
+    x AS (
+      SELECT url,
+             regexp_extract_all(raw, '(?is)<h([1-3])[^>]*>([^<]*)</h', 1) AS ls,
+             regexp_extract_all(raw, '(?is)<h([1-3])[^>]*>([^<]*)</h', 2) AS ts
+      FROM r
+    )
+    SELECT url, CAST(i AS INT) AS pos, CAST(ls[i] AS INT) AS level, ts[i] AS heading
+    FROM (SELECT url, ls, ts, unnest(generate_series(1, len(ls))) AS i FROM x)
+    ORDER BY url, pos
+    """,
+)
+def extract_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-OUTLINE extraction (h1-h3 hierarchy per page, in document
+    order) — the structure layer between main-content extraction (which
+    flattens headings into text) and retrieval chunking (section-aware
+    chunk boundaries are the canonical upgrade over fixed token windows).
+    The charset-decoded payload is staged and BOTH engines run the same
+    heading regex over identical characters (the page_meta dialect-parity
+    contract), emitting (position, level, heading text) per match — the
+    parse itself is cross-engine verified, fixture pages supplying the
+    nested h2/h3 cases the single-h1 synth corpus lacks. Map-side
+    regexp_extract_all + posexplode: no shuffle before the final sort."""
+    from ocr_platform_spark.operators.extract import page_metadata_df
+
+    meta = page_metadata_df(_synth_docs(spark)).select("url", "raw")
+    fx = spark.createDataFrame(_HEADING_FIXTURES, "url string, raw string")
+    staged = stage(meta.unionByName(fx), "headings_raw", partitions=2)
+    ls = F.regexp_extract_all("raw", F.lit(_HEADING_PAT), F.lit(1)).alias("lv")
+    ts = F.regexp_extract_all("raw", F.lit(_HEADING_PAT), F.lit(2)).alias("tx")
+    z = staged.select(
+        "url", F.posexplode(F.arrays_zip(ls, ts)).alias("p", "h")
+    )
+    return z.select(
+        "url",
+        (F.col("p") + 1).cast("int").alias("pos"),
+        F.col("h.lv").cast("int").alias("level"),
+        F.col("h.tx").alias("heading"),
+    ).orderBy("url", "pos")
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -9967,7 +10029,7 @@ _PRIORITY = [
     "url_param_stats", "doc_readability", "doc_code_density",
     "dedup_quality_eviction", "crawl_budget_allocation",
     "corpus_code_route_report", "url_revisit_policy",
-    "host_token_budget_cut", "doc_script_mix",
+    "host_token_budget_cut", "doc_script_mix", "extract_headings",
 ]
 
 

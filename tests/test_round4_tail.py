@@ -165,6 +165,25 @@ def test_doc_script_mix_fixture_verdicts(spark):
     assert not any(r["mixed"] for i, r in rows.items() if i < 900000)
 
 
+def test_extract_headings_fixture_outline(spark):
+    rows = [
+        r
+        for r in CATALOG["extract_headings"].fn(spark, SF_DIR).collect()
+        if r["url"].startswith("fixture://")
+    ]
+    o1 = [(r["pos"], r["level"], r["heading"]) for r in rows if r["url"].endswith("-1")]
+    assert o1 == [
+        (1, 1, "Alpha One"),
+        (2, 2, "Beta Two"),
+        (3, 3, "Gamma Three"),
+        (4, 2, "Delta Four"),
+    ]
+    assert [(r["level"], r["heading"]) for r in rows if r["url"].endswith("-2")] == [
+        (1, "Only Top")
+    ]
+    assert not any(r["url"].endswith("-3") for r in rows)  # headingless → no rows
+
+
 def test_crawl_budget_allocation_is_exact_apportionment(spark):
     rows = CATALOG["crawl_budget_allocation"].fn(spark, SF_DIR).collect()
     assert rows
