@@ -136,6 +136,7 @@ HEADLINE = [
     "host_token_budget_cut",
     "doc_script_mix",
     "extract_headings",
+    "sitemap_coverage",
 ]
 
 

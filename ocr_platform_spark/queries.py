@@ -9978,6 +9978,74 @@ def extract_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "pos")
 
 
+@q(
+    "sitemap_coverage",
+    rf"""
+    WITH l AS (SELECT DISTINCT loc FROM read_parquet('{staged_glob("smcov_locs")}')),
+    u AS (SELECT url FROM read_parquet('{staged_glob("smcov_urls")}')),
+    h AS (
+      SELECT loc,
+             regexp_extract(loc, '^[a-z]+://([^/?#]+)', 1) AS host,
+             loc IN (SELECT url FROM u) AS crawled
+      FROM l
+    )
+    SELECT host,
+           COUNT(*) AS n_declared,
+           CAST(SUM(CASE WHEN crawled THEN 1 ELSE 0 END) AS BIGINT) AS n_crawled,
+           CAST((SUM(CASE WHEN crawled THEN 1 ELSE 0 END) * 1000) // COUNT(*)
+                AS BIGINT) AS coverage_pm
+    FROM h GROUP BY host ORDER BY host
+    """,
+)
+def sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-COVERAGE audit — the crawl-ops report joining what a host
+    DECLARES (sitemap <loc> entries, via the sitemap kernel branch)
+    against what the crawl actually HOLDS (the corpus url set): per
+    declared host, declared count, crawled count, and an integer
+    per-mille coverage — the gap report that drives frontier seeding
+    (undeclared-but-crawled is `hreflang_frontier_seeds`' mirror image;
+    declared-but-uncrawled is THIS one). Both engines read the same
+    staged loc and url tables; membership is one distinct + one semi
+    join keyed by url, then a host rollup — nothing corpus-wide beyond
+    the url set itself at any scale."""
+    from ocr_platform_spark.operators.extract import extract_documents
+
+    docs = _synth_docs(spark)
+    ext = extract_documents(docs).where(F.col("payload_kind") == "sitemap")
+    locs = (
+        ext.select(F.explode("spans").alias("s"))
+        .where(F.col("s.field") == "loc")
+        .select(F.col("s.value").alias("loc"))
+    )
+    # the kernel's sitemap locs are synthetic targets outside the corpus
+    # (coverage 0 across the board); declare a deterministic slice of REAL
+    # corpus urls too so the audit exercises both hit and miss
+    declared_real = docs.orderBy("url").limit(12).select(F.col("url").alias("loc"))
+    staged_locs = stage(locs.unionByName(declared_real), "smcov_locs")
+    staged_urls = stage(docs.select("url"), "smcov_urls", partitions=2)
+    crawled = staged_urls.select(F.col("url").alias("loc")).withColumn(
+        "_hit", F.lit(1)
+    )
+    h = (
+        staged_locs.distinct()
+        .join(F.broadcast(crawled), "loc", "left")
+        .select(
+            F.regexp_extract("loc", r"^[a-z]+://([^/?#]+)", 1).alias("host"),
+            F.col("_hit").isNotNull().alias("crawled"),
+        )
+    )
+    n_crawled = F.sum(F.when(F.col("crawled"), 1).otherwise(0)).cast("long")
+    return (
+        h.groupBy("host")
+        .agg(
+            F.count("*").alias("n_declared"),
+            n_crawled.alias("n_crawled"),
+        )
+        .withColumn("coverage_pm", F.expr("(n_crawled * 1000) div n_declared"))
+        .orderBy("host")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -10030,6 +10098,7 @@ _PRIORITY = [
     "dedup_quality_eviction", "crawl_budget_allocation",
     "corpus_code_route_report", "url_revisit_policy",
     "host_token_budget_cut", "doc_script_mix", "extract_headings",
+    "sitemap_coverage",
 ]
 
 

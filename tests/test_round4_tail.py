@@ -184,6 +184,18 @@ def test_extract_headings_fixture_outline(spark):
     assert not any(r["url"].endswith("-3") for r in rows)  # headingless → no rows
 
 
+def test_sitemap_coverage_hits_and_misses(spark):
+    rows = CATALOG["sitemap_coverage"].fn(spark, SF_DIR).collect()
+    assert rows
+    # the deterministic declared-real slice yields a fully-covered host;
+    # the kernel's synthetic sitemap targets yield zero-coverage hosts
+    assert any(r["coverage_pm"] == 1000 for r in rows)
+    assert any(r["coverage_pm"] == 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_crawled"] <= r["n_declared"]
+        assert r["coverage_pm"] == (r["n_crawled"] * 1000) // r["n_declared"]
+
+
 def test_crawl_budget_allocation_is_exact_apportionment(spark):
     rows = CATALOG["crawl_budget_allocation"].fn(spark, SF_DIR).collect()
     assert rows
