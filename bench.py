@@ -137,6 +137,7 @@ HEADLINE = [
     "doc_script_mix",
     "extract_headings",
     "sitemap_coverage",
+    "doc_title_body_consistency",
 ]
 
 

@@ -10046,6 +10046,83 @@ def sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: clickbait fixtures: titles sharing no tokens with the body — the case
+#: the synth corpus never produces (its <h1> repeats the <title> words).
+_TBC_FIXTURES: list[tuple[str, str, str]] = [
+    (
+        "fixture://clickbait-1",
+        "you will never believe this one trick",
+        "entirely unrelated body prose about gardening and soil quality",
+    ),
+    (
+        "fixture://clickbait-2",
+        "shocking secret doctors hide",
+        "quarterly revenue grew moderately across all business segments",
+    ),
+]
+
+
+@q(
+    "doc_title_body_consistency",
+    rf"""
+    WITH d AS (SELECT url, title, text FROM read_parquet('{staged_glob("tbc_docs")}')),
+    t AS (
+      SELECT url,
+        list_distinct(list_filter(string_split_regex(lower(title), '\s+'), x -> x <> '')) AS tt,
+        list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS bt
+      FROM d
+    )
+    SELECT url,
+           CAST(len(tt) AS INT) AS n_title_tokens,
+           CAST(len(list_intersect(tt, bt)) AS INT) AS n_overlap,
+           CAST((len(list_intersect(tt, bt)) * 1000) // greatest(len(tt), 1)
+                AS BIGINT) AS overlap_pm,
+           (len(list_intersect(tt, bt)) * 2) < len(tt) AS title_disjoint
+    FROM t ORDER BY url
+    """,
+)
+def doc_title_body_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title/body CONSISTENCY — the clickbait/SEO-bait signal (a title
+    whose tokens barely occur in the body is optimized for the click, not
+    the content; search-quality stacks gate on exactly this): per page,
+    distinct title tokens, how many recur in the extracted main text, an
+    integer per-mille overlap, and a ``title_disjoint`` flag at <50%
+    (exact integer comparison). Titles come from the page_meta kernel and
+    bodies from the main-content kernel — the two extraction faces joined
+    on url, staged once; BOTH engines tokenize and intersect the same
+    bytes. Map-side set ops per row, no shuffle beyond the url join."""
+    from ocr_platform_spark.operators.extract import (
+        extract_documents,
+        page_metadata_df,
+    )
+
+    docs = _synth_docs(spark)
+    titles = page_metadata_df(docs).select("url", "title")
+    bodies = extract_documents(docs).where(
+        (F.col("payload_kind") == "html") & F.col("error").isNull()
+    ).select("url", "text")
+    joined = titles.where(F.col("title").isNotNull()).join(bodies, "url")
+    fx = spark.createDataFrame(_TBC_FIXTURES, "url string, title string, text string")
+    staged = stage(joined.unionByName(fx), "tbc_docs", partitions=2)
+
+    def toks(col: str):
+        return F.array_distinct(
+            F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda x: x != "")
+        )
+
+    t = staged.select("url", toks("title").alias("tt"), toks("text").alias("bt"))
+    n_overlap = F.size(F.array_intersect("tt", "bt"))
+    return t.select(
+        "url",
+        F.size("tt").cast("int").alias("n_title_tokens"),
+        n_overlap.cast("int").alias("n_overlap"),
+        F.expr(
+            "cast((size(array_intersect(tt, bt)) * 1000) div greatest(size(tt), 1) as bigint)"
+        ).alias("overlap_pm"),
+        ((n_overlap * 2) < F.size("tt")).alias("title_disjoint"),
+    ).orderBy("url")
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -10098,7 +10175,7 @@ _PRIORITY = [
     "dedup_quality_eviction", "crawl_budget_allocation",
     "corpus_code_route_report", "url_revisit_policy",
     "host_token_budget_cut", "doc_script_mix", "extract_headings",
-    "sitemap_coverage",
+    "sitemap_coverage", "doc_title_body_consistency",
 ]
 
 

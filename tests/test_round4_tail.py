@@ -196,6 +196,24 @@ def test_sitemap_coverage_hits_and_misses(spark):
         assert r["coverage_pm"] == (r["n_crawled"] * 1000) // r["n_declared"]
 
 
+def test_title_body_consistency_flags_clickbait_fixtures(spark):
+    rows = {
+        r["url"]: r
+        for r in CATALOG["doc_title_body_consistency"].fn(spark, SF_DIR).collect()
+    }
+    assert rows["fixture://clickbait-1"]["title_disjoint"]
+    assert rows["fixture://clickbait-1"]["n_overlap"] == 0
+    assert rows["fixture://clickbait-2"]["title_disjoint"]
+    # organic pages repeat the title as the h1 heading — disjoint titles
+    # stay a rare edge-doc artifact (short/garbled titles), not the norm
+    organic = [r for u, r in rows.items() if not u.startswith("fixture://")]
+    assert organic
+    disjoint = sum(1 for r in organic if r["title_disjoint"])
+    assert disjoint * 50 <= len(organic)  # ≤2% of organic pages
+    for r in rows.values():
+        assert r["overlap_pm"] == (r["n_overlap"] * 1000) // max(r["n_title_tokens"], 1)
+
+
 def test_crawl_budget_allocation_is_exact_apportionment(spark):
     rows = CATALOG["crawl_budget_allocation"].fn(spark, SF_DIR).collect()
     assert rows
