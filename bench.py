@@ -138,6 +138,7 @@ HEADLINE = [
     "extract_headings",
     "sitemap_coverage",
     "doc_title_body_consistency",
+    "extract_section_chunks",
 ]
 
 

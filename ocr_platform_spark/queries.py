@@ -10123,6 +10123,59 @@ def doc_title_body_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+@q(
+    "extract_section_chunks",
+    rf"""
+    WITH r AS (SELECT url, raw FROM read_parquet('{staged_glob("sections_raw")}')),
+    sp AS (
+      SELECT url, regexp_split_to_array(raw, '(?is)<h[1-3][^>]*>') AS ss FROM r
+    ),
+    sec AS (
+      SELECT url, CAST(i - 1 AS INT) AS sec_idx, ss[i] AS body
+      FROM (SELECT url, ss, unnest(generate_series(2, len(ss))) AS i FROM sp)
+    )
+    SELECT url, sec_idx,
+           regexp_extract(body, '^([^<]*)', 1) AS heading,
+           CAST((length(body) - length(replace(body, '<p>', ''))) // 3 AS INT)
+             AS n_paras,
+           CAST(length(body) AS INT) AS n_chars_section
+    FROM sec ORDER BY url, sec_idx
+    """,
+)
+def extract_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section-aware SEGMENTATION — the structure `extract_headings`
+    surfaces, applied as chunk boundaries (the canonical upgrade over
+    fixed token windows for retrieval: a chunk should not straddle a
+    heading): each page splits at its h1-h3 tags; per section the
+    heading text, paragraph count (exact integer occurrence count of
+    ``<p>``), and character size. BOTH engines split the same staged
+    decoded payloads with the same regex and count occurrences by the
+    same length-difference arithmetic — the segmentation itself is
+    cross-engine verified, fixture pages supplying multi-section
+    outlines. Map-side split + posexplode; no shuffle before the final
+    sort."""
+    from ocr_platform_spark.operators.extract import page_metadata_df
+
+    meta = page_metadata_df(_synth_docs(spark)).select("url", "raw")
+    fx = spark.createDataFrame(_HEADING_FIXTURES, "url string, raw string")
+    staged = stage(meta.unionByName(fx), "sections_raw", partitions=2)
+    sp = staged.select(
+        "url", F.split("raw", r"(?is)<h[1-3][^>]*>").alias("ss")
+    )
+    sec = sp.select("url", F.posexplode("ss").alias("p", "body")).where(
+        F.col("p") >= 1
+    )
+    return sec.select(
+        "url",
+        F.col("p").cast("int").alias("sec_idx"),
+        F.regexp_extract("body", r"^([^<]*)", 1).alias("heading"),
+        F.expr(
+            "cast((length(body) - length(replace(body, '<p>', ''))) div 3 as int)"
+        ).alias("n_paras"),
+        F.length("body").cast("int").alias("n_chars_section"),
+    ).orderBy("url", "sec_idx")
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -10176,6 +10229,7 @@ _PRIORITY = [
     "corpus_code_route_report", "url_revisit_policy",
     "host_token_budget_cut", "doc_script_mix", "extract_headings",
     "sitemap_coverage", "doc_title_body_consistency",
+    "extract_section_chunks",
 ]
 
 

@@ -214,6 +214,23 @@ def test_title_body_consistency_flags_clickbait_fixtures(spark):
         assert r["overlap_pm"] == (r["n_overlap"] * 1000) // max(r["n_title_tokens"], 1)
 
 
+def test_extract_section_chunks_fixture_segmentation(spark):
+    rows = [
+        r
+        for r in CATALOG["extract_section_chunks"].fn(spark, SF_DIR).collect()
+        if r["url"] == "fixture://outline-1"
+    ]
+    # four headings → four sections, in document order
+    assert [(r["sec_idx"], r["heading"]) for r in rows] == [
+        (1, "Alpha One"),
+        (2, "Beta Two"),
+        (3, "Gamma Three"),
+        (4, "Delta Four"),
+    ]
+    assert rows[0]["n_paras"] == 1  # the <p>x</p> after Alpha One
+    assert all(r["n_paras"] == 0 for r in rows[1:])
+
+
 def test_crawl_budget_allocation_is_exact_apportionment(spark):
     rows = CATALOG["crawl_budget_allocation"].fn(spark, SF_DIR).collect()
     assert rows
