@@ -139,6 +139,7 @@ HEADLINE = [
     "sitemap_coverage",
     "doc_title_body_consistency",
     "extract_section_chunks",
+    "robots_sitemap_directives",
 ]
 
 

@@ -10176,6 +10176,98 @@ def extract_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "sec_idx")
 
 
+@q(
+    "robots_sitemap_directives",
+    rf"""
+    WITH r AS (SELECT host, raw FROM read_parquet('{staged_glob("robots_sm_raw")}')),
+    l AS (
+      SELECT host, CAST(i AS INT) AS line_no,
+             trim(regexp_replace(replace(ls[i], chr(13), ''), '#.*', '')) AS line
+      FROM (SELECT host, str_split(raw, chr(10)) AS ls,
+                   unnest(generate_series(1, len(str_split(raw, chr(10))))) AS i
+            FROM r)
+    ),
+    sm AS (
+      SELECT host, line_no,
+             regexp_replace(regexp_extract(line, '^[^:]*:(.*)$', 1),
+                            '^[ \t]+|[ \t]+$', '', 'g') AS sitemap_url
+      FROM l
+      WHERE regexp_matches(lower(line), '^[ \t]*sitemap[ \t]*:')
+    )
+    SELECT host,
+           CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY line_no) AS INT)
+             AS sm_idx,
+           sitemap_url
+    FROM sm ORDER BY host, sm_idx
+    """,
+)
+def robots_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Sitemap:`` directive mining from robots.txt — the missing link
+    between the host-politeness face (operators/robots_txt.py parses
+    allow/disallow groups) and the sitemap kernel (`extract_sitemap_entries`
+    parses the files those directives POINT AT): per RFC 9309 the field is
+    group-independent and case-insensitive, so every matching line yields a
+    (host, order, sitemap url) row — the seed list `sitemap_coverage`
+    audits. Robots files are synthesized deterministically per host
+    (declaring hosts carry 1-2 directives, mixed field case, comment and
+    rule noise lines), staged once, and BOTH engines replay the same
+    line-split → comment-strip → field-match → value-trim chain. Rules-
+    table-sized end to end: one row per host file, no corpus-scale data."""
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(F.pmod("doc_id", F.lit(40)).alias("h")).distinct()
+    hs = F.col("h").cast("string")
+    site = F.concat(F.lit("https://site-"), hs, F.lit(".example.org"))
+    raw = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n# generated robots file\n"),
+        F.when(
+            F.pmod("h", F.lit(3)) != 0,
+            F.when(
+                F.pmod("h", F.lit(4)) == 0,
+                F.concat(F.lit("sitemap: "), site, F.lit("/sitemap-0.xml\n")),
+            ).otherwise(
+                F.concat(F.lit("Sitemap: "), site, F.lit("/sitemap-0.xml\n"))
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (F.pmod("h", F.lit(3)) != 0) & (F.pmod("h", F.lit(2)) == 1),
+            F.concat(F.lit("Sitemap:\t"), site, F.lit("/sitemap-1.xml  # extra\n")),
+        ).otherwise(F.lit("")),
+        F.lit("Crawl-delay: 2\n"),
+    )
+    staged = stage(
+        hosts.select(
+            F.concat(F.lit("site-"), hs, F.lit(".example.org")).alias("host"),
+            raw.alias("raw"),
+        ),
+        "robots_sm_raw",
+    )
+    lines = staged.select(
+        "host",
+        F.posexplode(F.split("raw", "\n")).alias("p", "l0"),
+    ).select(
+        "host",
+        (F.col("p") + 1).cast("int").alias("line_no"),
+        F.trim(
+            F.regexp_replace(F.replace(F.col("l0"), F.lit("\r"), F.lit("")), "#.*", "")
+        ).alias("line"),
+    )
+    sm = lines.where(
+        F.lower("line").rlike(r"^[ \t]*sitemap[ \t]*:")
+    ).select(
+        "host",
+        "line_no",
+        F.regexp_replace(
+            F.regexp_extract("line", r"^[^:]*:(.*)$", 1), r"^[ \t]+|[ \t]+$", ""
+        ).alias("sitemap_url"),
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    return (
+        sm.withColumn("sm_idx", F.row_number().over(w).cast("int"))
+        .select("host", "sm_idx", "sitemap_url")
+        .orderBy("host", "sm_idx")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -10229,7 +10321,7 @@ _PRIORITY = [
     "corpus_code_route_report", "url_revisit_policy",
     "host_token_budget_cut", "doc_script_mix", "extract_headings",
     "sitemap_coverage", "doc_title_body_consistency",
-    "extract_section_chunks",
+    "extract_section_chunks", "robots_sitemap_directives",
 ]
 
 

@@ -231,6 +231,27 @@ def test_extract_section_chunks_fixture_segmentation(spark):
     assert all(r["n_paras"] == 0 for r in rows[1:])
 
 
+def test_robots_sitemap_directives_field_rules(spark):
+    rows = CATALOG["robots_sitemap_directives"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, ds in by_host.items():
+        h = int(host.split("-")[1].split(".")[0])
+        assert h % 3 != 0  # non-declaring hosts yield no rows
+        expect = 2 if h % 2 == 1 else 1
+        assert len(ds) == expect, host
+        assert [d["sm_idx"] for d in ds] == list(range(1, expect + 1))
+        for d in ds:
+            # value is trimmed, comment-stripped, case-independent of field
+            assert d["sitemap_url"].startswith(f"https://site-{h}.example.org/")
+            assert "#" not in d["sitemap_url"]
+            assert d["sitemap_url"] == d["sitemap_url"].strip()
+    declared = {int(h.split("-")[1].split(".")[0]) for h in by_host}
+    assert declared == {h for h in range(40) if h % 3 != 0}
+
+
 def test_crawl_budget_allocation_is_exact_apportionment(spark):
     rows = CATALOG["crawl_budget_allocation"].fn(spark, SF_DIR).collect()
     assert rows
