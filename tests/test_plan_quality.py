@@ -359,3 +359,13 @@ def test_crawl_budget_scalars_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") >= 2  # two scalar sides
     assert "BatchEvalPython" not in plan
+
+
+def test_host_token_budget_window_partitioning_reused(spark):
+    # the per-host window and the per-host rollup must share ONE hash
+    # exchange (partitioning reuse), plus only the final sort's range
+    # exchange — a third exchange means the groupBy re-shuffled
+    plan = _formatted(CATALOG["host_token_budget_cut"].fn(spark, SF))
+    assert "Window" in plan and "BatchEvalPython" not in plan
+    assert plan.count("+- Exchange") == 2
+    assert plan.count("hashpartitioning") >= 1 and "rangepartitioning" in plan
