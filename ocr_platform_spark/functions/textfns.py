@@ -362,3 +362,19 @@ def is_code_doc(col: Column | str) -> Column:
     threshold drift); blank docs are prose."""
     c = code_line_counts(col)
     return (c["n_code"] * 10 >= c["n_lines"] * 3) & (c["n_lines"] > 0)
+
+
+def script_mix_count(col: Column | str) -> Column:
+    """How many scripts (Latin + every SCRIPT_RANGES block) clear
+    SCRIPT_MIN_CHARS in this text — ≥2 is the script-mixing spam signal
+    (`doc_script_mix`, the pipeline's script_gate). Pure column
+    expressions over the same constants the lang-id gate uses."""
+    s = _c(col)
+
+    def _n(rng: str) -> Column:
+        return F.length(s) - F.length(F.regexp_replace(s, f"[{rng}]", ""))
+
+    counts = [_n(LATIN_RANGE)] + [_n(rng) for _, rng in SCRIPT_RANGES]
+    return sum(
+        F.when(c >= SCRIPT_MIN_CHARS, 1).otherwise(0) for c in counts
+    ).cast("int")

@@ -146,6 +146,7 @@ def corpus_refine_stages(
     curated: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    script_gate: bool = False,
     code_route: str | None = None,
     containment_strip_min: float | None = None,
     decontam_eval: DataFrame | None = None,
@@ -160,8 +161,10 @@ def corpus_refine_stages(
     persist_fuzzy=None,
 ) -> tuple[DataFrame, DataFrame | None, dict]:
     """The post-curation refinement tail shared by the composed job and
-    the ``corpus_build_report`` catalog query: optional prose/code ROUTE
-    (``code_route='prose'`` keeps prose and drops code-shaped docs,
+    the ``corpus_build_report`` catalog query: optional SCRIPT-MIXING gate
+    (``script_gate=True`` drops docs where ≥2 scripts clear the shared
+    threshold — textfns.script_mix_count, map-side) → optional prose/code
+    ROUTE (``code_route='prose'`` keeps prose and drops code-shaped docs,
     ``'code'`` the inverse — textfns.is_code_doc's integer line-share
     rule, map-side) → optional containment-driven
     span strip (wrapper pages keep their own content, lose the wrapped
@@ -183,6 +186,18 @@ def corpus_refine_stages(
     shuffle beyond the cluster regroup SemDedup inherently needs."""
     metrics: dict = {}
     out = curated
+    if script_gate:
+        from ocr_platform_spark.functions.textfns import script_mix_count
+
+        # Script-MIXING gate (the keyword-stuffing signal `doc_script_mix`
+        # reports): drop docs where ≥2 scripts clear the shared
+        # SCRIPT_MIN_CHARS threshold. Map-side like the code router;
+        # id-only drop list persisted.
+        bad_s = _staged(
+            out.where(script_mix_count(text_col) >= 2).select(id_col)
+        )
+        metrics["script_gate_dropped"] = bad_s.count()
+        out = out.join(bad_s, id_col, "left_anti")
     if code_route is not None:
         from ocr_platform_spark.functions.textfns import is_code_doc
 
@@ -336,6 +351,7 @@ def run_corpus_build_job(
     classifier_weights: DataFrame | None = None,
     classifier_keep: tuple[str, ...] = (),
     classifier_margin: tuple[str, str, int] | None = None,
+    script_gate: bool = False,
     code_route: str | None = None,
     containment_strip_min: float | None = None,
     decontam_eval: DataFrame | None = None,
@@ -595,6 +611,7 @@ def run_corpus_build_job(
     # AFTER the budget cut, below)
     refined, _, refine_metrics = corpus_refine_stages(
         details["curated"].select("doc_id", "text"),
+        script_gate=script_gate,
         code_route=code_route,
         containment_strip_min=containment_strip_min,
         decontam_eval=decontam_eval,

@@ -9602,12 +9602,36 @@ def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: genuinely script-mixed fixture pages for `doc_script_mix` (the synth
+#: corpus is Latin-only; SEO spam and boilerplate-injected pages are not) —
+#: identical literals on both engines.
+_MIX_FIXTURES: list[tuple[int, str]] = [
+    (910001, "english words mixed with 中文字符测试 and русские буквы here"),
+    (910002, "这是一个纯中文文档 没有其他文字"),
+    (910003, "plain english with وثيقة عربية مختلطة inside the page"),
+    (910004, "entirely latin text with no other scripts at all"),
+    (910005, "ひらがな文書 with trailing english tail words"),
+]
+_MIX_FIXTURES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _MIX_FIXTURES)
+_MIX_SCRIPTS = ["lat"] + [lang for lang, _ in TX.SCRIPT_RANGES]
+_MIX_NS_SQL = " + ".join(
+    f"(CASE WHEN c_{s} >= {TX.SCRIPT_MIN_CHARS} THEN 1 ELSE 0 END)"
+    for s in _MIX_SCRIPTS
+)
+
+
 @q(
     "corpus_code_route_report",
     rf"""
     WITH ccr AS (SELECT doc_id, text FROM read_parquet('{staged_glob("croute_docs")}')),
+    sc AS (SELECT doc_id, {_SCRIPT_COUNTS_SQL} FROM ccr),
+    mixed AS (SELECT doc_id FROM sc WHERE {_MIX_NS_SQL} >= 2),
+    gated AS (
+      SELECT doc_id, text FROM ccr
+      WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM mixed)
+    ),
     lines AS (
-      SELECT doc_id, unnest(str_split(coalesce(text,''), chr(10))) AS line FROM ccr
+      SELECT doc_id, unnest(str_split(coalesce(text,''), chr(10))) AS line FROM gated
     ),
     nz AS (SELECT doc_id, line FROM lines WHERE trim(line) <> ''),
     lc AS (
@@ -9619,8 +9643,8 @@ def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     codes AS (SELECT doc_id FROM lc WHERE n_code * 10 >= n_lines * 3),
     routed AS (
-      SELECT doc_id, text FROM ccr
-      WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM codes)
+      SELECT doc_id, text FROM gated
+      WHERE doc_id NOT IN (SELECT doc_id FROM codes)
     ),
     t AS (
       SELECT doc_id,
@@ -9670,33 +9694,39 @@ def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       VALUES (0, 'input',       (SELECT COUNT(*) FROM ccr)),
              (1, 'train_split', (SELECT COUNT(*) FROM ccr WHERE doc_id % 7 <> 0)),
-             (2, 'code_route',  (SELECT COUNT(*) FROM routed)),
-             (3, 'decontam',    (SELECT COUNT(*) FROM s1)),
-             (4, 'chunks',      (SELECT n FROM chunkcnt))
+             (2, 'script_gate', (SELECT COUNT(*) FROM gated)),
+             (3, 'code_route',  (SELECT COUNT(*) FROM routed)),
+             (4, 'decontam',    (SELECT COUNT(*) FROM s1)),
+             (5, 'chunks',      (SELECT n FROM chunkcnt))
     ) AS v(stage_no, stage, n)
     ORDER BY stage_no
     """,
 )
 def corpus_code_route_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The refine tail's new prose/code ROUTER composed with its neighbors
-    (plans/pipeline.corpus_refine_stages ``code_route='prose'``) and
-    oracle-verified as a funnel: a mixed prose+code corpus (every 5th doc
-    rewritten as a deterministic code snippet, staged) → eval split
-    (doc_id % 7 = 0) → code routing by the integer line-share rule →
-    benchmark decontamination (exact word 8-gram overlap vs the eval set)
-    → paragraph chunking of the survivors (40-token budget). The oracle
-    replays line classification, the gram overlap, and the chunk plan from
-    the same staged bytes — each stage count cross-engine checked. The
-    router itself is a pure map-side expression (textfns.is_code_doc):
-    composing it adds NO shuffle ahead of the decontam anti-join."""
+    """The refine tail's map-side GATES composed with their neighbors
+    (plans/pipeline.corpus_refine_stages ``script_gate=True,
+    code_route='prose'``) and oracle-verified as a funnel: a mixed
+    prose+code+non-Latin corpus (every 5th doc rewritten as a
+    deterministic code snippet, the script-mixed fixture pages appended,
+    staged) → eval split (doc_id % 7 = 0) → SCRIPT-MIXING gate (≥2
+    scripts over the shared threshold, textfns.script_mix_count) → code
+    routing by the integer line-share rule → benchmark decontamination
+    (exact word 8-gram overlap vs the eval set) → paragraph chunking of
+    the survivors (40-token budget). The oracle replays script counting,
+    line classification, the gram overlap, and the chunk plan from the
+    same staged bytes — each stage count cross-engine checked. Both gates
+    are pure map-side expressions: composing them adds NO shuffle ahead
+    of the decontam anti-join."""
     from ocr_platform_spark.plans.pipeline import corpus_refine_stages
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mixed = stage(_mix_code_docs(d), "croute_docs", partitions=2)
+    fx = spark.createDataFrame(_MIX_FIXTURES, "doc_id long, text string")
+    mixed = stage(_mix_code_docs(d).unionByName(fx), "croute_docs", partitions=2)
     ev = mixed.where(F.col("doc_id") % 7 == 0)
     train = mixed.where(F.col("doc_id") % 7 != 0)
     _, _, metrics = corpus_refine_stages(
         train,
+        script_gate=True,
         code_route="prose",
         decontam_eval=ev,
         decontam_n=8,
@@ -9704,14 +9734,16 @@ def corpus_code_route_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n0 = mixed.count()
     nt = train.count()
-    n_route = nt - metrics["code_route_dropped"]
+    n_gate = nt - metrics["script_gate_dropped"]
+    n_route = n_gate - metrics["code_route_dropped"]
     n_dec = n_route - metrics["decontam_dropped"]
     rows = [
         (0, "input", n0),
         (1, "train_split", nt),
-        (2, "code_route", n_route),
-        (3, "decontam", n_dec),
-        (4, "chunks", metrics["n_chunks"]),
+        (2, "script_gate", n_gate),
+        (3, "code_route", n_route),
+        (4, "decontam", n_dec),
+        (5, "chunks", metrics["n_chunks"]),
     ]
     return spark.createDataFrame(rows, "stage_no int, stage string, n_docs bigint")
 
@@ -9845,24 +9877,6 @@ def host_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
-
-
-#: genuinely script-mixed fixture pages for `doc_script_mix` (the synth
-#: corpus is Latin-only; SEO spam and boilerplate-injected pages are not) —
-#: identical literals on both engines.
-_MIX_FIXTURES: list[tuple[int, str]] = [
-    (910001, "english words mixed with 中文字符测试 and русские буквы here"),
-    (910002, "这是一个纯中文文档 没有其他文字"),
-    (910003, "plain english with وثيقة عربية مختلطة inside the page"),
-    (910004, "entirely latin text with no other scripts at all"),
-    (910005, "ひらがな文書 with trailing english tail words"),
-]
-_MIX_FIXTURES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _MIX_FIXTURES)
-_MIX_SCRIPTS = ["lat"] + [lang for lang, _ in TX.SCRIPT_RANGES]
-_MIX_NS_SQL = " + ".join(
-    f"(CASE WHEN c_{s} >= {TX.SCRIPT_MIN_CHARS} THEN 1 ELSE 0 END)"
-    for s in _MIX_SCRIPTS
-)
 
 
 @q(

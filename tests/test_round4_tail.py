@@ -100,6 +100,22 @@ def test_dedup_quality_eviction_keeps_argmax_score_per_cluster(spark):
                 break  # found a cluster where quality overrode min-id
 
 
+def test_corpus_refine_script_gate_stage(spark):
+    from ocr_platform_spark.plans.pipeline import corpus_refine_stages
+
+    docs = spark.createDataFrame(
+        [
+            (1, "english words mixed with 中文字符测试 and more characters"),
+            (2, "plain english prose document with only latin letters"),
+            (3, "这是一个纯中文文档 没有其他文字"),  # single script — kept
+        ],
+        "doc_id long, text string",
+    )
+    out, _, m = corpus_refine_stages(docs, script_gate=True)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+    assert m["script_gate_dropped"] == 1
+
+
 def test_corpus_refine_code_route_stage(spark):
     import pytest
 

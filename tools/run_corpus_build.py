@@ -73,6 +73,12 @@ def main() -> int:
         "argmax (the quality_threshold_sweep-calibrated cutoff)",
     )
     ap.add_argument(
+        "--script-gate",
+        action="store_true",
+        help="drop docs where two or more scripts clear the mixing "
+        "threshold (keyword-stuffing signal) before the dedup stages",
+    )
+    ap.add_argument(
         "--code-route",
         choices=("prose", "code"),
         default=None,
@@ -171,6 +177,7 @@ def main() -> int:
         scrub_pii=args.scrub_pii,
         honor_noindex=args.honor_noindex,
         compression_band=band,
+        script_gate=args.script_gate,
         code_route=args.code_route,
         lm_counts=lm_counts,
         classifier_weights=clf_weights,
