@@ -140,6 +140,7 @@ HEADLINE = [
     "doc_title_body_consistency",
     "extract_section_chunks",
     "robots_sitemap_directives",
+    "ann_lsh_multiprobe_sweep",
 ]
 
 

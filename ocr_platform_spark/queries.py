@@ -10282,6 +10282,97 @@ def robots_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ann_lsh_multiprobe_sweep",
+    f"""
+    WITH exact AS (SELECT query_id, item_id FROM read_parquet('{staged_glob("mp_exact")}')),
+    t0 AS ({_ann_tail_sql("mp_cands_0")}),
+    t1 AS ({_ann_tail_sql("mp_cands_1")}),
+    t2 AS ({_ann_tail_sql("mp_cands_2")}),
+    arms AS (
+      SELECT 0 AS multiprobe, query_id, item_id FROM t0
+      UNION ALL SELECT 1, query_id, item_id FROM t1
+      UNION ALL SELECT 2, query_id, item_id FROM t2
+    ),
+    cand_counts AS (
+      SELECT 0 AS multiprobe,
+             (SELECT COUNT(*) FROM read_parquet('{staged_glob("mp_cands_0")}')) AS n_cands
+      UNION ALL SELECT 1,
+             (SELECT COUNT(*) FROM read_parquet('{staged_glob("mp_cands_1")}'))
+      UNION ALL SELECT 2,
+             (SELECT COUNT(*) FROM read_parquet('{staged_glob("mp_cands_2")}'))
+    ),
+    hits AS (
+      SELECT c.multiprobe,
+             CAST(SUM(CASE WHEN a.item_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+             CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM cand_counts c
+      CROSS JOIN exact e
+      LEFT JOIN arms a ON a.multiprobe = c.multiprobe
+                      AND a.query_id = e.query_id AND a.item_id = e.item_id
+      GROUP BY c.multiprobe
+    )
+    SELECT CAST(h.multiprobe AS INT) AS multiprobe,
+           CAST(c.n_cands AS BIGINT) AS n_cands,
+           h.n_hit, h.n_exact,
+           CAST((h.n_hit * 1000) // h.n_exact AS BIGINT) AS recall_pm
+    FROM hits h JOIN cand_counts c ON c.multiprobe = h.multiprobe
+    ORDER BY multiprobe
+    """,
+)
+def ann_lsh_multiprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe CALIBRATION sweep — the recall-vs-cost curve that picks
+    the LSH knob at scale (`ann_lsh_recall` reports ONE operating point;
+    production tuning needs the curve): for multiprobe ∈ {0, 1, 2} the
+    query side probes that many extra near-boundary buckets per table,
+    and the report shows candidate-pair cost next to recall@10 against
+    the staged brute-force ground truth. The oracle RERANKS each arm's
+    staged candidates with the shared quantized-cosine tail and recomputes
+    every hit count — the approximation's only unverifiable part stays the
+    numpy bucketing itself, same boundary as the other ANN entries.
+    Candidate tables are query-side-sized; nothing corpus-wide."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8)
+    exact = stage(
+        ann.quantized_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=10)
+        .select("query_id", "item_id"),
+        "mp_exact",
+    )
+    rows = None
+    counts = None
+    for m in (0, 1, 2):
+        cands = stage(
+            ann.lsh_candidates(emb, qs, dim=64, multiprobe=m), f"mp_cands_{m}"
+        )
+        cnt = cands.agg(F.count("*").cast("long").alias("n_cands")).select(
+            F.lit(m).alias("multiprobe"), "n_cands"
+        )
+        counts = cnt if counts is None else counts.unionByName(cnt)
+        topk = ann.quantized_rank_candidates(cands, emb, k=10).select(
+            "query_id", "item_id"
+        )
+        j = exact.join(topk.withColumn("_h", F.lit(1)), ["query_id", "item_id"], "left")
+        row = j.agg(
+            F.sum(F.when(F.col("_h").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+        ).select(F.lit(m).alias("multiprobe"), "n_hit", "n_exact")
+        rows = row if rows is None else rows.unionByName(row)
+    return (
+        rows.join(counts, "multiprobe")
+        .select(
+            F.col("multiprobe").cast("int").alias("multiprobe"),
+            "n_cands",
+            "n_hit",
+            "n_exact",
+            F.expr("cast((n_hit * 1000) div n_exact as bigint)").alias("recall_pm"),
+        )
+        .orderBy("multiprobe")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -10336,6 +10427,7 @@ _PRIORITY = [
     "host_token_budget_cut", "doc_script_mix", "extract_headings",
     "sitemap_coverage", "doc_title_body_consistency",
     "extract_section_chunks", "robots_sitemap_directives",
+    "ann_lsh_multiprobe_sweep",
 ]
 
 

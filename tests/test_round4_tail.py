@@ -268,6 +268,20 @@ def test_robots_sitemap_directives_field_rules(spark):
     assert declared == {h for h in range(40) if h % 3 != 0}
 
 
+def test_ann_lsh_multiprobe_sweep_curve_shape(spark):
+    rows = sorted(
+        CATALOG["ann_lsh_multiprobe_sweep"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["multiprobe"],
+    )
+    assert [r["multiprobe"] for r in rows] == [0, 1, 2]
+    # more probes → strictly more candidates, never less recall
+    assert rows[0]["n_cands"] < rows[1]["n_cands"] < rows[2]["n_cands"]
+    assert rows[0]["recall_pm"] <= rows[1]["recall_pm"] <= rows[2]["recall_pm"]
+    assert len({r["n_exact"] for r in rows}) == 1  # shared ground truth
+    for r in rows:
+        assert r["recall_pm"] == (r["n_hit"] * 1000) // r["n_exact"]
+
+
 def test_crawl_budget_allocation_is_exact_apportionment(spark):
     rows = CATALOG["crawl_budget_allocation"].fn(spark, SF_DIR).collect()
     assert rows
