@@ -10384,8 +10384,8 @@ def ann_lsh_multiprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_decontam_by_suite, doc_decontam_strip, corpus_bpe_encode,
 # corpus_token_blocks, … through the round-4 tail entries) sit past
 # position 50 and take the round-5 window; cumulative driver coverage:
-# 137/174 after this round (87 from r1-r3 + the 50-slot window), the
-# remaining 37 fit round 5's window → 174/174. Every entry remains
+# 137/175 after this round (87 from r1-r3 + the 50-slot window), the
+# remaining 38 fit round 5's window → 175/175. Every entry remains
 # runnable and oracle-checked by
 # tools/oracle_check.py and tests/test_oracle_parity.py regardless of
 # position.
