@@ -141,6 +141,7 @@ HEADLINE = [
     "extract_section_chunks",
     "robots_sitemap_directives",
     "ann_lsh_multiprobe_sweep",
+    "storage_compaction_plan",
 ]
 
 

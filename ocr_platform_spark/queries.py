@@ -10373,6 +10373,72 @@ def ann_lsh_multiprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "storage_compaction_plan",
+    r"""
+    WITH files AS (
+      SELECT CAST(doc_id % 64 AS BIGINT) AS file_id,
+             CAST(doc_id % 8 AS BIGINT) AS bucket,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY doc_id % 64, doc_id % 8
+    ),
+    w AS (
+      SELECT file_id, bucket, bytes,
+             COALESCE(SUM(bytes) OVER (PARTITION BY bucket ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM files
+    ),
+    plan AS (
+      SELECT bucket, file_id, bytes, cum_before // 6000 AS task_id FROM w
+    )
+    SELECT bucket, CAST(task_id AS BIGINT) AS task_id,
+           COUNT(*) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(bytes) AS BIGINT) > 6000 AS overshoot
+    FROM plan GROUP BY bucket, task_id ORDER BY bucket, task_id
+    """,
+)
+def storage_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION planning — the table-maintenance job any
+    Iceberg/parquet lake needs at 100 TB (thousands of tiny files per
+    partition kill scan throughput; compaction rewrites them into
+    target-size groups, cf. Spark's own maxPartitionBytes coalescing):
+    per partition bucket, files in id order are assigned to rewrite
+    tasks by the SAME keep-iff-cum-before-under-budget rule as the
+    token-budget cut (integer ``cum_before div target``) — a task may
+    overshoot only by its last file's tail, flagged exactly. The file
+    inventory is derived deterministically from the documents table
+    (doc_id%64 files, doc_id%8 partition buckets, decimal-exact byte
+    sums); BOTH engines replay the identical window arithmetic. The
+    window and the rollup are bucket-partitioned — inventory tables are
+    file-count-sized and per-partition, never a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    files = (
+        d.groupBy(
+            (F.col("doc_id") % 64).cast("long").alias("file_id"),
+            (F.col("doc_id") % 8).cast("long").alias("bucket"),
+        )
+        .agg(F.sum("n_chars").cast("long").alias("bytes"))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    plan = files.withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0).cast("long"))
+    ).withColumn("task_id", F.expr("cum_before div 6000"))
+    return (
+        plan.groupBy("bucket", "task_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+        )
+        .withColumn("overshoot", F.col("total_bytes") > 6000)
+        .orderBy("bucket", "task_id")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -10427,7 +10493,7 @@ _PRIORITY = [
     "host_token_budget_cut", "doc_script_mix", "extract_headings",
     "sitemap_coverage", "doc_title_body_consistency",
     "extract_section_chunks", "robots_sitemap_directives",
-    "ann_lsh_multiprobe_sweep",
+    "ann_lsh_multiprobe_sweep", "storage_compaction_plan",
 ]
 
 

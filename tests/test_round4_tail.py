@@ -282,6 +282,28 @@ def test_ann_lsh_multiprobe_sweep_curve_shape(spark):
         assert r["recall_pm"] == (r["n_hit"] * 1000) // r["n_exact"]
 
 
+def test_storage_compaction_plan_next_fit_invariants(spark):
+    rows = CATALOG["storage_compaction_plan"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(by_bucket) == 8
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total = docs.agg({"n_chars": "sum"}).first()[0]
+    assert sum(r["total_bytes"] for r in rows) == total  # nothing dropped
+    for bucket, tasks in by_bucket.items():
+        assert len(tasks) >= 2  # the target actually splits each bucket
+        ids = sorted(t["task_id"] for t in tasks)
+        assert ids == list(range(len(ids)))  # dense task ids per bucket
+        for t in tasks:
+            assert t["overshoot"] == (t["total_bytes"] > 6000)
+            # next-fit: a task only overshoots by its last file's tail, so a
+            # multi-file task was under target before its last file joined
+            if t["n_files"] > 1 and t["overshoot"]:
+                assert t["total_bytes"] < 2 * 6000  # files are << target
+
+
 def test_crawl_budget_allocation_is_exact_apportionment(spark):
     rows = CATALOG["crawl_budget_allocation"].fn(spark, SF_DIR).collect()
     assert rows
