@@ -709,6 +709,74 @@ def strip_repeated_paragraphs(
     )
 
 
+def strip_host_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    host_col: str,
+    min_df: int = 3,
+    min_chars: int = 1,
+) -> DataFrame:
+    """(host, id, text, n_kept, n_dropped) — HOST-scoped boilerplate
+    removal (the CCNet/trafilatura convention): a paragraph repeated on
+    ≥ ``min_df`` DISTINCT pages of the SAME host is site furniture — nav
+    blocks, cookie banners, footers — and is cut from every page of that
+    host; the identical paragraph on another host is content and
+    survives there. Contrast :func:`strip_repeated_paragraphs`
+    (corpus-global ``min_df``), which cannot tell a license blurb quoted
+    once per site across many sites (content) from a footer stamped on
+    every page of one site (furniture): the global rule strips both,
+    the host rule strips only the footer.
+
+    Scale shape: the paragraph explode is map-side; boilerplate
+    detection aggregates on (host, id, h) then (host, h) — both get
+    map-side partial combine, and the paragraph hash spreads a
+    mega-host's lines across the shuffle even when one host dominates
+    the crawl. The mark join is on (host, h); the rebuild groups by id.
+    No stage touches a corpus-global key, so the whole plan re-scales
+    with hosts × pages rather than with total paragraph count.
+    """
+    posts = (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), r"\n{2,}", -1)).alias("idx", "para"),
+        )
+        .where(F.length("para") >= min_chars)
+        .withColumn("h", F.md5(F.col("para")))
+    )
+    rep = (
+        posts.select("host", "h", "id")
+        .groupBy("host", "h", "id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("host", "h")
+        .agg(F.count("*").alias("n_pages"))
+        .where(F.col("n_pages") >= min_df)
+        .select("host", "h", F.lit(True).alias("_rep"))
+    )
+    marked = posts.join(rep, ["host", "h"], "left")
+    return (
+        marked.groupBy("host", "id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_rep").isNull(), F.struct("idx", "para"))
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+                "\n\n",
+            ).alias("text"),
+            F.count(F.when(F.col("_rep").isNull(), 1)).alias("n_kept"),
+            F.count(F.when(F.col("_rep").isNotNull(), 1)).alias("n_dropped"),
+        )
+        .withColumnRenamed("id", id_col)
+        .withColumnRenamed("host", host_col)
+    )
+
+
 # --- ExactSubstr-style repeated-span marking ------------------------------
 # (Lee et al., "Deduplicating Training Data Makes Language Models Better":
 # mark every maximal span whose k-char substrings also occur in other

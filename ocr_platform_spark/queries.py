@@ -4589,6 +4589,86 @@ def doc_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "host_boilerplate_strip",
+    r"""
+    WITH raw AS (
+      SELECT doc_id, source AS host,
+        concat_ws(chr(10) || chr(10),
+          'Home | About | Contact — ' || source,
+          'Article ' || CAST(doc_id AS VARCHAR) || ': ' ||
+            regexp_replace(substr(text, 1, 80), '\s+', ' ', 'g'),
+          CASE WHEN doc_id % 2 = 0
+               THEN 'Subscribe to the ' || source || ' newsletter.' END,
+          CASE WHEN doc_id % 125 = 0
+               THEN 'Creative Commons Attribution applies to this page.' END
+        ) AS body
+      FROM documents
+    ),
+    paras AS (
+      SELECT host, doc_id, CAST(i - 1 AS INT) AS idx, ps[i] AS para
+      FROM (SELECT host, doc_id, ps, unnest(generate_series(1, len(ps))) AS i
+            FROM (SELECT host, doc_id, string_split_regex(body, '\n{2,}') AS ps
+                  FROM raw))
+      WHERE length(ps[i]) >= 1
+    ),
+    rep AS (
+      SELECT host, md5(para) AS h
+      FROM paras GROUP BY host, md5(para) HAVING COUNT(DISTINCT doc_id) >= 3
+    ),
+    marked AS (
+      SELECT p.host, p.doc_id, p.idx, p.para, (r.h IS NOT NULL) AS is_rep
+      FROM paras p LEFT JOIN rep r ON p.host = r.host AND md5(p.para) = r.h
+    )
+    SELECT host, doc_id,
+           COALESCE(string_agg(CASE WHEN NOT is_rep THEN para END,
+                               chr(10) || chr(10) ORDER BY idx), '') AS text,
+           COUNT(CASE WHEN NOT is_rep THEN 1 END) AS n_kept,
+           COUNT(CASE WHEN is_rep THEN 1 END) AS n_dropped
+    FROM marked GROUP BY host, doc_id ORDER BY doc_id
+    """,
+)
+def host_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOST-scoped boilerplate removal (operators/dedup.strip_host_
+    boilerplate; the CCNet/trafilatura convention, vs doc_para_dedup's
+    corpus-GLOBAL rule): a paragraph on ≥3 distinct pages of the SAME
+    host is site furniture and is cut from that host's pages only. The
+    deterministic bodies exercise all three regimes — a nav line on
+    every page of its host (stripped), a newsletter line on every page
+    of even hosts only (stripped there, absent elsewhere), and a
+    license line on exactly one page of four different hosts: globally
+    repeated (4×, which the global min_df=3 rule would strip) yet
+    per-host unique, so the host rule KEEPS it. The oracle replays the
+    split, per-(host, md5) distinct-page frequency and the in-order
+    rebuild, verifying the surviving bytes exactly."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("Home | About | Contact — "), F.col("source")),
+        F.concat(
+            F.lit("Article "),
+            did.cast("string"),
+            F.lit(": "),
+            F.regexp_replace(F.substring("text", 1, 80), r"\s+", " "),
+        ),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("Subscribe to the "), F.col("source"), F.lit(" newsletter.")),
+        ),
+        F.when(
+            did % 125 == 0,
+            F.lit("Creative Commons Attribution applies to this page."),
+        ),
+    )
+    docs = d.select(F.col("source").alias("host"), "doc_id", body.alias("body"))
+    return (
+        dedup.strip_host_boilerplate(docs, "doc_id", "body", "host", min_df=3)
+        .select("host", "doc_id", "text", "n_kept", "n_dropped")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "doc_chunk_plan",
     r"""
     WITH split AS (
@@ -10494,6 +10574,7 @@ _PRIORITY = [
     "sitemap_coverage", "doc_title_body_consistency",
     "extract_section_chunks", "robots_sitemap_directives",
     "ann_lsh_multiprobe_sweep", "storage_compaction_plan",
+    "host_boilerplate_strip",
 ]
 
 

@@ -215,6 +215,50 @@ def test_strip_repeated_paragraphs_rebuilds_in_order(spark):
     assert out[3] == ("", 0, 1)  # all-boilerplate doc survives with empty text
 
 
+def test_strip_host_boilerplate_is_host_scoped(spark):
+    # FOOTER stamps every page of host a (3 pages -> furniture, stripped
+    # there) but appears ONCE on host b (content there, kept). The
+    # corpus-global rule at the same min_df would strip all four copies.
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "FOOTER\n\nstory one"),
+            ("a", 2, "story two\n\nFOOTER"),
+            ("a", 3, "FOOTER"),
+            ("b", 4, "FOOTER\n\nunrelated essay"),
+        ],
+        "host string, id long, text string",
+    )
+    out = {
+        r["id"]: (r["host"], r["text"], r["n_kept"], r["n_dropped"])
+        for r in dedup.strip_host_boilerplate(
+            df, "id", "text", "host", min_df=3
+        ).collect()
+    }
+    assert out[1] == ("a", "story one", 1, 1)
+    assert out[2] == ("a", "story two", 1, 1)
+    assert out[3] == ("a", "", 0, 1)
+    assert out[4] == ("b", "FOOTER\n\nunrelated essay", 2, 0)
+    # the global rule strips the same paragraph everywhere
+    g = {
+        r["id"]: r["n_dropped"]
+        for r in dedup.strip_repeated_paragraphs(df, "id", "text", min_df=3).collect()
+    }
+    assert g == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_strip_host_boilerplate_counts_repeats_once_per_page(spark):
+    # the same line twice WITHIN one page counts once toward min_df
+    df = spark.createDataFrame(
+        [("a", 1, "X\n\nX"), ("a", 2, "body")],
+        "host string, id long, text string",
+    )
+    out = {
+        r["id"]: r["n_dropped"]
+        for r in dedup.strip_host_boilerplate(df, "id", "text", "host", min_df=2).collect()
+    }
+    assert out == {1: 0, 2: 0}
+
+
 # --- ExactSubstr-style repeated spans -------------------------------------
 
 
