@@ -89,3 +89,55 @@ def chunk_paragraphs(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def sliding_token_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """(id, chunk_id, start_tok, end_tok, n_tokens, body) — OVERLAPPING
+    fixed-size token windows (the RAG/embedding-model convention, vs
+    :func:`chunk_paragraphs`' disjoint paragraph buckets): window ``i``
+    covers whitespace tokens ``[i*stride, i*stride+size)`` with
+    ``stride = size - overlap``, so each boundary sentence appears in two
+    consecutive windows and no retrieval query can fall into a chunk gap.
+    A doc of ``T`` tokens emits ``1`` window when ``T <= size`` else
+    ``ceil((T-size)/stride) + 1`` — the last window is clamped to ``T``
+    (a trailing partial is emitted, never dropped). Pure integer math so
+    a SQL oracle replays every boundary exactly.
+
+    Scale shape: entirely map-side — token split, window count, and the
+    per-doc explode never shuffle; downstream consumers (embedding UDF,
+    index build) inherit the input partitioning.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+", -1), lambda x: x != F.lit("")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), words.alias("_words")
+    ).withColumn("_t", F.size("_words"))
+    n = F.when(F.col("_t") <= size, F.lit(1)).otherwise(
+        F.expr(f"(_t - {size} + {stride - 1}) div {stride}") + 1
+    )
+    start = (F.col("chunk_id") * stride).cast("long")
+    end = F.least(F.col("chunk_id").cast("long") * stride + size, F.col("_t").cast("long"))
+    return (
+        base.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n - 1)))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            start.alias("start_tok"),
+            end.alias("end_tok"),
+            (end - start).alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_words"), start.cast("int") + 1, (end - start).cast("int")),
+                " ",
+            ).alias("body"),
+        )
+    )

@@ -4722,6 +4722,54 @@ def doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_chunk_overlap",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    t AS (SELECT doc_id, words, len(words) AS n_tok FROM w),
+    n AS (
+      SELECT doc_id, words, n_tok,
+             CASE WHEN n_tok <= 64 THEN 1
+                  ELSE (n_tok - 64 + 47) // 48 + 1 END AS n_chunks
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, words, n_tok,
+             unnest(generate_series(0, n_chunks - 1)) AS cid
+      FROM n
+    )
+    SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+           CAST(cid * 48 AS BIGINT) AS start_tok,
+           CAST(least(cid * 48 + 64, n_tok) AS BIGINT) AS end_tok,
+           CAST(least(cid * 48 + 64, n_tok) - cid * 48 AS BIGINT) AS n_tokens,
+           array_to_string(words[cid * 48 + 1 : least(cid * 48 + 64, n_tok)], ' ')
+             AS body
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING sliding token windows (operators/chunking.
+    sliding_token_windows; size 64, overlap 16 → stride 48) — the
+    RAG/embedding-model segmentation, vs doc_chunk_plan's disjoint
+    paragraph buckets: every boundary sentence lands in two consecutive
+    windows so retrieval can't fall into a chunk gap, and the trailing
+    partial window is emitted clamped, never dropped. Window count,
+    token offsets and the window text itself are pure integer/array
+    math, so the oracle replays every boundary and verifies the chunk
+    bytes exactly."""
+    from ocr_platform_spark.operators.chunking import sliding_token_windows
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        sliding_token_windows(d, "doc_id", "text", size=64, overlap=16)
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@q(
     "extract_per_host",
     f"""
     SELECT host, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
@@ -10574,7 +10622,7 @@ _PRIORITY = [
     "sitemap_coverage", "doc_title_body_consistency",
     "extract_section_chunks", "robots_sitemap_directives",
     "ann_lsh_multiprobe_sweep", "storage_compaction_plan",
-    "host_boilerplate_strip",
+    "host_boilerplate_strip", "doc_chunk_overlap",
 ]
 
 

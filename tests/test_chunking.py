@@ -96,3 +96,63 @@ def test_retrieval_index_job_audit_and_recall(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# --- overlapping sliding windows -------------------------------------------
+
+
+def test_sliding_windows_short_doc_single_window(spark):
+    from ocr_platform_spark.operators.chunking import sliding_token_windows
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = sliding_token_windows(df, "doc_id", "text", size=4, overlap=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["chunk_id"], r["start_tok"], r["end_tok"], r["body"]) == (0, 0, 3, "a b c")
+
+
+def test_sliding_windows_overlap_and_trailing_partial(spark):
+    from ocr_platform_spark.operators.chunking import sliding_token_windows
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    # size 4, overlap 2 -> stride 2 -> windows [0,4) [2,6) [4,8) [6,10): 4 windows
+    rows = sorted(
+        sliding_token_windows(df, "doc_id", "text", size=4, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [(r["start_tok"], r["end_tok"]) for r in rows] == [(0, 4), (2, 6), (4, 8), (6, 10)]
+    assert rows[1]["body"] == "t2 t3 t4 t5"  # overlaps chunk 0's tail
+    # 11 tokens -> trailing partial [8,11) emitted clamped
+    df2 = spark.createDataFrame([(1, " ".join(toks + ["t10"]))], "doc_id long, text string")
+    rows2 = sorted(
+        sliding_token_windows(df2, "doc_id", "text", size=4, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert (rows2[-1]["start_tok"], rows2[-1]["end_tok"], rows2[-1]["n_tokens"]) == (8, 11, 3)
+    assert rows2[-1]["body"] == "t8 t9 t10"
+
+
+def test_sliding_windows_every_token_covered(spark):
+    from ocr_platform_spark.operators.chunking import sliding_token_windows
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i))) for i in range(1, 40)],
+        "doc_id long, text string",
+    )
+    rows = sliding_token_windows(df, "doc_id", "text", size=8, overlap=3).collect()
+    cover = {}
+    for r in rows:
+        cover.setdefault(r["doc_id"], set()).update(range(r["start_tok"], r["end_tok"]))
+    for i in range(2, 40):  # doc 1 has "w0" = 1 token; doc i has i tokens
+        assert cover[i] == set(range(i))
+
+
+def test_sliding_windows_rejects_bad_overlap(spark):
+    import pytest
+
+    from ocr_platform_spark.operators.chunking import sliding_token_windows
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        sliding_token_windows(df, "doc_id", "text", size=4, overlap=4)
