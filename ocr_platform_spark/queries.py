@@ -7234,6 +7234,71 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_oov_curve",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    ranked AS (
+      SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+      FROM freq
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM toks),
+    ks AS (SELECT unnest([256, 1024, 4096, 16384]) AS vocab_size)
+    SELECT k.vocab_size,
+           CAST(COALESCE(SUM(r.cnt), 0) AS BIGINT) AS covered,
+           CAST(t.total AS BIGINT) AS total,
+           CAST(t.total - COALESCE(SUM(r.cnt), 0) AS BIGINT) AS oov
+    FROM ks k CROSS JOIN tot t
+    LEFT JOIN ranked r ON r.rnk <= k.vocab_size
+    GROUP BY k.vocab_size, t.total
+    ORDER BY k.vocab_size
+    """,
+)
+def corpus_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-budget OOV curve — the tokenizer-sizing readout that
+    complements corpus_vocab_growth's Heaps law: for each candidate
+    word-vocabulary size K (top-K terms by corpus frequency, ties broken
+    by term), how many running tokens are covered and how many fall out
+    of vocabulary. Pure integer counts so the curve hashes identically
+    cross-engine. Scale shape: the term aggregate gets map-side combine;
+    the global rank is bounded to the top max(K) rows by an orderBy+limit
+    (TakeOrderedAndProject — per-partition top-k, no full sort) before a
+    single-partition row_number over ≤16384 rows; the K table is four
+    broadcast rows. Tie order (cnt DESC, term) is a total order, so both
+    engines rank identically."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit(""))
+        ).alias("term")
+    )
+    freq = words.groupBy("term").agg(F.count("*").alias("cnt"))
+    top = freq.orderBy(F.desc("cnt"), F.asc("term")).limit(16384)
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+    )
+    total = words.agg(F.count("*").alias("total"))
+    ks = spark.createDataFrame([(k,) for k in (256, 1024, 4096, 16384)], "vocab_size int")
+    return (
+        ks.join(ranked, F.col("rnk") <= F.col("vocab_size"), "left")
+        .groupBy("vocab_size")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("covered"))
+        .crossJoin(total)
+        .select(
+            "vocab_size",
+            "covered",
+            F.col("total").cast("long").alias("total"),
+            (F.col("total") - F.col("covered")).cast("long").alias("oov"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+@q(
     "host_quality_rollup",
     r"""
     WITH c AS (
@@ -10622,7 +10687,7 @@ _PRIORITY = [
     "sitemap_coverage", "doc_title_body_consistency",
     "extract_section_chunks", "robots_sitemap_directives",
     "ann_lsh_multiprobe_sweep", "storage_compaction_plan",
-    "host_boilerplate_strip", "doc_chunk_overlap",
+    "host_boilerplate_strip", "doc_chunk_overlap", "corpus_oov_curve",
 ]
 
 
