@@ -66,3 +66,48 @@ def canonical_url(col: Column | str) -> Column:
     for pat, rep in CANONICAL_STEPS:
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+# --- soft URL blocklist scoring ---------------------------------------------
+# RefinedWeb-style URL filtering: beyond the exact domain blocklist, score a
+# url by the weighted flagged FRAGMENTS it contains (substring match over the
+# whole url string) and block above a threshold — a soft rule that catches
+# bad pages on unlisted hosts while letting a single incidental fragment
+# through. Weights are small integers so scores hash identically
+# cross-engine; the fragment list is tiny and unrolls into the row
+# expression (pure codegen, no join, no shuffle).
+
+SOFTBLOCK_WEIGHTS: tuple[tuple[str, int], ...] = (
+    ("casino", 50),
+    ("adult", 45),
+    ("poker", 40),
+    ("webcam", 35),
+    ("bet", 30),
+    ("win-big", 25),
+    ("free", 10),
+)
+
+
+def url_softblock_score(
+    col: Column | str,
+    weights: tuple[tuple[str, int], ...] = SOFTBLOCK_WEIGHTS,
+) -> Column:
+    """Sum of weights of flagged fragments contained in the url. A url
+    hitting several fragments accumulates ('free-bets' scores free+bet);
+    the same fragment twice counts once (containment, not occurrence
+    count)."""
+    c = _c(col)
+    score = F.lit(0)
+    for frag, w in weights:
+        score = score + F.when(c.contains(frag), F.lit(w)).otherwise(F.lit(0))
+    return score
+
+
+def softblock_score_sql(expr: str, weights: tuple[tuple[str, int], ...] = SOFTBLOCK_WEIGHTS) -> str:
+    """The same unrolled weighted-containment sum in ANSI SQL — derived
+    from the SAME weight table so engines cannot drift."""
+    terms = " + ".join(
+        f"CASE WHEN contains({expr}, '{frag}') THEN {w} ELSE 0 END"
+        for frag, w in weights
+    )
+    return f"({terms})"

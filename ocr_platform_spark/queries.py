@@ -9507,6 +9507,66 @@ def url_param_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOFTBLOCK_SLUGS = [
+    "news", "travel", "casino-royale", "cooking", "poker-tips", "health",
+    "free-bets", "science", "adult-stories", "history", "win-big-now",
+    "sports", "essay", "webcam-chat", "nature", "free-library",
+]
+
+
+def _softblock_oracle_sql() -> str:
+    from ocr_platform_spark.functions.urlfns import softblock_score_sql
+
+    slug_list = ", ".join(f"'{s}'" for s in _SOFTBLOCK_SLUGS)
+    score = softblock_score_sql("url")
+    return f"""
+    WITH u AS (
+      SELECT doc_id,
+        'https://site-' || CAST(doc_id % 8 AS VARCHAR) || '.example.org/' ||
+        ([{slug_list}])[(doc_id % 16) + 1] ||
+        '/item-' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id, url, CAST({score} AS INT) AS score,
+           {score} >= 40 AS blocked
+    FROM u ORDER BY doc_id
+    """
+
+
+@q("url_softblock_score", _softblock_oracle_sql())
+def url_softblock_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft URL blocklist scoring (functions/urlfns.url_softblock_score;
+    the RefinedWeb recipe's weighted-fragment URL rule, complementing the
+    exact-match blocklist_filter): each flagged fragment CONTAINED in the
+    url adds its weight, and the page blocks above a threshold — so
+    'free-bets' accumulates free+bet past the gate while a lone 'webcam'
+    or 'free-library' hit stays under it. The weight table has ONE source
+    of truth (urlfns.SOFTBLOCK_WEIGHTS) from which both the Column
+    expression and the oracle SQL are generated, so engines cannot
+    drift. Map-side only: the fragment list unrolls into the row
+    expression (whole-stage codegen, no join, no shuffle)."""
+    from ocr_platform_spark.functions.urlfns import url_softblock_score as score_fn
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    slug = F.element_at(
+        F.array(*[F.lit(s) for s in _SOFTBLOCK_SLUGS]),
+        (F.pmod("doc_id", F.lit(16)) + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://site-"),
+        F.pmod("doc_id", F.lit(8)).cast("string"),
+        F.lit(".example.org/"),
+        slug,
+        F.lit("/item-"),
+        F.col("doc_id").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    s = score_fn("url")
+    return u.select(
+        "doc_id", "url", s.cast("int").alias("score"), (s >= 40).alias("blocked")
+    ).orderBy("doc_id")
+
+
 @q(
     "doc_readability",
     """
@@ -10688,6 +10748,7 @@ _PRIORITY = [
     "extract_section_chunks", "robots_sitemap_directives",
     "ann_lsh_multiprobe_sweep", "storage_compaction_plan",
     "host_boilerplate_strip", "doc_chunk_overlap", "corpus_oov_curve",
+    "url_softblock_score",
 ]
 
 
