@@ -8512,6 +8512,88 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_bpe_fertility",
+    rf"""
+    WITH seg AS (
+      SELECT word, n_toks FROM read_parquet('{staged_glob("bpe_fert_seg")}')
+    ),
+    t AS (
+      SELECT lang,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    w AS (
+      SELECT lang, ws[i] AS word
+      FROM (SELECT lang, ws, unnest(generate_series(1, len(ws))) AS i FROM t)
+      WHERE ws[i] <> ''
+    ),
+    pw AS (SELECT lang, word, COUNT(*) AS cnt FROM w GROUP BY lang, word),
+    j AS (
+      SELECT lang, cnt,
+             COALESCE(seg.n_toks, CAST(length(pw.word) AS INT)) AS tpw
+      FROM pw LEFT JOIN seg USING (word)
+    )
+    SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total_words,
+           CAST(SUM(cnt * tpw) AS BIGINT) AS total_tokens,
+           CAST((SUM(cnt * tpw) * 1000) // SUM(cnt) AS BIGINT) AS fertility_x1000
+    FROM j GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language (tokens emitted per word — the
+    standard multilingual-tokenizer health metric: a vocabulary trained
+    lopsidedly makes under-represented languages pay more tokens for the
+    same text, skewing both cost and effective context length). Uses the
+    trained segmentation of ``corpus_bpe_merges`` with the same OOV
+    character fallback as encoding; fertility is reported ×1000 in
+    integer div so the curve hashes identically cross-engine. Scale
+    shape: the word stream collapses to (lang, word) counts FIRST
+    (map-side combine; vocabulary×lang-sized, never the corpus), then
+    joins the BROADCAST segmentation — no corpus-wide shuffle after the
+    first aggregate."""
+    from ocr_platform_spark.functions.textfns import normalized_text
+    from ocr_platform_spark.operators.bpe import train_bpe_merges, word_counts
+
+    d = _t(spark, sf_dir, "documents")
+    words = word_counts(d, "text", min_count=2)
+    _merges, syms = train_bpe_merges(words, n_merges=_BPE_MERGES)
+    seg = stage(
+        syms.select(
+            F.regexp_replace("sym", " ", "").alias("word"),
+            F.size(F.split("sym", " ")).cast("int").alias("n_toks"),
+        ),
+        "bpe_fert_seg",
+    )
+    w = d.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(normalized_text("text"), " "), lambda x: x != F.lit(""))
+        ).alias("word"),
+    )
+    per_word = w.groupBy("lang", "word").agg(F.count("*").alias("cnt"))
+    j = per_word.join(F.broadcast(seg), "word", "left").select(
+        "lang",
+        "cnt",
+        F.coalesce("n_toks", F.length("word").cast("int")).alias("tpw"),
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("total_words"),
+            F.sum(F.col("cnt") * F.col("tpw")).cast("long").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "total_words",
+            "total_tokens",
+            F.expr("(total_tokens * 1000) div total_words").alias("fertility_x1000"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
     "corpus_token_blocks",
     f"""
     WITH e AS (SELECT * FROM read_parquet('{staged_glob("bpack_enc")}')),
@@ -10748,7 +10830,7 @@ _PRIORITY = [
     "extract_section_chunks", "robots_sitemap_directives",
     "ann_lsh_multiprobe_sweep", "storage_compaction_plan",
     "host_boilerplate_strip", "doc_chunk_overlap", "corpus_oov_curve",
-    "url_softblock_score",
+    "url_softblock_score", "corpus_bpe_fertility",
 ]
 
 
