@@ -111,3 +111,65 @@ def softblock_score_sql(expr: str, weights: tuple[tuple[str, int], ...] = SOFTBL
         for frag, w in weights
     )
     return f"({terms})"
+
+
+# --- crawl-trap detection ----------------------------------------------------
+# Heritrix-style pathological-URL rules: crawler traps (calendar spaces,
+# self-similar tag paths, session-parameter explosions) generate unbounded
+# URL spaces under one host. All four rules are pure string/array
+# expressions over the url — map-side, codegen, no shuffle — so the
+# frontier can gate BEFORE enqueueing. SQL twins live in
+# trap_flags_sql(); cross-dialect equality is pinned in tests.
+
+_PATH_RE = r"^[a-z]+://[^/?#]+(/[^?#]*)?"
+
+
+def _path_segments(col: Column | str) -> Column:
+    path = F.regexp_extract(_c(col), _PATH_RE, 1)
+    return F.filter(F.split(path, "/", -1), lambda x: x != F.lit(""))
+
+
+def trap_segment_repeat(col: Column | str, min_repeats: int = 3) -> Column:
+    """True when any single path segment occurs >= min_repeats times
+    (/tag/tag/tag/... self-similar loops)."""
+    segs = _path_segments(col)
+    return F.exists(
+        F.array_distinct(segs),
+        lambda x: F.size(F.filter(segs, lambda s: s == x)) >= F.lit(min_repeats),
+    )
+
+
+def trap_too_deep(col: Column | str, max_depth: int = 8) -> Column:
+    """True when the path has >= max_depth segments."""
+    return F.size(_path_segments(col)) >= max_depth
+
+
+def trap_param_heavy(col: Column | str, max_params: int = 6) -> Column:
+    """True when the query string carries >= max_params parameters."""
+    q = F.regexp_extract(_c(col), r"\?([^#]*)", 1)
+    return F.size(F.filter(F.split(q, "&", -1), lambda x: x != F.lit(""))) >= max_params
+
+
+def trap_calendar_like(col: Column | str) -> Column:
+    """True on year/month path pairs ((19|20)dd/d{1,2}) — infinite
+    calendar spaces."""
+    path = F.regexp_extract(_c(col), _PATH_RE, 1)
+    return path.rlike(r"/(19|20)[0-9]{2}/[0-9]{1,2}(/|$)")
+
+
+def trap_flags_sql(expr: str) -> dict[str, str]:
+    """DuckDB twins of the four trap rules, keyed like the Column fns.
+    Kept adjacent to the Spark expressions; equality on adversarial urls
+    is pinned in tests/test_urlfns.py."""
+    path = f"regexp_extract({expr}, '^[a-z]+://[^/?#]+(/[^?#]*)?', 1)"
+    segs = f"list_filter(str_split({path}, '/'), x -> x <> '')"
+    q = f"regexp_extract({expr}, '\\?([^#]*)', 1)"
+    return {
+        "seg_repeat": (
+            f"len(list_filter(list_distinct({segs}), "
+            f"x -> len(list_filter({segs}, s -> s = x)) >= 3)) > 0"
+        ),
+        "too_deep": f"len({segs}) >= 8",
+        "param_heavy": f"len(list_filter(str_split({q}, '&'), x -> x <> '')) >= 6",
+        "calendar_like": f"regexp_matches({path}, '/(19|20)[0-9]{{2}}/[0-9]{{1,2}}(/|$)')",
+    }

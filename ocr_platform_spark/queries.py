@@ -6450,6 +6450,93 @@ def _robots_texts() -> list[tuple[str, str]]:
     return out
 
 
+def _trap_oracle_sql() -> str:
+    from ocr_platform_spark.functions.urlfns import trap_flags_sql
+
+    flags = trap_flags_sql("url")
+    flag_exprs = ",\n           ".join(f"{v} AS {k}" for k, v in flags.items())
+    any_trap = " OR ".join(f"({v})" for v in flags.values())
+    return f"""
+    WITH u AS (
+      SELECT doc_id,
+        'https://site-' || CAST(doc_id % 8 AS VARCHAR) || '.example.org' ||
+        CASE doc_id % 5
+          WHEN 0 THEN '/archive/' || CAST(2000 + doc_id % 40 AS VARCHAR)
+                   || '/' || CAST(doc_id % 12 + 1 AS VARCHAR) || '/page'
+          WHEN 1 THEN '/d1/d2/d3/d4/d5/d6/d7/d8/x-' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN '/tag/tag/tag/item-' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN '/p?a=1&b=2&c=3&d=4&e=' || CAST(doc_id AS VARCHAR) || '&f=6'
+          ELSE '/p/' || CAST(doc_id AS VARCHAR)
+        END AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           {flag_exprs},
+           ({any_trap}) AS is_trap
+    FROM u ORDER BY doc_id
+    """
+
+
+@q("crawl_trap_detection", _trap_oracle_sql())
+def crawl_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap gating (functions/urlfns.trap_*; the Heritrix
+    pathological-URL family): self-similar repeated path segments,
+    excessive path depth, parameter explosions and year/month calendar
+    spaces each flag BEFORE a url is enqueued, since traps generate
+    unbounded URL spaces under a single host and politeness alone never
+    drains them. All four rules are map-side string/array expressions
+    (no shuffle, no UDF); the oracle SQL twins are generated next to the
+    Column functions and their equality is additionally pinned on
+    adversarial urls in tests/test_urlfns.py."""
+    from ocr_platform_spark.functions.urlfns import (
+        trap_calendar_like,
+        trap_param_heavy,
+        trap_segment_repeat,
+        trap_too_deep,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    path = (
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("/archive/"),
+                (did % 40 + 2000).cast("string"),
+                F.lit("/"),
+                (did % 12 + 1).cast("string"),
+                F.lit("/page"),
+            ),
+        )
+        .when(did % 5 == 1, F.concat(F.lit("/d1/d2/d3/d4/d5/d6/d7/d8/x-"), ds))
+        .when(did % 5 == 2, F.concat(F.lit("/tag/tag/tag/item-"), ds))
+        .when(did % 5 == 3, F.concat(F.lit("/p?a=1&b=2&c=3&d=4&e="), ds, F.lit("&f=6")))
+        .otherwise(F.concat(F.lit("/p/"), ds))
+    )
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site-"), (did % 8).cast("string"), F.lit(".example.org"), path
+        ).alias("url"),
+    )
+    flags = {
+        "seg_repeat": trap_segment_repeat("url"),
+        "too_deep": trap_too_deep("url"),
+        "param_heavy": trap_param_heavy("url"),
+        "calendar_like": trap_calendar_like("url"),
+    }
+    is_trap = None
+    for c in flags.values():
+        is_trap = c if is_trap is None else (is_trap | c)
+    return u.select(
+        "doc_id",
+        "url",
+        *[c.alias(k) for k, c in flags.items()],
+        is_trap.alias("is_trap"),
+    ).orderBy("doc_id")
+
+
 @q(
     "crawl_robots_filter",
     # the oracle string is built by the operator module so the two parses
@@ -10830,7 +10917,7 @@ _PRIORITY = [
     "extract_section_chunks", "robots_sitemap_directives",
     "ann_lsh_multiprobe_sweep", "storage_compaction_plan",
     "host_boilerplate_strip", "doc_chunk_overlap", "corpus_oov_curve",
-    "url_softblock_score", "corpus_bpe_fertility",
+    "url_softblock_score", "corpus_bpe_fertility", "crawl_trap_detection",
 ]
 
 

@@ -88,3 +88,48 @@ def test_softblock_sql_matches_column_expression(spark):
         ).fetchall()
     ]
     assert spark_scores == duck_scores
+
+
+def test_trap_flags_cross_dialect_on_adversarial_urls(spark):
+    import duckdb
+
+    from ocr_platform_spark.functions import urlfns
+
+    urls = [
+        "https://a.org",                         # no path at all
+        "https://a.org/",                        # root
+        "https://a.org/x//y///x/x",              # empty segments + repeats
+        "https://a.org/2020/13/",                # month-ish (13 still matches \d{1,2})
+        "https://a.org/1999/9",                  # calendar at end-of-path
+        "https://a.org/?#",                      # empty query + fragment
+        "https://a.org/p?&&a=1#frag",            # empty params + fragment
+        "https://a.org/a/b/a/b/a/b",             # two segments x3 each
+        "https://a.org/s1/s2/s3/s4/s5/s6/s7/s8", # exactly at depth gate
+        "https://a.org/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7",
+        "https://a.org/x-2020/7/p",              # year not its own segment
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got_spark = [
+        tuple(r)
+        for r in df.select(
+            "url",
+            urlfns.trap_segment_repeat("url").alias("seg_repeat"),
+            urlfns.trap_too_deep("url").alias("too_deep"),
+            urlfns.trap_param_heavy("url").alias("param_heavy"),
+            urlfns.trap_calendar_like("url").alias("calendar_like"),
+        ).orderBy("url").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
+    sql = urlfns.trap_flags_sql("url")
+    exprs = ", ".join(f"{v} AS {k}" for k, v in sql.items())
+    got_duck = con.sql(f"SELECT url, {exprs} FROM u ORDER BY url").fetchall()
+    assert got_spark == got_duck
+    by_url = {r[0]: r[1:] for r in got_spark}
+    assert by_url["https://a.org/x//y///x/x"][0] is True      # empty segs dropped, x repeats 3x
+    assert by_url["https://a.org/a/b/a/b/a/b"][0] is True
+    assert by_url["https://a.org/1999/9"][3] is True
+    assert by_url["https://a.org/x-2020/7/p"][3] is False     # year must start its segment
+    assert by_url["https://a.org/s1/s2/s3/s4/s5/s6/s7/s8"][1] is True
+    assert by_url["https://a.org/p?&&a=1#frag"][2] is False   # empty params don't count
