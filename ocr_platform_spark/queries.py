@@ -6450,6 +6450,115 @@ def _robots_texts() -> list[tuple[str, str]]:
     return out
 
 
+@q(
+    "url_prefix_rollup",
+    r"""
+    WITH u AS (
+      SELECT DISTINCT
+        'site-' || CAST(doc_id % 8 AS VARCHAR) || '.example.org' AS host,
+        CASE doc_id % 4
+          WHEN 0 THEN '/blog/c' || CAST(doc_id % 3 AS VARCHAR)
+                   || '/post-' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN '/blog/c' || CAST(doc_id % 3 AS VARCHAR)
+                   || '/media/img-' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN '/shop/item-' || CAST(doc_id AS VARCHAR)
+          ELSE '/help/faq-' || CAST(doc_id AS VARCHAR)
+        END AS path
+      FROM documents
+    ),
+    segs AS (
+      SELECT host, path, list_filter(str_split(path, '/'), x -> x <> '') AS ss
+      FROM u
+    ),
+    pref AS (
+      SELECT host, path, CAST(i AS INT) AS depth,
+             '/' || array_to_string(ss[1:i], '/') AS prefix
+      FROM (SELECT host, path, ss, unnest(generate_series(1, len(ss) - 1)) AS i
+            FROM segs)
+    ),
+    tot AS (SELECT host, COUNT(*) AS n_host_urls FROM u GROUP BY host),
+    roll AS (
+      SELECT host, prefix, depth, COUNT(*) AS n_urls
+      FROM pref GROUP BY host, prefix, depth
+    )
+    SELECT r.host, r.prefix, r.depth,
+           CAST(r.n_urls AS BIGINT) AS n_urls,
+           CAST(t.n_host_urls AS BIGINT) AS n_host_urls,
+           r.n_urls * 2 >= t.n_host_urls AS dominant
+    FROM roll r JOIN tot t USING (host)
+    WHERE r.n_urls >= 4
+    ORDER BY host, prefix
+    """,
+)
+def url_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-PREFIX subtree rollup per host — the crawl-analytics readout
+    behind section-level budgeting and trap triage: every directory
+    prefix of every url aggregates its page count, so '/blog' dominating
+    half a host's urls (``dominant``) is visible at any depth without
+    knowing the site's layout in advance. The prefix explode is
+    map-side and bounded by path depth; the rollup is one shuffle keyed
+    (host, prefix) — far finer than host, so a mega-host's subtrees
+    spread across reducers. Counts are exact integers; the oracle
+    replays the prefix expansion and both aggregates."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    path = (
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit("/blog/c"), (did % 3).cast("string"), F.lit("/post-"), ds),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit("/blog/c"), (did % 3).cast("string"), F.lit("/media/img-"), ds),
+        )
+        .when(did % 4 == 2, F.concat(F.lit("/shop/item-"), ds))
+        .otherwise(F.concat(F.lit("/help/faq-"), ds))
+    )
+    u = d.select(
+        F.concat(F.lit("site-"), (did % 8).cast("string"), F.lit(".example.org")).alias(
+            "host"
+        ),
+        path.alias("path"),
+    ).distinct()
+    segs = u.select(
+        "host", "path", F.filter(F.split("path", "/", -1), lambda x: x != F.lit("")).alias("ss")
+    )
+    # Spark sequence(1, 0) is DESCENDING [1, 0] while DuckDB
+    # generate_series(1, 0) is empty — guard single-segment paths
+    depths = F.when(F.size("ss") >= 2, F.sequence(F.lit(1), F.size("ss") - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pref = segs.select(
+        "host",
+        "path",
+        "ss",
+        F.explode(depths).alias("depth"),
+    ).select(
+        "host",
+        "path",
+        F.col("depth").cast("int").alias("depth"),
+        F.concat(F.lit("/"), F.array_join(F.slice("ss", 1, F.col("depth")), "/")).alias(
+            "prefix"
+        ),
+    )
+    tot = u.groupBy("host").agg(F.count("*").alias("n_host_urls"))
+    roll = pref.groupBy("host", "prefix", "depth").agg(F.count("*").alias("n_urls"))
+    return (
+        roll.join(F.broadcast(tot), "host")
+        .where(F.col("n_urls") >= 4)
+        .select(
+            "host",
+            "prefix",
+            "depth",
+            F.col("n_urls").cast("long").alias("n_urls"),
+            F.col("n_host_urls").cast("long").alias("n_host_urls"),
+            (F.col("n_urls") * 2 >= F.col("n_host_urls")).alias("dominant"),
+        )
+        .orderBy("host", "prefix")
+    )
+
+
 def _trap_oracle_sql() -> str:
     from ocr_platform_spark.functions.urlfns import trap_flags_sql
 
@@ -10918,6 +11027,7 @@ _PRIORITY = [
     "ann_lsh_multiprobe_sweep", "storage_compaction_plan",
     "host_boilerplate_strip", "doc_chunk_overlap", "corpus_oov_curve",
     "url_softblock_score", "corpus_bpe_fertility", "crawl_trap_detection",
+    "url_prefix_rollup",
 ]
 
 
