@@ -1,0 +1,167 @@
+"""Content-defined chunking (CDC) for payload-level dedup.
+
+The storage-system dedup mechanic (LBFS/FastCDC family) applied to crawl
+payloads: chunk boundaries come from the CONTENT (a Gear rolling hash
+hitting a zero-mask condition), not from fixed offsets, so inserting one
+byte near the start of a page shifts only the chunk containing the edit —
+every later boundary re-synchronizes, and the unchanged tail keeps its
+chunk hashes. Re-crawled pages, mirrored hosts and templated documents
+then dedup at the CHUNK level even when no two payloads are
+byte-identical, which document-level fingerprints (operators/dedup.py)
+can never see.
+
+Spark shape
+-----------
+- The boundary scan is inherently sequential PER PAYLOAD but embarrassingly
+  parallel ACROSS payloads: an Arrow-batched ``mapInPandas`` kernel walks
+  each payload once (the same kernel-vectorization contract as
+  kernels/html_extract.py — no per-row Python UDF, no JVM round-trips
+  inside a batch).
+- The emitted chunk table ``(id, idx, start, length, chunk_hash)`` is tiny
+  next to the payloads (one row per ~2^avg_bits bytes) and purely
+  relational — dedup statistics, per-host savings, and cross-snapshot
+  delta sizing are ordinary joins/aggregates that DuckDB replays from the
+  staged table (the staging.py split), while the boundary rule itself is
+  pinned by pytest: min/max bounds, shift-resynchronization, and
+  partitioning invariance.
+
+Determinism: the gear table derives from a fixed LCG seed (no RNG state),
+and the chunk hash is xxhash-free CPython ``hashlib.md5`` over the chunk
+bytes — identical on any executor, any platform.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_CHUNK_SCHEMA = (
+    "id long, idx int, start long, length int, chunk_hash string"
+)
+
+_MASK64 = (1 << 64) - 1
+
+
+def gear_table(seed: int = 0x2F6E_6C6B) -> list[int]:
+    """256 deterministic 64-bit gear values from a fixed LCG (Numerical
+    Recipes constants). No library RNG: byte-stable everywhere."""
+    out = []
+    x = seed & _MASK64
+    for _ in range(256):
+        x = (x * 6364136223846793005 + 1442695040888963407) & _MASK64
+        out.append(x)
+    return out
+
+
+_GEAR = gear_table()
+
+
+def cdc_boundaries(
+    data: bytes,
+    avg_bits: int = 6,
+    min_size: int = 16,
+    max_size: int = 256,
+) -> list[tuple[int, int]]:
+    """[(start, end)] chunk spans covering ``data`` exactly.
+
+    Gear CDC: ``h = (h << 1) + gear[byte] (mod 2^64)``; a boundary fires
+    after position ``i`` when the low ``avg_bits`` bits of h are zero
+    (expected chunk ≈ 2^avg_bits bytes) — but the condition is only
+    CHECKED once the current chunk reaches ``min_size``, and a boundary
+    is forced at ``max_size``. The low ``avg_bits`` bits of the gear
+    hash depend on only the last ``avg_bits`` bytes (each shift pushes
+    older contributions up), which is what makes boundaries re-
+    synchronize a few bytes after any edit. Empty input yields no spans.
+    """
+    if not 0 < min_size <= max_size:
+        raise ValueError(f"need 0 < min_size <= max_size, got {min_size=} {max_size=}")
+    mask = (1 << avg_bits) - 1
+    spans: list[tuple[int, int]] = []
+    n = len(data)
+    start = 0
+    h = 0
+    for i in range(n):
+        clen = i - start + 1
+        if clen == 1:
+            h = 0
+        h = ((h << 1) + _GEAR[data[i]]) & _MASK64
+        if clen < min_size:
+            continue
+        if (h & mask) == 0 or clen >= max_size:
+            spans.append((start, i + 1))
+            start = i + 1
+    if start < n:
+        spans.append((start, n))
+    return spans
+
+
+def cdc_chunk_table(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    avg_bits: int = 6,
+    min_size: int = 16,
+    max_size: int = 256,
+) -> DataFrame:
+    """(id, idx, start, length, chunk_hash) — one row per content-defined
+    chunk of every payload. Arrow-batched kernel; inherits the input
+    partitioning (no shuffle)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_platform_spark.operators.cdc import cdc_boundaries  # executor
+
+        for pdf in batches:
+            rows = []
+            for pid, data in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(data) if data is not None else b""
+                for idx, (a, b) in enumerate(
+                    cdc_boundaries(data, avg_bits, min_size, max_size)
+                ):
+                    rows.append(
+                        (
+                            pid,
+                            idx,
+                            a,
+                            b - a,
+                            hashlib.md5(data[a:b]).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["id", "idx", "start", "length", "chunk_hash"]
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(kernel, _CHUNK_SCHEMA)
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """(id, n_chunks, n_bytes, n_dup_chunks, dup_bytes) per payload, where a
+    chunk is a duplicate when its hash occurs in >= 2 DISTINCT payloads
+    (cross-document shared content — templating, mirrors, re-crawls).
+    Two hash aggregates plus one join, all keyed by chunk_hash/id — the
+    chunk table is ~payload_bytes / 2^avg_bits rows, so this is the cheap
+    relational tail of the pipeline."""
+    shared = (
+        chunks.select("chunk_hash", "id")
+        .groupBy("chunk_hash", "id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("chunk_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("chunk_hash", F.lit(True).alias("_dup"))
+    )
+    marked = chunks.join(shared, "chunk_hash", "left")
+    return marked.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("length").cast("long").alias("n_bytes"),
+        F.count(F.when(F.col("_dup").isNotNull(), 1)).cast("long").alias("n_dup_chunks"),
+        F.coalesce(
+            F.sum(F.when(F.col("_dup").isNotNull(), F.col("length"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("dup_bytes"),
+    )

@@ -6559,6 +6559,66 @@ def url_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "payload_cdc_dedup",
+    f"""
+    WITH c AS (
+      SELECT id, idx, start, length, chunk_hash
+      FROM read_parquet('{staged_glob("cdc_chunks")}')
+    ),
+    dup AS (
+      SELECT chunk_hash
+      FROM (SELECT chunk_hash, id FROM c GROUP BY chunk_hash, id)
+      GROUP BY chunk_hash HAVING COUNT(*) >= 2
+    ),
+    m AS (
+      SELECT c.*, (d.chunk_hash IS NOT NULL) AS isdup
+      FROM c LEFT JOIN dup d USING (chunk_hash)
+    )
+    SELECT id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(length) AS BIGINT) AS n_bytes,
+           CAST(COUNT(CASE WHEN isdup THEN 1 END) AS BIGINT) AS n_dup_chunks,
+           CAST(COALESCE(SUM(CASE WHEN isdup THEN length END), 0) AS BIGINT)
+             AS dup_bytes
+    FROM m GROUP BY id ORDER BY doc_id
+    """,
+)
+def payload_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup over binary payloads (operators/
+    cdc.py — the LBFS/FastCDC storage mechanic applied to crawl
+    payloads): Gear rolling-hash boundaries cut each payload into
+    content-addressed chunks, so re-crawls/mirrors/templated pages dedup
+    at chunk level even when no two payloads are byte-identical. Each
+    5-group of docs shares its leader's text as a payload block, so
+    cross-document duplicate chunks exist by construction. The
+    sequential boundary scan runs in the Arrow-batched kernel (pinned by
+    tests/test_cdc.py: bounds, resynchronization, partitioning
+    invariance); the staged chunk table is the oracle boundary — BOTH
+    engines compute the distinct-payload duplicate set and the per-doc
+    dedup accounting from the same rows."""
+    from ocr_platform_spark.operators.cdc import cdc_chunk_table, cdc_dedup_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    leaders = d.select(F.col("doc_id").alias("lid"), F.col("text").alias("ltext"))
+    pay = (
+        d.withColumn("lid", F.col("doc_id") - F.pmod("doc_id", F.lit(5)))
+        .join(F.broadcast(leaders), "lid")
+        .select(
+            "doc_id",
+            F.encode(F.concat("text", F.lit("\n"), "ltext"), "utf-8").alias("payload"),
+        )
+    )
+    chunks = stage(
+        cdc_chunk_table(pay, "doc_id", "payload"), "cdc_chunks", partitions=2
+    )
+    return (
+        cdc_dedup_stats(chunks)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _trap_oracle_sql() -> str:
     from ocr_platform_spark.functions.urlfns import trap_flags_sql
 
@@ -11027,7 +11087,7 @@ _PRIORITY = [
     "ann_lsh_multiprobe_sweep", "storage_compaction_plan",
     "host_boilerplate_strip", "doc_chunk_overlap", "corpus_oov_curve",
     "url_softblock_score", "corpus_bpe_fertility", "crawl_trap_detection",
-    "url_prefix_rollup",
+    "url_prefix_rollup", "payload_cdc_dedup",
 ]
 
 

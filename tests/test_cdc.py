@@ -1,0 +1,99 @@
+"""Content-defined chunking: boundary properties + Spark kernel contract."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_platform_spark.operators.cdc import (
+    cdc_boundaries,
+    cdc_chunk_table,
+    cdc_dedup_stats,
+    gear_table,
+)
+
+
+def _rand_bytes(n, seed=7):
+    rng = random.Random(seed)
+    return bytes(rng.randrange(256) for _ in range(n))
+
+
+def test_gear_table_is_fixed():
+    t = gear_table()
+    assert len(t) == 256 and len(set(t)) == 256
+    assert t == gear_table()  # no hidden RNG state
+
+
+def test_boundaries_cover_exactly_with_bounds():
+    data = _rand_bytes(5000)
+    spans = cdc_boundaries(data, avg_bits=6, min_size=16, max_size=256)
+    assert spans[0][0] == 0 and spans[-1][1] == len(data)
+    for (a, b), (c, _) in zip(spans, spans[1:]):
+        assert b == c  # contiguous, no gaps/overlaps
+    lens = [b - a for a, b in spans]
+    assert all(16 <= n <= 256 for n in lens[:-1])  # tail may be short
+    assert lens[-1] <= 256
+
+
+def test_boundaries_edge_cases():
+    assert cdc_boundaries(b"") == []
+    assert cdc_boundaries(b"xy", min_size=16) == [(0, 2)]  # sub-min tail
+    # constant bytes: gear hash never hits the mask by luck alone -> max_size
+    spans = cdc_boundaries(b"\x00" * 1000, avg_bits=20, min_size=16, max_size=64)
+    assert {b - a for a, b in spans[:-1]} == {64}
+    with pytest.raises(ValueError):
+        cdc_boundaries(b"x", min_size=0)
+
+
+def test_boundaries_resynchronize_after_edit():
+    data = _rand_bytes(5000)
+    edited = data[:10] + b"\x42" + data[10:]
+    h1 = {hashlib.md5(data[a:b]).hexdigest() for a, b in cdc_boundaries(data)}
+    h2 = {hashlib.md5(edited[a:b]).hexdigest() for a, b in cdc_boundaries(edited)}
+    assert len(h1 & h2) / len(h1) > 0.9  # one edit invalidates ~one chunk
+
+
+def test_chunk_table_matches_reference_and_is_partition_invariant(spark):
+    payloads = [(i, _rand_bytes(800 + 37 * i, seed=i)) for i in range(12)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    for parts in (1, 5):
+        rows = sorted(
+            (r["id"], r["idx"], r["start"], r["length"], r["chunk_hash"])
+            for r in cdc_chunk_table(
+                df.repartition(parts), "doc_id", "payload"
+            ).collect()
+        )
+        expect = sorted(
+            (pid, idx, a, b - a, hashlib.md5(data[a:b]).hexdigest())
+            for pid, data in payloads
+            for idx, (a, b) in enumerate(cdc_boundaries(data))
+        )
+        assert rows == expect
+
+
+def test_dedup_stats_counts_cross_document_chunks_only(spark):
+    shared = _rand_bytes(600, seed=1)
+    a_only = _rand_bytes(600, seed=2)
+    b_only = _rand_bytes(600, seed=3)
+    df = spark.createDataFrame(
+        [(1, shared + a_only), (2, shared + b_only), (3, _rand_bytes(600, seed=4))],
+        "doc_id long, payload binary",
+    )
+    chunks = cdc_chunk_table(df, "doc_id", "payload")
+    stats = {r["id"]: r for r in cdc_dedup_stats(chunks).collect()}
+    assert stats[1]["dup_bytes"] > 0 and stats[2]["dup_bytes"] > 0
+    assert stats[3]["n_dup_chunks"] == 0 and stats[3]["dup_bytes"] == 0
+    # bytes accounting is exact
+    for did, payload in ((1, shared + a_only), (3, _rand_bytes(600, seed=4))):
+        assert stats[did]["n_bytes"] == len(payload)
+    # a chunk repeated twice WITHIN one doc but in no other doc is not a dup
+    intra = spark.createDataFrame(
+        [(10, shared + shared), (11, b_only)], "doc_id long, payload binary"
+    )
+    istats = {
+        r["id"]: r for r in cdc_dedup_stats(cdc_chunk_table(intra, "doc_id", "payload")).collect()
+    }
+    assert istats[10]["n_dup_chunks"] == 0
