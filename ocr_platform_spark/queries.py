@@ -6619,6 +6619,78 @@ def payload_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "payload_cdc_delta",
+    f"""
+    WITH prev AS (
+      SELECT DISTINCT id, chunk_hash
+      FROM read_parquet('{staged_glob("cdc_prev")}')
+    ),
+    curr AS (
+      SELECT id, idx, length, chunk_hash
+      FROM read_parquet('{staged_glob("cdc_curr")}')
+    ),
+    m AS (
+      SELECT c.id, c.length, (p.chunk_hash IS NOT NULL) AS seen
+      FROM curr c LEFT JOIN prev p
+        ON c.id = p.id AND c.chunk_hash = p.chunk_hash
+    )
+    SELECT id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(length) AS BIGINT) AS n_bytes,
+           CAST(COUNT(CASE WHEN NOT seen THEN 1 END) AS BIGINT) AS n_new_chunks,
+           CAST(COALESCE(SUM(CASE WHEN NOT seen THEN length END), 0) AS BIGINT)
+             AS new_bytes
+    FROM m GROUP BY id ORDER BY doc_id
+    """,
+)
+def payload_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-crawl TRANSFER sizing via content-defined chunks
+    (operators/cdc.py): snapshot t1 re-chunks every payload and only
+    chunks whose hash is absent from the SAME url's t0 chunk set need
+    storing — the rsync/casync delta mechanic on top of the resume/
+    revisit family. Half the docs get a 4-byte prefix edit at t1; the
+    Gear hash re-synchronizes a few bytes past the edit, so those docs
+    transfer one or two chunks (new_bytes ≪ n_bytes) and untouched docs
+    transfer zero — which is exactly the property that makes chunk-level
+    storage viable for 10^12-document recrawls. Both chunk tables are
+    staged; the oracle replays the per-url anti-join and byte
+    accounting."""
+    from ocr_platform_spark.operators.cdc import cdc_chunk_table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prev_pay = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    curr_pay = d.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.when(F.col("doc_id") % 2 == 0, F.lit("v2: ")).otherwise(F.lit("")),
+                F.col("text"),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    prev = stage(cdc_chunk_table(prev_pay, "doc_id", "payload"), "cdc_prev", partitions=2)
+    curr = stage(cdc_chunk_table(curr_pay, "doc_id", "payload"), "cdc_curr", partitions=2)
+    seen = prev.select("id", "chunk_hash").distinct().withColumn("_seen", F.lit(True))
+    m = curr.join(seen, ["id", "chunk_hash"], "left")
+    return (
+        m.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("length").cast("long").alias("n_bytes"),
+            F.count(F.when(F.col("_seen").isNull(), 1)).cast("long").alias("n_new_chunks"),
+            F.coalesce(
+                F.sum(F.when(F.col("_seen").isNull(), F.col("length"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("new_bytes"),
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _trap_oracle_sql() -> str:
     from ocr_platform_spark.functions.urlfns import trap_flags_sql
 
@@ -11087,7 +11159,7 @@ _PRIORITY = [
     "ann_lsh_multiprobe_sweep", "storage_compaction_plan",
     "host_boilerplate_strip", "doc_chunk_overlap", "corpus_oov_curve",
     "url_softblock_score", "corpus_bpe_fertility", "crawl_trap_detection",
-    "url_prefix_rollup", "payload_cdc_dedup",
+    "url_prefix_rollup", "payload_cdc_dedup", "payload_cdc_delta",
 ]
 
 

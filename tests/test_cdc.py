@@ -97,3 +97,29 @@ def test_dedup_stats_counts_cross_document_chunks_only(spark):
         r["id"]: r for r in cdc_dedup_stats(cdc_chunk_table(intra, "doc_id", "payload")).collect()
     }
     assert istats[10]["n_dup_chunks"] == 0
+
+
+def test_delta_transfer_is_edit_local(spark):
+    """A small prefix edit re-transfers only the chunks the edit touches."""
+    base = _rand_bytes(4000, seed=9)
+    edited = b"v2: " + base
+    df_prev = spark.createDataFrame([(1, base), (2, base)], "doc_id long, payload binary")
+    df_curr = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, payload binary"
+    )
+    prev = cdc_chunk_table(df_prev, "doc_id", "payload")
+    curr = cdc_chunk_table(df_curr, "doc_id", "payload")
+    seen = prev.select("id", "chunk_hash").distinct().withColumn("_seen", F.lit(True))
+    rows = {
+        r["id"]: r
+        for r in curr.join(seen, ["id", "chunk_hash"], "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("_seen").isNull(), 1)).alias("n_new"),
+        )
+        .collect()
+    }
+    assert rows[1]["n_new"] == 0            # untouched doc transfers nothing
+    assert 0 < rows[2]["n_new"] <= 3        # edit re-transfers ~1 chunk, not the doc
+    assert rows[2]["n"] > 10                # and the doc has many chunks
