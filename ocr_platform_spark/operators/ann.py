@@ -131,6 +131,64 @@ def _quantized_cosine(a: str, b: str) -> F.Column:
     ).otherwise(F.lit(0.0))
 
 
+def positive_rank_metrics(
+    items: DataFrame,
+    positives: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """(query_id, pos_id, rank, hit_at_1, hit_at_k, rr_x1e6) — the
+    retrieval-eval readout (MRR@k / hit@1 / hit@k) for labeled
+    (query, positive) pairs under exact brute-force cosine, the metric
+    every index variant (LSH/IVF/PQ) is judged against.
+
+    The positive's FULL rank is computed by count-comparison — rank =
+    1 + #{items ordered before the positive under (cosine DESC, item_id)}
+    — never by a global row_number window, so nothing materializes a
+    total order over the corpus: the eval queries broadcast against the
+    item set, and one per-query count aggregate produces the metric.
+    ``rr_x1e6`` is the reciprocal rank in integer parts-per-million
+    (``1_000_000 div rank``, 0 past ``k``) so MRR sums hash identically
+    cross-engine. Quantized scoring keeps comparisons exact (see
+    :func:`quantized_topk`)."""
+    q = items.select(
+        F.col(id_col).alias("query_id"), _quantize(F.col(vec_col), scale).alias("q_v")
+    ).join(positives.select("query_id", "pos_id"), "query_id")
+    it = items.select(
+        F.col(id_col).alias("item_id"), _quantize(F.col(vec_col), scale).alias("i_v")
+    )
+    scored = (
+        it.crossJoin(F.broadcast(q))
+        .where(F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id", "pos_id", "item_id", _quantized_cosine("q_v", "i_v").alias("cosine")
+        )
+    )
+    pos_cos = scored.where(F.col("item_id") == F.col("pos_id")).select(
+        "query_id", F.col("cosine").alias("pos_cosine")
+    )
+    j = scored.join(F.broadcast(pos_cos), "query_id")
+    before = (F.col("cosine") > F.col("pos_cosine")) | (
+        (F.col("cosine") == F.col("pos_cosine")) & (F.col("item_id") < F.col("pos_id"))
+    )
+    ranked = j.groupBy("query_id", "pos_id").agg(
+        (F.lit(1) + F.count(F.when(before, 1))).cast("int").alias("rank")
+    )
+    rr = F.when(
+        F.col("rank") <= k, F.expr(f"CAST(1000000 div rank AS BIGINT)")
+    ).otherwise(F.lit(0).cast("long"))
+    return ranked.select(
+        "query_id",
+        "pos_id",
+        "rank",
+        (F.col("rank") == 1).alias("hit_at_1"),
+        (F.col("rank") <= k).alias(f"hit_at_{k}"),
+        rr.alias("rr_x1e6"),
+    )
+
+
 def quantized_rank_candidates(
     cands: DataFrame,
     vectors: DataFrame,

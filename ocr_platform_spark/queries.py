@@ -3259,6 +3259,80 @@ def bitext_url_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "retrieval_mrr_report",
+    """
+    WITH qz AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT q.vec_id AS query_id, MIN(i.vec_id) AS pos_id
+      FROM qz q JOIN qz i ON i.label = q.label AND i.vec_id <> q.vec_id
+      WHERE q.vec_id < 16 GROUP BY q.vec_id
+    ),
+    scored AS (
+      SELECT query_id, item_id,
+             CASE WHEN nq > 0 AND ni > 0
+                  THEN round(CAST(dot AS DOUBLE)
+                             / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ni AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM (
+        SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+               list_sum(list_transform(list_zip(q.v, i.v), p -> p[1] * p[2])) AS dot,
+               list_sum(list_transform(q.v, x -> x * x)) AS nq,
+               list_sum(list_transform(i.v, x -> x * x)) AS ni
+        FROM qz q, qz i
+        WHERE q.vec_id < 16 AND i.vec_id <> q.vec_id
+      )
+    ),
+    pc AS (
+      SELECT s.query_id, p.pos_id, s.cosine AS pos_cosine
+      FROM pos p JOIN scored s ON s.query_id = p.query_id AND s.item_id = p.pos_id
+    ),
+    r AS (
+      SELECT pc.query_id, pc.pos_id,
+             CAST(1 + COUNT(CASE WHEN s.cosine > pc.pos_cosine
+                                   OR (s.cosine = pc.pos_cosine
+                                       AND s.item_id < pc.pos_id)
+                                 THEN 1 END) AS INT) AS rank
+      FROM pc JOIN scored s ON s.query_id = pc.query_id
+      GROUP BY pc.query_id, pc.pos_id
+    )
+    SELECT query_id, pos_id, rank,
+           rank = 1 AS hit_at_1, rank <= 10 AS hit_at_10,
+           CAST(CASE WHEN rank <= 10 THEN 1000000 // rank ELSE 0 END AS BIGINT)
+             AS rr_x1e6
+    FROM r ORDER BY query_id
+    """,
+)
+def retrieval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation metrics (operators/ann.positive_rank_metrics):
+    MRR@10 / hit@1 / hit@10 of labeled (query, positive) pairs under
+    exact brute-force cosine — the ground-truth yardstick every index
+    variant (ann_lsh_*, ann_ivf*, ann_pq*) is compared against.
+    Positives are label-derived (the lowest same-label vec_id). The
+    positive's full rank comes from a count-comparison per query, not a
+    global row_number window, so nothing materializes a corpus-wide
+    total order; reciprocal ranks are integer parts-per-million so the
+    report hashes identically cross-engine."""
+    from ocr_platform_spark.operators.ann import positive_rank_metrics
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "label"
+    )
+    cand = emb.select(F.col("vec_id").alias("pos_cand"), F.col("label").alias("plabel"))
+    positives = (
+        qz.join(cand, (F.col("plabel") == F.col("label")) & (F.col("pos_cand") != F.col("query_id")))
+        .groupBy("query_id")
+        .agg(F.min("pos_cand").alias("pos_id"))
+    )
+    return positive_rank_metrics(emb, positives, k=10).orderBy("query_id")
+
+
+@q(
     "retrieval_hard_negatives",
     """
     WITH qz AS (
@@ -11160,6 +11234,7 @@ _PRIORITY = [
     "host_boilerplate_strip", "doc_chunk_overlap", "corpus_oov_curve",
     "url_softblock_score", "corpus_bpe_fertility", "crawl_trap_detection",
     "url_prefix_rollup", "payload_cdc_dedup", "payload_cdc_delta",
+    "retrieval_mrr_report",
 ]
 
 

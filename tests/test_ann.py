@@ -377,3 +377,37 @@ def test_hard_negatives_per_positive_partitions(spark):
     assert by_pos[101] == [201]
     # ranks restart per pair
     assert sorted(r["rank"] for r in rows if r["pos_id"] == 100) == [1, 2]
+
+
+def test_positive_rank_metrics_exact_ranks(spark):
+    from ocr_platform_spark.operators.ann import positive_rank_metrics
+
+    # query 0 at origin-ish; items at decreasing cosine to it
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.01]),   # nearest to 0
+        (2, [1.0, 0.5]),    # second
+        (3, [0.0, 1.0]),    # orthogonal
+    ]
+    items = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pos = spark.createDataFrame([(0, 2)], "query_id long, pos_id long")
+    r = positive_rank_metrics(items, pos, k=2).collect()[0]
+    assert (r["query_id"], r["pos_id"], r["rank"]) == (0, 2, 2)
+    assert r["hit_at_1"] is False and r["hit_at_2"] is True
+    assert r["rr_x1e6"] == 500000
+    # positive past k -> rr 0
+    pos3 = spark.createDataFrame([(0, 3)], "query_id long, pos_id long")
+    r3 = positive_rank_metrics(items, pos3, k=2).collect()[0]
+    assert r3["rank"] == 3 and r3["rr_x1e6"] == 0 and r3["hit_at_2"] is False
+
+
+def test_positive_rank_metrics_tie_breaks_by_item_id(spark):
+    from ocr_platform_spark.operators.ann import positive_rank_metrics
+
+    # items 1 and 2 identical -> same cosine to the query; lower id wins
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0])]
+    items = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pos = spark.createDataFrame([(0, 2)], "query_id long, pos_id long")
+    assert positive_rank_metrics(items, pos).collect()[0]["rank"] == 2
+    pos1 = spark.createDataFrame([(0, 1)], "query_id long, pos_id long")
+    assert positive_rank_metrics(items, pos1).collect()[0]["rank"] == 1
