@@ -378,3 +378,18 @@ def script_mix_count(col: Column | str) -> Column:
     return sum(
         F.when(c >= SCRIPT_MIN_CHARS, 1).otherwise(0) for c in counts
     ).cast("int")
+
+
+def mixed_script_words(col: Column | str) -> Column:
+    """array<string> of whitespace words mixing Latin [A-Za-z] and
+    Cyrillic letters WITHIN the word — the homoglyph-spoofing unit
+    ("p\u0430ypal" with a Cyrillic \u0430): a fully-Cyrillic word in Russian
+    text is normal, a word straddling both scripts almost never is.
+    Word-level, so it composes with doc-level script_mix_count (which
+    cannot see one spoofed word inside a Latin page)."""
+    s = _c(col)
+    words = F.filter(F.split(s, r"\s+", -1), lambda x: x != F.lit(""))
+    return F.filter(
+        words,
+        lambda w: w.rlike("[A-Za-z]") & w.rlike("[\u0400-\u04ff]"),
+    )

@@ -10686,6 +10686,73 @@ _HEADING_FIXTURES: list[tuple[str, str]] = [
 
 
 @q(
+    "doc_homoglyph_scan",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+        substr(text, 1, 60)
+        || CASE WHEN doc_id % 7 = 0 THEN ' pаypal-login now' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN ' сhase bank' ELSE '' END
+        || CASE WHEN doc_id % 13 = 0 THEN ' Москва photos' ELSE '' END
+        AS body
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(body, '\s+'), x -> x <> '') AS ws
+      FROM raw
+    ),
+    m AS (
+      SELECT doc_id, ws,
+             list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')
+                              AND regexp_matches(x, '[\x{0400}-\x{04ff}]')) AS mixed
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS INT) AS n_words,
+           CAST(len(mixed) AS INT) AS n_mixed,
+           COALESCE(list_min(mixed), '') AS example,
+           len(mixed) >= 1 AS has_spoof
+    FROM m ORDER BY doc_id
+    """,
+)
+def doc_homoglyph_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level homoglyph spoofing scan (functions/textfns.
+    mixed_script_words): a word straddling Latin AND Cyrillic letters
+    ('pаypal' with а = U+0430) is the phishing/cloaking unit that
+    doc-level script counting (doc_script_mix) cannot see — one spoofed
+    word in a Latin page clears no per-script threshold, while a fully
+    Cyrillic word in Russian text is normal and must NOT flag (the
+    'Москва' control row). Map-side split+filter expressions, no
+    shuffle; the oracle replays the word split, the two-script regex
+    conjunction and the deterministic example pick."""
+    from ocr_platform_spark.functions.textfns import mixed_script_words
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.concat(
+        F.substring("text", 1, 60),
+        F.when(did % 7 == 0, F.lit(" pаypal-login now")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" сhase bank")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" Москва photos")).otherwise(
+            F.lit("")
+        ),
+    )
+    raw = d.select("doc_id", body.alias("body"))
+    ws = F.filter(F.split("body", r"\s+", -1), lambda x: x != F.lit(""))
+    m = raw.select(
+        "doc_id", ws.alias("ws"), mixed_script_words("body").alias("mixed")
+    )
+    return m.select(
+        "doc_id",
+        F.size("ws").cast("int").alias("n_words"),
+        F.size("mixed").cast("int").alias("n_mixed"),
+        F.coalesce(F.array_min("mixed"), F.lit("")).alias("example"),
+        (F.size("mixed") >= 1).alias("has_spoof"),
+    ).orderBy("doc_id")
+
+
+@q(
     "extract_headings",
     rf"""
     WITH r AS (SELECT url, raw FROM read_parquet('{staged_glob("headings_raw")}')),
@@ -11234,7 +11301,7 @@ _PRIORITY = [
     "host_boilerplate_strip", "doc_chunk_overlap", "corpus_oov_curve",
     "url_softblock_score", "corpus_bpe_fertility", "crawl_trap_detection",
     "url_prefix_rollup", "payload_cdc_dedup", "payload_cdc_delta",
-    "retrieval_mrr_report",
+    "retrieval_mrr_report", "doc_homoglyph_scan",
 ]
 
 

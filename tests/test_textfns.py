@@ -188,3 +188,25 @@ def test_script_lang_id_duckdb_parity(spark, tmp_path):
     """
     ora = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     assert got == ora
+
+
+def test_mixed_script_words_flags_straddlers_only(spark):
+    from ocr_platform_spark.functions.textfns import mixed_script_words
+
+    df = spark.createDataFrame(
+        [
+            (1, "pаypal login"),          # Cyrillic а inside Latin word
+            (2, "Москва photos"),  # fully Cyrillic word + Latin word
+            (3, "plain ascii text"),
+            (4, "miсrosoft сhase"),  # two spoofed words
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: sorted(r["m"])
+        for r in df.select("id", mixed_script_words("text").alias("m")).collect()
+    }
+    assert got[1] == ["pаypal"]
+    assert got[2] == []          # no single word mixes scripts
+    assert got[3] == []
+    assert got[4] == sorted(["miсrosoft", "сhase"])
