@@ -7636,6 +7636,94 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_negative_sampling_table",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY word),
+    top AS (
+      SELECT word, n FROM freq ORDER BY n DESC, word LIMIT 64
+    ),
+    wt AS (
+      SELECT word, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE))
+                        * sqrt(sqrt(CAST(n AS DOUBLE))) * 1e6) AS BIGINT)
+               AS weight_x1e6
+      FROM top
+    ),
+    t AS (SELECT CAST(SUM(weight_x1e6) AS BIGINT) AS total FROM wt),
+    b AS (
+      SELECT word, n, weight_x1e6,
+             (1000000 * weight_x1e6) // total AS base,
+             (1000000 * weight_x1e6) % total AS rem
+      FROM wt, t
+    ),
+    l AS (SELECT CAST(1000000 - SUM(base) AS BIGINT) AS leftover FROM b),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, word) AS rk FROM b)
+    SELECT word, CAST(n AS BIGINT) AS n, weight_x1e6,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS slots,
+           CAST(SUM(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                  OVER (ORDER BY word) AS BIGINT) AS cum_end
+    FROM r, l ORDER BY word
+    """,
+)
+def corpus_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram^0.75 NEGATIVE-SAMPLING table (the word2vec/contrastive
+    convention: damping the unigram distribution keeps frequent words
+    from dominating the negatives) as an integer slot table a sampler
+    binary-searches by ``cum_end``. The 3/4 power is computed as
+    sqrt·sqrt∘sqrt — both correctly rounded per IEEE, the same
+    cross-engine float discipline as the temperature mixtures — then
+    floored to integer micro-weights, and exactly 1,000,000 slots are
+    apportioned largest-remainder (rem DESC, word tie-break). Vocab is
+    bounded to the top-64 (orderBy+limit → per-partition top-k); every
+    window after that runs on ≤64 rows."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit(""))
+        ).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count("*").alias("n"))
+    top = freq.orderBy(F.desc("n"), F.asc("word")).limit(64)
+    nd = F.col("n").cast("double")
+    wt = top.select(
+        "word",
+        "n",
+        F.floor(F.sqrt(nd) * F.sqrt(F.sqrt(nd)) * F.lit(1e6)).cast("long").alias(
+            "weight_x1e6"
+        ),
+    )
+    tot = wt.agg(F.sum("weight_x1e6").cast("long").alias("total"))
+    b = wt.crossJoin(tot).select(
+        "word",
+        "n",
+        "weight_x1e6",
+        F.expr("(1000000 * weight_x1e6) div total").alias("base"),
+        (F.lit(1000000) * F.col("weight_x1e6") % F.col("total")).alias("rem"),
+    )
+    leftover = b.agg((F.lit(1000000) - F.sum("base")).cast("long").alias("leftover"))
+    r = b.crossJoin(leftover).withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("word")))
+    )
+    slots = F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return r.select(
+        "word",
+        F.col("n").cast("long").alias("n"),
+        "weight_x1e6",
+        slots.cast("long").alias("slots"),
+        F.sum(slots)
+        .over(Window.orderBy("word").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_end"),
+    ).orderBy("word")
+
+
+@q(
     "corpus_oov_curve",
     r"""
     WITH toks AS (
@@ -11302,6 +11390,7 @@ _PRIORITY = [
     "url_softblock_score", "corpus_bpe_fertility", "crawl_trap_detection",
     "url_prefix_rollup", "payload_cdc_dedup", "payload_cdc_delta",
     "retrieval_mrr_report", "doc_homoglyph_scan",
+    "corpus_negative_sampling_table",
 ]
 
 
