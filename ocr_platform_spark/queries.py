@@ -7636,6 +7636,103 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "shard_zonemap_skipping",
+    """
+    WITH ev AS (SELECT event_id, user_id FROM events),
+    mx AS (
+      SELECT MAX(event_id) + 1 AS n_ev, MAX(user_id) AS mu FROM ev
+    ),
+    shards AS (
+      SELECT 'arrival' AS layout, (event_id * 8) // n_ev AS shard, user_id
+      FROM ev, mx
+      UNION ALL
+      SELECT 'clustered' AS layout, (user_id * 8) // (mu + 1) AS shard, user_id
+      FROM ev, mx
+    ),
+    zones AS (
+      SELECT layout, shard, MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+             COUNT(*) AS n_rows
+      FROM shards GROUP BY layout, shard
+    ),
+    probes AS (
+      SELECT 'low' AS probe, 0 AS lo, mu // 10 AS hi FROM mx
+      UNION ALL
+      SELECT 'mid', mu // 2, mu // 2 + mu // 10 FROM mx
+      UNION ALL
+      SELECT 'high', mu - mu // 10, mu FROM mx
+    )
+    SELECT z.layout, p.probe,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(COUNT(CASE WHEN z.max_u < p.lo OR z.min_u > p.hi THEN 1 END)
+                AS BIGINT) AS n_skipped,
+           CAST(COALESCE(SUM(CASE WHEN NOT (z.max_u < p.lo OR z.min_u > p.hi)
+                                  THEN z.n_rows END), 0) AS BIGINT)
+             AS rows_scanned
+    FROM zones z CROSS JOIN probes p
+    GROUP BY z.layout, p.probe ORDER BY layout, probe
+    """,
+)
+def shard_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping report — the Iceberg/Parquet row-group
+    pruning mechanic measured end to end: per-shard (min, max) of the
+    probe column under an ARRIVAL-ORDER layout vs a value-CLUSTERED
+    layout (the repartitionByRange write events_zorder_layout plans),
+    against three range probes derived from the data's own extent.
+    Arrival shards each span the full value range (zero skips — every
+    probe scans everything); clustered shards are disjoint ranges, so a
+    10%-selectivity probe skips ~7 of 8 shards. This is the quantified
+    WHY behind sort-on-write: the report prices the layout decision in
+    rows scanned. Pure integer bucketing/aggregation — no global sort
+    is needed for the report itself."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    mx = ev.agg(
+        (F.max("event_id") + 1).alias("n_ev"), F.max("user_id").alias("mu")
+    )
+    base = ev.crossJoin(F.broadcast(mx))
+    shards = base.select(
+        F.lit("arrival").alias("layout"),
+        F.expr("(event_id * 8) div n_ev").alias("shard"),
+        "user_id",
+    ).unionAll(
+        base.select(
+            F.lit("clustered").alias("layout"),
+            F.expr("(user_id * 8) div (mu + 1)").alias("shard"),
+            "user_id",
+        )
+    )
+    zones = shards.groupBy("layout", "shard").agg(
+        F.min("user_id").alias("min_u"),
+        F.max("user_id").alias("max_u"),
+        F.count("*").alias("n_rows"),
+    )
+    probes = (
+        mx.select(F.lit("low").alias("probe"), F.lit(0).cast("long").alias("lo"),
+                  F.expr("mu div 10").alias("hi"))
+        .unionAll(
+            mx.select(F.lit("mid").alias("probe"), F.expr("mu div 2").alias("lo"),
+                      F.expr("mu div 2 + mu div 10").alias("hi"))
+        )
+        .unionAll(
+            mx.select(F.lit("high").alias("probe"), F.expr("mu - mu div 10").alias("lo"),
+                      F.col("mu").cast("long").alias("hi"))
+        )
+    )
+    skipped = (F.col("max_u") < F.col("lo")) | (F.col("min_u") > F.col("hi"))
+    return (
+        zones.crossJoin(F.broadcast(probes))
+        .groupBy("layout", "probe")
+        .agg(
+            F.count("*").cast("long").alias("n_shards"),
+            F.count(F.when(skipped, 1)).cast("long").alias("n_skipped"),
+            F.coalesce(F.sum(F.when(~skipped, F.col("n_rows"))), F.lit(0))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+        .orderBy("layout", "probe")
+    )
+
+
+@q(
     "corpus_negative_sampling_table",
     r"""
     WITH toks AS (
@@ -11390,7 +11487,7 @@ _PRIORITY = [
     "url_softblock_score", "corpus_bpe_fertility", "crawl_trap_detection",
     "url_prefix_rollup", "payload_cdc_dedup", "payload_cdc_delta",
     "retrieval_mrr_report", "doc_homoglyph_scan",
-    "corpus_negative_sampling_table",
+    "corpus_negative_sampling_table", "shard_zonemap_skipping",
 ]
 
 
