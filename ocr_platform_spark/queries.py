@@ -7636,6 +7636,69 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "events_hourly_incremental",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micros
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate MAINTENANCE: the hourly rollup is kept as
+    mergeable state — counts and integer-micros sums are commutative
+    monoids — so a snapshot's aggregate plus a delta batch's aggregate
+    FULL-OUTER-merge into the new total without touching old events
+    (the materialized-view maintenance mechanic behind every streaming
+    rollup; the Spark side literally stages the t0 state, aggregates
+    only the t1 delta, and merges). The oracle is the strongest form of
+    the check: it recomputes the rollup from ALL events in one pass, so
+    the merged-state path must equal the full recompute bit-for-bit."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v_micros"),
+    )
+    split = ev.agg(F.expr("(max(event_id) + 1) div 2").alias("s"))
+    ev2 = ev.crossJoin(F.broadcast(split))
+
+    def rollup(df):
+        return df.groupBy("hour_start", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("v_micros").cast("long").alias("total_value_micros"),
+        )
+
+    t0_state = stage(
+        rollup(ev2.where(F.col("event_id") < F.col("s"))), "hourly_state_t0"
+    )
+    delta = rollup(ev2.where(F.col("event_id") >= F.col("s"))).select(
+        "hour_start",
+        "event_type",
+        F.col("n_events").alias("d_n"),
+        F.col("total_value_micros").alias("d_v"),
+    )
+    merged = (
+        t0_state.join(delta, ["hour_start", "event_type"], "full_outer")
+        .select(
+            "hour_start",
+            "event_type",
+            (F.coalesce("n_events", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .cast("long")
+            .alias("n_events"),
+            (F.coalesce("total_value_micros", F.lit(0)) + F.coalesce("d_v", F.lit(0)))
+            .cast("long")
+            .alias("total_value_micros"),
+        )
+    )
+    return merged.orderBy("hour_start", "event_type")
+
+
+@q(
     "shard_zonemap_skipping",
     """
     WITH ev AS (SELECT event_id, user_id FROM events),
@@ -11488,6 +11551,7 @@ _PRIORITY = [
     "url_prefix_rollup", "payload_cdc_dedup", "payload_cdc_delta",
     "retrieval_mrr_report", "doc_homoglyph_scan",
     "corpus_negative_sampling_table", "shard_zonemap_skipping",
+    "events_hourly_incremental",
 ]
 
 
