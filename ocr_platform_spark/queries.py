@@ -7636,6 +7636,78 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_release_diff",
+    """
+    WITH a AS (
+      SELECT doc_id, lang, md5(text) AS h
+      FROM documents WHERE doc_id % 17 <> 0
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 23 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 19 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             COALESCE(a.lang, b.lang) AS lang,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT lang, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY lang, status ORDER BY lang, status
+    """,
+)
+def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-manifest diff between two curation runs — the audit a
+    dataset release ships with: per (lang, status) counts of docs added,
+    removed, changed (same url, different content hash) and unchanged
+    between release A and release B, from a single full-outer join on
+    the doc key with hash comparison. At 10^12 docs the manifests are
+    (id, lang, hash) projections — tiny beside the corpus — and the
+    join keys by doc_id, so the diff costs one co-partitioned shuffle
+    regardless of payload size. Both releases derive deterministically
+    from the documents table; the oracle replays join and
+    categorization."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id", "lang", F.md5("text").alias("h")
+    )
+    b = d.where(F.col("doc_id") % 19 != 0).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 23 == 0, F.md5(F.concat("text", F.lit("v2"))))
+        .otherwise(F.md5("text"))
+        .alias("h"),
+    )
+    j = (
+        a.withColumnRenamed("lang", "lang_a").withColumnRenamed("h", "h_a")
+        .join(
+            b.withColumnRenamed("doc_id", "doc_id_b")
+            .withColumnRenamed("lang", "lang_b")
+            .withColumnRenamed("h", "h_b"),
+            F.col("doc_id") == F.col("doc_id_b"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("lang_a", "lang_b").alias("lang"),
+            F.when(F.col("doc_id").isNull(), F.lit("added"))
+            .when(F.col("doc_id_b").isNull(), F.lit("removed"))
+            .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
+    return (
+        j.groupBy("lang", "status")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang", "status")
+    )
+
+
+@q(
     "events_hourly_incremental",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -11551,7 +11623,7 @@ _PRIORITY = [
     "url_prefix_rollup", "payload_cdc_dedup", "payload_cdc_delta",
     "retrieval_mrr_report", "doc_homoglyph_scan",
     "corpus_negative_sampling_table", "shard_zonemap_skipping",
-    "events_hourly_incremental",
+    "events_hourly_incremental", "corpus_release_diff",
 ]
 
 
