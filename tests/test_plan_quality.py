@@ -369,3 +369,43 @@ def test_host_token_budget_window_partitioning_reused(spark):
     assert "Window" in plan and "BatchEvalPython" not in plan
     assert plan.count("+- Exchange") == 2
     assert plan.count("hashpartitioning") >= 1 and "rangepartitioning" in plan
+
+
+def test_oov_curve_rank_is_bounded_by_limit(spark):
+    # the global rank must ride on a TakeOrderedAndProject of the top max(K)
+    # rows, never a full sort of the vocabulary
+    plan = _formatted(CATALOG["corpus_oov_curve"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_map_side_url_rules_have_no_joins_or_python(spark):
+    # softblock scoring, trap rules, overlap chunking and the homoglyph
+    # scan are pure row expressions: any join or Python eval in the plan
+    # is a regression
+    for name in (
+        "url_softblock_score",
+        "crawl_trap_detection",
+        "doc_chunk_overlap",
+        "doc_homoglyph_scan",
+    ):
+        plan = _formatted(CATALOG[name].fn(spark, SF))
+        for op in ("Join", "BatchEvalPython", "ArrowEvalPython"):
+            assert op not in plan, f"{name}: unexpected {op}"
+
+
+def test_mrr_rank_by_count_comparison_no_window(spark):
+    # the positive's rank comes from a count aggregate, not a corpus-wide
+    # row_number window; the eval set must broadcast
+    plan = _formatted(CATALOG["retrieval_mrr_report"].fn(spark, SF))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_scalar_broadcast_queries_avoid_shuffle_joins(spark):
+    # single-row aggregates (extents, totals, leftovers) must broadcast
+    for name in ("shard_zonemap_skipping", "corpus_negative_sampling_table"):
+        plan = _formatted(CATALOG[name].fn(spark, SF))
+        assert "SortMergeJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
