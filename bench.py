@@ -142,6 +142,19 @@ HEADLINE = [
     "robots_sitemap_directives",
     "ann_lsh_multiprobe_sweep",
     "storage_compaction_plan",
+    # round-4 extension (host boilerplate, CDC chunk dedup + recrawl delta,
+    # overlap chunking, retrieval eval, zone-map skipping, tokenizer
+    # analytics)
+    "host_boilerplate_strip",
+    "payload_cdc_dedup",
+    "payload_cdc_delta",
+    "doc_chunk_overlap",
+    "retrieval_mrr_report",
+    "shard_zonemap_skipping",
+    "corpus_oov_curve",
+    "corpus_bpe_fertility",
+    "crawl_trap_detection",
+    "url_prefix_rollup",
 ]
 
 
