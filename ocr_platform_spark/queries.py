@@ -7636,6 +7636,105 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "host_mirror_detection",
+    """
+    WITH src AS (
+      SELECT doc_id, 'site-' || CAST(doc_id % 12 AS VARCHAR) AS host, text
+      FROM documents
+    ),
+    pages AS (
+      SELECT s.doc_id, s.host,
+             md5(CASE WHEN s.doc_id % 12 = 11 THEN m.text
+                      WHEN s.doc_id % 12 = 5 AND s.doc_id % 24 = 5 THEN m.text
+                      ELSE s.text END) AS h
+      FROM src s LEFT JOIN src m ON m.doc_id = s.doc_id - 1
+    ),
+    hs AS (SELECT DISTINCT host, h FROM pages),
+    sizes AS (SELECT host, COUNT(*) AS n FROM hs GROUP BY host),
+    inter AS (
+      SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS n_shared
+      FROM hs a JOIN hs b ON a.h = b.h AND a.host < b.host
+      GROUP BY a.host, b.host
+    )
+    SELECT i.host_a, i.host_b,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST((1000 * i.n_shared) // (sa.n + sb.n - i.n_shared) AS BIGINT)
+             AS jaccard_x1000,
+           (1000 * i.n_shared) // (sa.n + sb.n - i.n_shared) >= 500 AS is_mirror
+    FROM inter i
+    JOIN sizes sa ON sa.host = i.host_a
+    JOIN sizes sb ON sb.host = i.host_b
+    ORDER BY host_a, host_b
+    """,
+)
+def host_mirror_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIRROR-site detection by content-hash set overlap — the crawl-side
+    dedup that catches whole hosts serving the same corpus under
+    different names (CDNs, scrapers, country mirrors) before any
+    document-level dedup runs: per-host distinct content-hash sets join
+    on the hash, and host pairs with Jaccard ≥ 0.5 flag as mirrors (one
+    synthetic full mirror and one partial-overlap pair exercise both
+    sides of the gate). The hash join keys by CONTENT — a mega-host's
+    pages spread across reducers — and the pair aggregate is
+    host-pair-sized; nothing collects a per-host set into one row.
+    Integer Jaccard (×1000, floor div) hashes identically
+    cross-engine."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = d.select(
+        "doc_id",
+        F.concat(F.lit("site-"), (F.col("doc_id") % 12).cast("string")).alias("host"),
+        "text",
+    )
+    prev = src.select((F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("ptext"))
+    pages = (
+        src.join(prev, "doc_id", "left")
+        .select(
+            "host",
+            F.md5(
+                F.when(F.col("doc_id") % 12 == 11, F.col("ptext"))
+                .when(
+                    (F.col("doc_id") % 12 == 5) & (F.col("doc_id") % 24 == 5),
+                    F.col("ptext"),
+                )
+                .otherwise(F.col("text"))
+            ).alias("h"),
+        )
+    )
+    hs = pages.select("host", "h").distinct()
+    sizes = hs.groupBy("host").agg(F.count("*").alias("n"))
+    a = hs.select(F.col("host").alias("host_a"), "h")
+    b = hs.select(F.col("host").alias("host_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.expr("(1000 * n_shared) div (n_a + n_b - n_shared)")
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))),
+            "host_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b"))),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            jac.alias("jaccard_x1000"),
+            (jac >= 500).alias("is_mirror"),
+        )
+        .orderBy("host_a", "host_b")
+    )
+
+
+@q(
     "corpus_release_diff",
     """
     WITH a AS (
@@ -11624,6 +11723,7 @@ _PRIORITY = [
     "retrieval_mrr_report", "doc_homoglyph_scan",
     "corpus_negative_sampling_table", "shard_zonemap_skipping",
     "events_hourly_incremental", "corpus_release_diff",
+    "host_mirror_detection",
 ]
 
 
