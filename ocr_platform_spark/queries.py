@@ -7635,6 +7635,30 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decile")
 
 
+def _rake_oracle() -> str:
+    from ocr_platform_spark.operators.keyphrases import rake_oracle_sql
+
+    return rake_oracle_sql("documents", "doc_id", "text")
+
+
+@q("doc_keyphrases", _rake_oracle())
+def doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (operators/keyphrases.py; Rose et al.
+    2010) — top-3 candidate phrases per document scored by summed
+    word degree/frequency over stopword-delimited word runs: the
+    unsupervised keyword surface behind tagging, routing and topic
+    seeding. The stopword alternation has ONE source of truth from
+    which both the Column chain and the oracle SQL derive, and scores
+    are integer ×1000, so the full segmentation + scoring + per-doc
+    top-k replays bit-for-bit in DuckDB. Doc-local keys throughout:
+    word stats, phrase regroup and the top-k window all partition by
+    doc."""
+    from ocr_platform_spark.operators.keyphrases import rake_keyphrases
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return rake_keyphrases(d, "doc_id", "text", top_k=3).orderBy("doc_id", "rank")
+
+
 @q(
     "host_mirror_detection",
     """
@@ -11723,7 +11747,7 @@ _PRIORITY = [
     "retrieval_mrr_report", "doc_homoglyph_scan",
     "corpus_negative_sampling_table", "shard_zonemap_skipping",
     "events_hourly_incremental", "corpus_release_diff",
-    "host_mirror_detection",
+    "host_mirror_detection", "doc_keyphrases",
 ]
 
 
