@@ -7635,6 +7635,80 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decile")
 
 
+@q(
+    "snapshot_expiry_plan",
+    """
+    WITH snaps AS (SELECT doc_id AS sid FROM documents WHERE doc_id < 10),
+    refs AS (
+      SELECT sid, unnest(generate_series(greatest(sid - 2, 0) * 10, sid * 10 + 9))
+               AS file_id
+      FROM snaps
+    ),
+    files AS (
+      SELECT file_id,
+             MAX(sid) AS last_ref,
+             file_id // 10 AS owner,
+             (file_id % 50 + 1) * 1024 AS bytes
+      FROM refs GROUP BY file_id
+    )
+    SELECT owner AS snapshot_id,
+           owner >= 7 AS retained,
+           CAST(COUNT(*) AS BIGINT) AS n_files_owned,
+           CAST(COUNT(CASE WHEN last_ref < 7 THEN 1 END) AS BIGINT)
+             AS n_reclaimable,
+           CAST(COALESCE(SUM(CASE WHEN last_ref < 7 THEN bytes END), 0) AS BIGINT)
+             AS reclaimable_bytes
+    FROM files GROUP BY owner ORDER BY snapshot_id
+    """,
+)
+def snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot EXPIRY / garbage-collection planning — the table-
+    maintenance sibling of storage_compaction_plan (Iceberg's
+    expire_snapshots): under a keep-last-3 retention policy, a data file
+    is reclaimable only when NO retained snapshot references it, so the
+    plan computes each file's latest referencing snapshot over the
+    reference explode (snapshots re-reference the previous two
+    snapshots' files, modelling rewrite-on-compact) and rolls
+    reclaimable counts/bytes up by owning snapshot. One explode + two
+    keyed aggregates; at real scale the reference table is manifest
+    metadata — millions of rows, not data — and the whole plan never
+    touches payloads."""
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("sid")).where(
+        F.col("sid") < 10
+    )
+    refs = d.select(
+        "sid",
+        F.explode(
+            F.sequence(F.greatest(F.col("sid") - 2, F.lit(0)) * 10, F.col("sid") * 10 + 9)
+        ).alias("file_id"),
+    )
+    files = refs.groupBy("file_id").agg(F.max("sid").alias("last_ref")).select(
+        "file_id",
+        "last_ref",
+        F.expr("file_id div 10").alias("owner"),
+        ((F.col("file_id") % 50 + 1) * 1024).alias("bytes"),
+    )
+    rec = F.col("last_ref") < 7
+    return (
+        files.groupBy("owner")
+        .agg(
+            F.count("*").cast("long").alias("n_files_owned"),
+            F.count(F.when(rec, 1)).cast("long").alias("n_reclaimable"),
+            F.coalesce(F.sum(F.when(rec, F.col("bytes"))), F.lit(0))
+            .cast("long")
+            .alias("reclaimable_bytes"),
+        )
+        .select(
+            F.col("owner").alias("snapshot_id"),
+            (F.col("owner") >= 7).alias("retained"),
+            "n_files_owned",
+            "n_reclaimable",
+            "reclaimable_bytes",
+        )
+        .orderBy("snapshot_id")
+    )
+
+
 def _rake_oracle() -> str:
     from ocr_platform_spark.operators.keyphrases import rake_oracle_sql
 
@@ -11747,7 +11821,7 @@ _PRIORITY = [
     "retrieval_mrr_report", "doc_homoglyph_scan",
     "corpus_negative_sampling_table", "shard_zonemap_skipping",
     "events_hourly_incremental", "corpus_release_diff",
-    "host_mirror_detection", "doc_keyphrases",
+    "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
 ]
 
 
