@@ -7709,6 +7709,97 @@ def snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "split_leakage_audit",
+    f"""
+    WITH leaders AS (SELECT doc_id, text FROM documents),
+    docs AS (
+      SELECT d.doc_id, md5(l.text) AS fp
+      FROM documents d JOIN leaders l ON l.doc_id = d.doc_id - d.doc_id % 3
+    ),
+    assigned AS (
+      SELECT doc_id, fp,
+             CASE WHEN {oracle_bucket_sql("doc_id", 1000)} < 800 THEN 'train'
+                  WHEN {oracle_bucket_sql("doc_id", 1000)} < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM docs
+    ),
+    per AS (
+      SELECT fp,
+             COUNT(CASE WHEN split = 'train' THEN 1 END) AS c_tr,
+             COUNT(CASE WHEN split = 'val' THEN 1 END) AS c_va,
+             COUNT(CASE WHEN split = 'test' THEN 1 END) AS c_te
+      FROM assigned GROUP BY fp
+    )
+    SELECT split_a, split_b,
+           CAST(SUM(np) AS BIGINT) AS n_pairs,
+           CAST(COUNT(CASE WHEN np > 0 THEN 1 END) AS BIGINT) AS n_groups
+    FROM (
+      SELECT 'train' AS split_a, 'val' AS split_b, c_tr * c_va AS np FROM per
+      UNION ALL
+      SELECT 'train', 'test', c_tr * c_te FROM per
+      UNION ALL
+      SELECT 'test', 'val', c_te * c_va FROM per
+    ) GROUP BY split_a, split_b ORDER BY split_a, split_b
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit — duplicate content straddling split
+    boundaries silently inflates eval scores, so every release needs
+    this count: documents sharing a content fingerprint (each 3-group
+    shares its leader's text by construction) roll up to per-(fp, split)
+    counts, and cross-split pair totals come from count PRODUCTS per
+    group — the audit never materializes a pair explode, so a
+    pathological million-copy group costs one row of integer arithmetic
+    instead of 10^12 pairs. Split assignment is the engine's own
+    deterministic md5 bucketing (operators/sampling.assign_split), the
+    same rule doc_split_assign oracles."""
+    from ocr_platform_spark.operators.sampling import assign_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    leaders = d.select(F.col("doc_id").alias("lid"), F.col("text").alias("ltext"))
+    docs = (
+        d.withColumn("lid", F.col("doc_id") - F.col("doc_id") % 3)
+        .join(F.broadcast(leaders), "lid")
+        .select("doc_id", F.md5("ltext").alias("fp"))
+    )
+    assigned = assign_split(docs, "doc_id").select("doc_id", "fp", "split")
+    per = assigned.groupBy("fp").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("c_tr"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("c_va"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("c_te"),
+    )
+    pairs = per.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("train").alias("split_a"),
+                    F.lit("val").alias("split_b"),
+                    (F.col("c_tr") * F.col("c_va")).alias("np"),
+                ),
+                F.struct(
+                    F.lit("train").alias("split_a"),
+                    F.lit("test").alias("split_b"),
+                    (F.col("c_tr") * F.col("c_te")).alias("np"),
+                ),
+                F.struct(
+                    F.lit("test").alias("split_a"),
+                    F.lit("val").alias("split_b"),
+                    (F.col("c_te") * F.col("c_va")).alias("np"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        pairs.groupBy("split_a", "split_b")
+        .agg(
+            F.sum("np").cast("long").alias("n_pairs"),
+            F.count(F.when(F.col("np") > 0, 1)).cast("long").alias("n_groups"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
 def _rake_oracle() -> str:
     from ocr_platform_spark.operators.keyphrases import rake_oracle_sql
 
@@ -11822,6 +11913,7 @@ _PRIORITY = [
     "corpus_negative_sampling_table", "shard_zonemap_skipping",
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
+    "split_leakage_audit",
 ]
 
 
