@@ -7710,6 +7710,130 @@ def snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "retrieval_rrf_fusion",
+    f"""
+    WITH hsrc AS (
+      SELECT id, unnest(hs) AS h FROM read_parquet('{staged_glob("rrf_shingles")}')
+    ),
+    lexovl AS (
+      SELECT q.id AS query_id, i.id AS item_id, COUNT(*) AS n_common
+      FROM hsrc q JOIN hsrc i ON q.h = i.h AND i.id <> q.id
+      WHERE q.id < 8 GROUP BY q.id, i.id
+    ),
+    lex AS (
+      SELECT query_id, item_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY n_common DESC, item_id) AS INT)
+               AS rank_lex
+      FROM lexovl
+    ),
+    lex20 AS (SELECT * FROM lex WHERE rank_lex <= 20),
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, item_id,
+             CASE WHEN nq > 0 AND ni > 0
+                  THEN round(CAST(dot AS DOUBLE)
+                             / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ni AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM (
+        SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+               list_sum(list_transform(list_zip(q.v, i.v), p -> p[1] * p[2])) AS dot,
+               list_sum(list_transform(q.v, x -> x * x)) AS nq,
+               list_sum(list_transform(i.v, x -> x * x)) AS ni
+        FROM qz q, qz i WHERE q.vec_id < 8 AND i.vec_id <> q.vec_id
+      )
+    ),
+    cos20 AS (
+      SELECT query_id, item_id, CAST(rk AS INT) AS rank_cos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rk
+        FROM scored
+      ) WHERE rk <= 20
+    ),
+    f AS (
+      SELECT COALESCE(c.query_id, l.query_id) AS query_id,
+             COALESCE(c.item_id, l.item_id) AS item_id,
+             c.rank_cos, l.rank_lex,
+             CAST(COALESCE(1000000 // (60 + c.rank_cos), 0)
+                  + COALESCE(1000000 // (60 + l.rank_lex), 0) AS BIGINT)
+               AS rrf_x1e6
+      FROM cos20 c FULL OUTER JOIN lex20 l
+        ON c.query_id = l.query_id AND c.item_id = l.item_id
+    )
+    SELECT query_id, item_id, rank_cos, rank_lex, rrf_x1e6,
+           CAST(fr AS INT) AS fused_rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_x1e6 DESC, item_id) AS fr
+      FROM f
+    ) WHERE fr <= 5 ORDER BY query_id, fused_rank
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of DENSE and LEXICAL retrieval — the
+    hybrid-search combiner (Cormack et al.'s RRF, the default fusion in
+    modern search stacks): each system contributes
+    ``1_000_000 div (60 + rank)`` and items missing from one ranking
+    simply contribute nothing, so neither score scale needs calibrating.
+    Dense ranks come from the exact quantized-cosine top-20; lexical
+    ranks from 3-word-shingle overlap counts over the STAGED xxhash
+    postings (the MinHash family's shingle table, so the oracle replays
+    the lexical side from the same rows and the dense side from the
+    embeddings). All ranks and fusion scores are integers; both
+    per-query windows are candidate-bounded, never corpus-wide."""
+    from ocr_platform_spark.operators import ann as _ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    cos = _ann.quantized_topk(
+        emb, emb.where(F.col("vec_id") < 8), id_col="vec_id", vec_col="embedding", k=20
+    ).select("query_id", "item_id", F.col("rank").cast("int").alias("rank_cos"))
+    hs = stage(
+        dedup.hashed_shingle_sets(docs, "doc_id", "text"), "rrf_shingles", partitions=2
+    )
+    posts = hs.select("id", F.explode("hs").alias("h"))
+    qp = posts.where(F.col("id") < 8).select(F.col("id").alias("query_id"), "h")
+    ip = posts.select(F.col("id").alias("item_id"), "h")
+    lex = (
+        qp.join(ip, "h")
+        .where(F.col("item_id") != F.col("query_id"))
+        .groupBy("query_id", "item_id")
+        .agg(F.count("*").alias("n_common"))
+        .withColumn(
+            "rank_lex",
+            F.row_number()
+            .over(Window.partitionBy("query_id").orderBy(F.desc("n_common"), "item_id"))
+            .cast("int"),
+        )
+        .where(F.col("rank_lex") <= 20)
+        .select("query_id", "item_id", "rank_lex")
+    )
+    fused = cos.join(lex, ["query_id", "item_id"], "full_outer").select(
+        "query_id",
+        "item_id",
+        "rank_cos",
+        "rank_lex",
+        (
+            F.coalesce(F.expr("1000000 div (60 + rank_cos)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + rank_lex)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_x1e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_x1e6"), "item_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("fused_rank") <= 5)
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+@q(
     "split_leakage_audit",
     f"""
     WITH leaders AS (SELECT doc_id, text FROM documents),
@@ -11913,7 +12037,7 @@ _PRIORITY = [
     "corpus_negative_sampling_table", "shard_zonemap_skipping",
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
-    "split_leakage_audit",
+    "split_leakage_audit", "retrieval_rrf_fusion",
 ]
 
 
