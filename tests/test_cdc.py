@@ -123,3 +123,20 @@ def test_delta_transfer_is_edit_local(spark):
     assert rows[1]["n_new"] == 0            # untouched doc transfers nothing
     assert 0 < rows[2]["n_new"] <= 3        # edit re-transfers ~1 chunk, not the doc
     assert rows[2]["n"] > 10                # and the doc has many chunks
+
+
+def test_fast_boundaries_bit_identical_to_scalar():
+    from ocr_platform_spark.operators.cdc import cdc_boundaries_fast
+
+    rng = random.Random(13)
+    for n in [0, 1, 2, 15, 16, 17, 63, 64, 255, 256, 257, 1000, 5000]:
+        data = _rand_bytes(n, seed=n)
+        assert cdc_boundaries(data) == cdc_boundaries_fast(data), n
+    # structured payloads and non-default parameters (incl. uint16 width
+    # and the min_size < avg_bits scalar fallback)
+    for pat in [b"\x00" * 2000, b"ab" * 1500, bytes(range(256)) * 8]:
+        assert cdc_boundaries(pat) == cdc_boundaries_fast(pat)
+    for params in [(8, 32, 512), (6, 6, 256), (10, 64, 1024), (8, 4, 64)]:
+        for _ in range(25):
+            data = bytes(rng.randrange(256) for _ in range(rng.randrange(4000)))
+            assert cdc_boundaries(data, *params) == cdc_boundaries_fast(data, *params), params
