@@ -177,7 +177,7 @@ def positive_rank_metrics(
         (F.lit(1) + F.count(F.when(before, 1))).cast("int").alias("rank")
     )
     rr = F.when(
-        F.col("rank") <= k, F.expr(f"CAST(1000000 div rank AS BIGINT)")
+        F.col("rank") <= k, F.expr("CAST(1000000 div rank AS BIGINT)")
     ).otherwise(F.lit(0).cast("long"))
     return ranked.select(
         "query_id",
