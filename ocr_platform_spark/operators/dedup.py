@@ -1289,3 +1289,89 @@ def dedup_banding_recall_report(
             ).alias("recall"),
         )
     )
+
+
+# --- host-level mirror detection at near-dup grain --------------------------
+
+
+def host_union_signatures(
+    sigs: DataFrame, host_col: str = "host", sig_col: str = "sig", k: int = 16
+) -> DataFrame:
+    """(host, sig) — MinHash signature of the UNION of each host's document
+    shingle sets, composed as the elementwise minimum of the per-document
+    signatures: for every permutation i, ``min over A∪B = min(min A, min B)``,
+    so the host signature is a plain k-column MIN aggregate. Map-combinable
+    (partial mins merge associatively), which is the whole point at crawl
+    scale — a mega-host's pages never gather on one executor and no per-host
+    shingle set is ever materialized; the shuffle carries k longs per host.
+
+    Complements exact content-hash overlap (``host_mirror_detection``): a
+    mirror that injects per-page banners/boilerplate drifts every page hash,
+    but barely moves the host-level shingle union, so the union-MinHash
+    estimate still flags the pair (ROADMAP: mirrors with boilerplate drift).
+    """
+    return sigs.groupBy(host_col).agg(
+        F.array(*[F.min(F.col(sig_col)[i]) for i in range(k)]).alias("sig"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def host_mirror_near_pairs(
+    doc_sigs: DataFrame,
+    k: int = 16,
+    rows_per_band: int = 2,
+    max_bucket: int = 64,
+    threshold_x1000: int = 500,
+) -> DataFrame:
+    """(host_a, host_b, n_a, n_b, n_match, jaccard_est_x1000, is_mirror) —
+    near-dup-grain mirror candidates from per-document MinHash signatures
+    ``(id, host, sig array<long>)``: hosts fold to union signatures
+    (:func:`host_union_signatures`), band into LSH buckets exactly like
+    document near-dup, and each candidate pair's similarity is the MinHash
+    ESTIMATE — matching components / k, in integer per-mille. Host count is
+    corpus-sublinear, but the estimator keeps verification signature-sized
+    anyway (no host pair ever rejoins its shingle sets)."""
+    hosts = _staged(host_union_signatures(doc_sigs, "host", "sig", k))
+    banded = hosts.select(
+        F.col("host"),
+        F.posexplode(minhash_bands("sig", k, rows_per_band)).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    cands = _bucket_pairs(banded, "host", max_bucket).select(
+        F.col("id_a").alias("host_a"), F.col("id_b").alias("host_b")
+    )
+    a = hosts.select(
+        F.col("host").alias("host_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("n_docs").alias("n_a"),
+    )
+    b = hosts.select(
+        F.col("host").alias("host_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("n_docs").alias("n_b"),
+    )
+    n_match = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    est = F.expr(f"cast((1000 * n_match) div {k} as bigint)")
+    return (
+        cands.join(F.broadcast(a), "host_a")
+        .join(F.broadcast(b), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            n_match.cast("int").alias("n_match"),
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "n_a",
+            "n_b",
+            "n_match",
+            est.alias("jaccard_est_x1000"),
+            (est >= F.lit(threshold_x1000)).alias("is_mirror"),
+        )
+    )

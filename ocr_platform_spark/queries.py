@@ -11975,6 +11975,118 @@ def storage_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "host_mirror_near_dups",
+    f"""
+    WITH sigs AS (SELECT * FROM read_parquet('{staged_glob("hostmirror_sigs")}')),
+    cands AS (SELECT * FROM read_parquet('{staged_glob("hostmirror_cands")}')),
+    hm AS (
+      SELECT host, i, MIN(sig[i]) AS mv
+      FROM (SELECT host, sig, unnest(generate_series(1, len(sig))) AS i FROM sigs)
+      GROUP BY host, i
+    ),
+    nd AS (SELECT host, COUNT(*) AS n_docs FROM sigs GROUP BY host),
+    mt AS (
+      SELECT c.host_a, c.host_b,
+             COUNT(CASE WHEN a.mv = b.mv THEN 1 END) AS n_match
+      FROM cands c
+      JOIN hm a ON a.host = c.host_a
+      JOIN hm b ON b.host = c.host_b AND b.i = a.i
+      GROUP BY c.host_a, c.host_b
+    )
+    SELECT mt.host_a, mt.host_b,
+           CAST(na.n_docs AS BIGINT) AS n_a, CAST(nb.n_docs AS BIGINT) AS n_b,
+           CAST(mt.n_match AS INT) AS n_match,
+           CAST((1000 * mt.n_match) // 16 AS BIGINT) AS jaccard_est_x1000,
+           (1000 * mt.n_match) // 16 >= 500 AS is_mirror
+    FROM mt
+    JOIN nd na ON na.host = mt.host_a
+    JOIN nd nb ON nb.host = mt.host_b
+    ORDER BY host_a, host_b
+    """,
+)
+def host_mirror_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror detection at NEAR-dup grain (operators/dedup.py
+    host_union_signatures + host_mirror_near_pairs): exact content-hash
+    overlap (``host_mirror_detection``) goes blind the moment a mirror
+    injects per-page banners — every page hash drifts. Here each host gets
+    a MinHash signature of its shingle-set UNION, composed as the
+    elementwise MIN of per-document signatures (min over A∪B = min of
+    mins — a map-combinable k-column aggregate, so no per-host shingle set
+    ever materializes), hosts band into LSH buckets like documents, and
+    candidate pairs score by the MinHash estimate in integer per-mille.
+    The synthetic corpus plants one full mirror and one partial mirror
+    whose copied pages all carry page-unique banners: page-hash Jaccard is
+    ZERO for those pairs, union-MinHash still flags them. Per-doc
+    signatures and candidate host pairs are staged (xxhash64 boundary);
+    the oracle replays the union-min composition, the component-match
+    count, and the gate from the same bytes."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = d.select(
+        "doc_id",
+        F.concat(F.lit("site-"), (F.col("doc_id") % 12).cast("string")).alias("host"),
+        "text",
+    )
+    prev = src.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("ptext")
+    )
+    banner = F.concat(
+        F.lit(" mirrored by site eleven banner "), F.col("doc_id").cast("string")
+    )
+    pages = src.join(prev, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        F.when(F.col("doc_id") % 12 == 11, F.concat(F.col("ptext"), banner))
+        .when(
+            (F.col("doc_id") % 12 == 5) & (F.col("doc_id") % 24 == 5),
+            F.concat(F.col("ptext"), banner),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    hs = dedup.hashed_shingle_sets(pages, "doc_id", "text")
+    doc_sigs = stage(
+        hs.select("id", dedup.minhash_signature_from_hashes("hs", 16).alias("sig"))
+        .join(src.select(F.col("doc_id").alias("id"), "host"), "id")
+        .select("id", "host", "sig"),
+        "hostmirror_sigs",
+    )
+    hosts = dedup.host_union_signatures(doc_sigs, "host", "sig", 16)
+    banded = hosts.select(
+        "host",
+        F.posexplode(dedup.minhash_bands("sig", 16, 2)).alias("band_id", "band_hash"),
+    )
+    cands = stage(
+        dedup._bucket_pairs(banded, "host", 64).select(
+            F.col("id_a").alias("host_a"), F.col("id_b").alias("host_b")
+        ),
+        "hostmirror_cands",
+    )
+    a = hosts.select(
+        F.col("host").alias("host_a"), F.col("sig").alias("sig_a"), F.col("n_docs").alias("n_a")
+    )
+    b = hosts.select(
+        F.col("host").alias("host_b"), F.col("sig").alias("sig_b"), F.col("n_docs").alias("n_b")
+    )
+    n_match = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        cands.join(F.broadcast(a), "host_a")
+        .join(F.broadcast(b), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            n_match.cast("int").alias("n_match"),
+        )
+        .withColumn("jaccard_est_x1000", F.expr("cast((1000 * n_match) div 16 as bigint)"))
+        .withColumn("is_mirror", F.col("jaccard_est_x1000") >= 500)
+        .orderBy("host_a", "host_b")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -12038,6 +12150,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
+    "host_mirror_near_dups",
 ]
 
 

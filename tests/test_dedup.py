@@ -643,3 +643,69 @@ def test_span_surgery_randomized_against_reference(spark):
         assert r["text"] == "".join(kept), (doc_id, spans, text)
         assert r["n_spans_cut"] == len(spans)
         assert r["n_chars_cut"] == sum(e - s for s, e in spans)
+
+
+def test_host_union_signature_is_minhash_of_union(spark):
+    """Elementwise min of per-doc signatures == MinHash computed directly
+    over the union of the host's shingle sets (the composition law the
+    host-mirror operator relies on)."""
+    rows = [
+        (1, "h1", "alpha beta gamma delta epsilon zeta"),
+        (2, "h1", "eta theta iota kappa lambda mu"),
+        (3, "h2", "nu xi omicron pi rho sigma tau"),
+    ]
+    df = spark.createDataFrame(rows, "id long, host string, text string")
+    hs = dedup.hashed_shingle_sets(df, "id", "text")
+    doc_sigs = (
+        hs.select("id", dedup.minhash_signature_from_hashes("hs", 8).alias("sig"))
+        .join(df.select("id", "host"), "id")
+        .select("id", "host", "sig")
+    )
+    composed = {
+        r["host"]: r["sig"]
+        for r in dedup.host_union_signatures(doc_sigs, "host", "sig", 8).collect()
+    }
+    union = (
+        hs.join(df.select("id", "host"), "id")
+        .select("host", F.explode("hs").alias("h"))
+        .groupBy("host")
+        .agg(F.array_distinct(F.collect_list("h")).alias("hs"))
+        .select("host", dedup.minhash_signature_from_hashes("hs", 8).alias("sig"))
+    )
+    direct = {r["host"]: r["sig"] for r in union.collect()}
+    assert composed == direct
+
+
+def test_host_mirror_near_pairs_sees_through_banner_drift(spark):
+    """A mirror host whose every page carries a page-unique banner has ZERO
+    page-hash overlap with the origin, yet the union-MinHash estimate flags
+    the pair; an unrelated host pair does not."""
+    base = [f"shared corpus words number {i} " + "filler common text " * 5 for i in range(6)]
+    rows = (
+        [(i, "origin", t) for i, t in enumerate(base)]
+        + [(100 + i, "mirror", t + f" banner unique {i}") for i, t in enumerate(base)]
+        + [(200 + i, "other", f"completely different material item {i} " * 6) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "id long, host string, text string")
+    # page-hash grain: no shared hashes between origin and mirror
+    hashes = df.select("host", F.md5("text").alias("h")).distinct()
+    om = (
+        hashes.where(F.col("host") == "origin")
+        .join(hashes.where(F.col("host") == "mirror").select("h"), "h")
+        .count()
+    )
+    assert om == 0
+    hs = dedup.hashed_shingle_sets(df, "id", "text")
+    doc_sigs = (
+        hs.select("id", dedup.minhash_signature_from_hashes("hs", 16).alias("sig"))
+        .join(df.select("id", "host"), "id")
+        .select("id", "host", "sig")
+    )
+    out = {
+        (r["host_a"], r["host_b"]): r["is_mirror"]
+        for r in dedup.host_mirror_near_pairs(doc_sigs, k=16).collect()
+    }
+    assert out.get(("mirror", "origin")) or out.get(("origin", "mirror"))
+    for pair, flagged in out.items():
+        if "other" in pair:
+            assert not flagged
