@@ -12087,6 +12087,325 @@ def host_mirror_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "retrieval_index_report",
+    f"""
+    WITH c AS (SELECT * FROM read_parquet('{staged_glob("rir_cands")}')),
+    qz AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT c.arm, c.query_id, c.item_id,
+             list_sum(list_transform(list_zip(q.v, i.v), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(q.v, x -> x * x)) AS nq,
+             list_sum(list_transform(i.v, x -> x * x)) AS ni
+      FROM c JOIN qz q ON c.query_id = q.vec_id JOIN qz i ON c.item_id = i.vec_id
+    ),
+    scored AS (
+      SELECT arm, query_id, item_id,
+             CASE WHEN nq > 0 AND ni > 0
+                  THEN round(CAST(dot AS DOUBLE)
+                             / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ni AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM pairs
+    ),
+    top AS (
+      SELECT arm, query_id, item_id,
+             row_number() OVER (PARTITION BY arm, query_id
+                                ORDER BY cosine DESC, item_id) AS rk
+      FROM scored
+    ),
+    pos AS (SELECT query_id, item_id AS pos_id FROM top WHERE arm = 'exact' AND rk = 1),
+    ex10 AS (SELECT query_id, item_id FROM top WHERE arm = 'exact' AND rk <= 10),
+    hits AS (
+      SELECT t.arm, COUNT(*) AS n_hit, SUM(1000000 // t.rk) AS sum_rr
+      FROM top t JOIN pos p ON p.query_id = t.query_id AND p.pos_id = t.item_id
+      WHERE t.rk <= 10 GROUP BY t.arm
+    ),
+    rec AS (
+      SELECT t.arm, COUNT(*) AS n_rec
+      FROM top t JOIN ex10 e ON e.query_id = t.query_id AND e.item_id = t.item_id
+      WHERE t.rk <= 10 GROUP BY t.arm
+    ),
+    ac AS (SELECT arm, COUNT(*) AS n_scored FROM c GROUP BY arm),
+    np AS (SELECT COUNT(*) AS n_queries FROM pos),
+    ne AS (SELECT COUNT(*) AS n_exact FROM ex10)
+    SELECT ac.arm, CAST(ac.n_scored AS BIGINT) AS n_scored,
+           CAST(np.n_queries AS BIGINT) AS n_queries,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS nn_hit_at_10,
+           CAST(COALESCE(h.sum_rr, 0) // np.n_queries AS BIGINT) AS mrr_nn_x1e6,
+           CAST((COALESCE(r.n_rec, 0) * 1000) // ne.n_exact AS BIGINT) AS recall_at_10_pm
+    FROM ac CROSS JOIN np CROSS JOIN ne
+    LEFT JOIN hits h ON h.arm = ac.arm
+    LEFT JOIN rec r ON r.arm = ac.arm
+    ORDER BY ac.arm
+    """,
+)
+def retrieval_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-selection report (ROADMAP 5b): every ANN index variant
+    judged on ONE yardstick — how well it finds the brute-force nearest
+    neighbor (nn hits@10 + MRR of the true NN in the arm's ranking) and
+    how much of the exact top-10 it recovers (recall@10, per-mille) —
+    next to its scan cost (candidate pairs scored), in a single table:
+    ``exact`` full scan (the anchor: MRR 1.0, recall 1000 by
+    construction), ``lsh`` and ``lsh_mp2`` (multiprobe-2) hyperplane
+    buckets, ``ivf`` (probe-2 inverted lists), and the byte-budget arms
+    ``pq`` / ``ivfpq`` whose candidates are their integer-ADC shortlists
+    (the refine pattern of ann_ivfpq_refine_topk). Every arm feeds the
+    SAME exact quantized-cosine rerank, so quality differences are purely
+    recall of candidate generation — the number that picks the index at
+    10^9 vectors. The union candidate table is staged (numpy bucketing /
+    ADC boundary, each generator oracle-verified by its own catalog
+    entry); ground truth, rerank, ranks and all metrics replay in the
+    oracle from the same bytes. Costs stay sublinear for every arm but
+    ``exact`` — nothing here is corpus-quadratic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8)
+
+    def _arm(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("arm"), "query_id", "item_id")
+
+    exact = (
+        qs.select(F.col("vec_id").alias("query_id"))
+        .crossJoin(emb.select(F.col("vec_id").alias("item_id")))
+        .where(F.col("item_id") != F.col("query_id"))
+    )
+    lsh0 = ann.lsh_candidates(emb, qs, dim=64)
+    lsh2 = ann.lsh_candidates(emb, qs, dim=64, multiprobe=2)
+    cents = ann.train_ivf(emb, n_lists=8)
+    ivf = ann.ivf_candidates(emb, qs, cents, n_probe=2)
+    cb = ann.train_pq(emb, m=8, k_codes=16)
+    pq_short = ann.pq_adc_topk(ann.pq_encode(emb, cb), ann.pq_query_luts(qs, cb), k=20)
+    cents2, cb2 = ann.train_ivfpq(emb, n_lists=8, m=8, k_codes=16)
+    luts2, biases2 = ann.ivfpq_query_tables(qs, cents2, cb2, n_probe=4)
+    ivfpq_short = ann.ivfpq_adc_topk(ann.ivfpq_encode(emb, cents2, cb2), luts2, biases2, k=20)
+    cands = stage(
+        _arm("exact", exact)
+        .unionByName(_arm("lsh", lsh0))
+        .unionByName(_arm("lsh_mp2", lsh2))
+        .unionByName(_arm("ivf", ivf))
+        .unionByName(_arm("pq", pq_short.select("query_id", "item_id")))
+        .unionByName(_arm("ivfpq", ivfpq_short.select("query_id", "item_id"))),
+        "rir_cands",
+    )
+    qz = emb.select(
+        F.col("vec_id").alias("_vid"), ann._quantize(F.col("embedding"), 1000).alias("_v")
+    )
+    scored = (
+        cands.join(qz.withColumnRenamed("_vid", "query_id").withColumnRenamed("_v", "q_v"), "query_id")
+        .join(qz.withColumnRenamed("_vid", "item_id").withColumnRenamed("_v", "i_v"), "item_id")
+        .select("arm", "query_id", "item_id", ann._quantized_cosine("q_v", "i_v").alias("cosine"))
+    )
+    w = Window.partitionBy("arm", "query_id").orderBy(F.desc("cosine"), F.col("item_id"))
+    top = (
+        scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10).persist()
+    )
+    pos = top.where((F.col("arm") == "exact") & (F.col("rk") == 1)).select(
+        F.col("query_id").alias("p_qid"), F.col("item_id").alias("pos_id")
+    )
+    ex10 = top.where(F.col("arm") == "exact").select(
+        F.col("query_id").alias("e_qid"), F.col("item_id").alias("e_iid")
+    )
+    hits = (
+        top.join(
+            F.broadcast(pos),
+            (top.query_id == F.col("p_qid")) & (top.item_id == F.col("pos_id")),
+        )
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_hit"),
+            F.sum(F.expr("1000000 div rk")).alias("sum_rr"),
+        )
+    )
+    rec = (
+        top.join(
+            F.broadcast(ex10),
+            (top.query_id == F.col("e_qid")) & (top.item_id == F.col("e_iid")),
+        )
+        .groupBy("arm")
+        .agg(F.count("*").alias("n_rec"))
+    )
+    ac = cands.groupBy("arm").agg(F.count("*").cast("long").alias("n_scored"))
+    np_ = pos.agg(F.count("*").alias("n_queries"))
+    ne = ex10.agg(F.count("*").alias("n_exact"))
+    return (
+        ac.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(ne))
+        .join(F.broadcast(hits), "arm", "left")
+        .join(F.broadcast(rec), "arm", "left")
+        .select(
+            "arm",
+            "n_scored",
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("nn_hit_at_10"),
+            F.expr("cast(coalesce(sum_rr, 0) div n_queries as bigint)").alias("mrr_nn_x1e6"),
+            F.expr("cast((coalesce(n_rec, 0) * 1000) div n_exact as bigint)").alias(
+                "recall_at_10_pm"
+            ),
+        )
+        .orderBy("arm")
+    )
+
+
+@q(
+    "retrieval_rrf_sweep",
+    f"""
+    WITH hsrc AS (
+      SELECT id, unnest(hs) AS h FROM read_parquet('{staged_glob("rrfs_shingles")}')
+    ),
+    lexovl AS (
+      SELECT q.id AS query_id, i.id AS item_id, COUNT(*) AS n_common
+      FROM hsrc q JOIN hsrc i ON q.h = i.h AND i.id <> q.id
+      WHERE q.id < 8 GROUP BY q.id, i.id
+    ),
+    lex AS (
+      SELECT query_id, item_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY n_common DESC, item_id) AS INT)
+               AS rank_lex
+      FROM lexovl
+    ),
+    lex20 AS (SELECT * FROM lex WHERE rank_lex <= 20),
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, item_id,
+             CASE WHEN nq > 0 AND ni > 0
+                  THEN round(CAST(dot AS DOUBLE)
+                             / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ni AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM (
+        SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+               list_sum(list_transform(list_zip(q.v, i.v), p -> p[1] * p[2])) AS dot,
+               list_sum(list_transform(q.v, x -> x * x)) AS nq,
+               list_sum(list_transform(i.v, x -> x * x)) AS ni
+        FROM qz q, qz i WHERE q.vec_id < 8 AND i.vec_id <> q.vec_id
+      )
+    ),
+    cos20 AS (
+      SELECT query_id, item_id, CAST(rk AS INT) AS rank_cos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rk
+        FROM scored
+      ) WHERE rk <= 20
+    ),
+    cfg(rrf_k, w_dense, w_lex) AS (VALUES
+      (10, 1, 1), (10, 2, 1), (10, 1, 2),
+      (60, 1, 1), (60, 2, 1), (60, 1, 2),
+      (240, 1, 1), (240, 2, 1), (240, 1, 2)),
+    f AS (
+      SELECT cfg.rrf_k, cfg.w_dense, cfg.w_lex,
+             COALESCE(c.query_id, l.query_id) AS query_id,
+             COALESCE(c.item_id, l.item_id) AS item_id,
+             c.rank_cos, l.rank_lex,
+             CAST(COALESCE(cfg.w_dense * (1000000 // (cfg.rrf_k + c.rank_cos)), 0)
+                  + COALESCE(cfg.w_lex * (1000000 // (cfg.rrf_k + l.rank_lex)), 0)
+                  AS BIGINT) AS rrf_x1e6
+      FROM cfg CROSS JOIN (SELECT * FROM cos20 FULL OUTER JOIN lex20 USING (query_id, item_id)) u
+      LEFT JOIN cos20 c ON c.query_id = u.query_id AND c.item_id = u.item_id
+      LEFT JOIN lex20 l ON l.query_id = u.query_id AND l.item_id = u.item_id
+    ),
+    fused5 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY rrf_k, w_dense, w_lex, query_id
+          ORDER BY rrf_x1e6 DESC, item_id) AS fr
+        FROM f
+      ) WHERE fr <= 5
+    )
+    SELECT CAST(rrf_k AS INT) AS rrf_k, CAST(w_dense AS INT) AS w_dense,
+           CAST(w_lex AS INT) AS w_lex,
+           CAST(COUNT(CASE WHEN rank_cos <= 5 THEN 1 END) AS BIGINT) AS n_dense5,
+           CAST(COUNT(CASE WHEN rank_lex <= 5 THEN 1 END) AS BIGINT) AS n_lex5,
+           CAST(COUNT(CASE WHEN rank_cos IS NOT NULL AND rank_lex IS NOT NULL
+                      THEN 1 END) AS BIGINT) AS n_both
+    FROM fused5 GROUP BY rrf_k, w_dense, w_lex
+    ORDER BY rrf_k, w_dense, w_lex
+    """,
+)
+def retrieval_rrf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF weight/K calibration sweep (ROADMAP 5b, mirroring the LSH
+    multiprobe sweep): reciprocal-rank fusion's two knobs — the damping
+    constant K (small → rank-1 dominance, large → smooth blending) and
+    the per-system weights — swept over 9 configs, each judged by HOW
+    the fused top-5 tilts: items drawn from the dense top-5, from the
+    lexical top-5, and items ranked by BOTH systems (the consensus set
+    RRF is meant to surface). Source rankings are computed once (exact
+    quantized-cosine dense top-20; staged-shingle lexical top-20 — the
+    retrieval_rrf_fusion machinery) and every config reuses them, so the
+    sweep costs 9 window passes over candidate-bounded lists, never a
+    corpus rescan. All contributions are integers
+    (``w * (1e6 div (K + rank))``); the oracle replays both rankings,
+    all 9 fusions, and the tilt counts from the same bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    cos20 = ann.quantized_topk(
+        emb, emb.where(F.col("vec_id") < 8), id_col="vec_id", vec_col="embedding", k=20
+    ).select("query_id", "item_id", F.col("rank").cast("int").alias("rank_cos"))
+    hs = stage(
+        dedup.hashed_shingle_sets(docs, "doc_id", "text"), "rrfs_shingles", partitions=2
+    )
+    posts = hs.select("id", F.explode("hs").alias("h"))
+    qp = posts.where(F.col("id") < 8).select(F.col("id").alias("query_id"), "h")
+    ip = posts.select(F.col("id").alias("item_id"), "h")
+    lex20 = (
+        qp.join(ip, "h")
+        .where(F.col("item_id") != F.col("query_id"))
+        .groupBy("query_id", "item_id")
+        .agg(F.count("*").alias("n_common"))
+        .withColumn(
+            "rank_lex",
+            F.row_number()
+            .over(Window.partitionBy("query_id").orderBy(F.desc("n_common"), "item_id"))
+            .cast("int"),
+        )
+        .where(F.col("rank_lex") <= 20)
+        .select("query_id", "item_id", "rank_lex")
+    )
+    cfg = spark.createDataFrame(
+        [(k, wd, wl) for k in (10, 60, 240) for (wd, wl) in ((1, 1), (2, 1), (1, 2))],
+        "rrf_k int, w_dense int, w_lex int",
+    )
+    merged = cos20.join(lex20, ["query_id", "item_id"], "full_outer")
+    f = merged.crossJoin(F.broadcast(cfg)).select(
+        "rrf_k",
+        "w_dense",
+        "w_lex",
+        "query_id",
+        "item_id",
+        "rank_cos",
+        "rank_lex",
+        (
+            F.coalesce(F.expr("w_dense * (1000000 div (rrf_k + rank_cos))"), F.lit(0))
+            + F.coalesce(F.expr("w_lex * (1000000 div (rrf_k + rank_lex))"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_x1e6"),
+    )
+    w = Window.partitionBy("rrf_k", "w_dense", "w_lex", "query_id").orderBy(
+        F.desc("rrf_x1e6"), "item_id"
+    )
+    fused5 = f.withColumn("fr", F.row_number().over(w)).where(F.col("fr") <= 5)
+    return (
+        fused5.groupBy("rrf_k", "w_dense", "w_lex")
+        .agg(
+            F.count(F.when(F.col("rank_cos") <= 5, 1)).cast("long").alias("n_dense5"),
+            F.count(F.when(F.col("rank_lex") <= 5, 1)).cast("long").alias("n_lex5"),
+            F.count(F.when(F.col("rank_cos").isNotNull() & F.col("rank_lex").isNotNull(), 1))
+            .cast("long")
+            .alias("n_both"),
+        )
+        .orderBy("rrf_k", "w_dense", "w_lex")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -12150,7 +12469,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep",
 ]
 
 
