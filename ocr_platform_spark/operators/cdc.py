@@ -239,3 +239,48 @@ def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
         .cast("long")
         .alias("dup_bytes"),
     )
+
+
+def cdc_host_dictionary_stats(chunks: DataFrame, host_col: str = "host") -> DataFrame:
+    """(host, n_docs, n_chunks, total_bytes, dict_bytes, saved_bytes,
+    saved_pm) — per-host SHARED-DICTIONARY savings estimate: if each host
+    stores every chunk whose hash occurs in ≥ 2 of its documents exactly
+    once (the host dictionary — template furniture, shared JS/CSS,
+    syndicated blocks), repeated occurrences cost nothing, so
+    ``saved_bytes = Σ (occurrences − 1) × length`` over shared hashes and
+    ``dict_bytes`` is the dictionary's one-copy size. ``saved_pm`` is the
+    integer per-mille of payload bytes the dictionary removes — the number
+    that prices chunk-level storage for a recrawl archive. Input is the
+    chunk table joined with a host column; everything here is two hash
+    aggregates keyed by (host, chunk_hash) and host — chunk-table-sized,
+    nothing touches payload bytes."""
+    per_hash = chunks.groupBy(host_col, "chunk_hash").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("id").alias("n_ids"),
+        # same hash => same bytes => same length; max is just the value
+        F.max("length").alias("length"),
+    )
+    shared = per_hash.where(F.col("n_ids") >= 2)
+    tot = chunks.groupBy(host_col).agg(
+        F.countDistinct("id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("length").cast("long").alias("total_bytes"),
+    )
+    sav = shared.groupBy(host_col).agg(
+        F.sum("length").cast("long").alias("dict_bytes"),
+        F.sum((F.col("n_occ") - 1) * F.col("length")).cast("long").alias("saved_bytes"),
+    )
+    return (
+        tot.join(sav, host_col, "left")
+        .select(
+            host_col,
+            "n_docs",
+            "n_chunks",
+            "total_bytes",
+            F.coalesce("dict_bytes", F.lit(0)).cast("long").alias("dict_bytes"),
+            F.coalesce("saved_bytes", F.lit(0)).cast("long").alias("saved_bytes"),
+        )
+        .withColumn(
+            "saved_pm", F.expr("cast((1000 * saved_bytes) div total_bytes as bigint)")
+        )
+    )

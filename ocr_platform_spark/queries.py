@@ -12406,6 +12406,113 @@ def retrieval_rrf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "payload_cdc_storage",
+    f"""
+    WITH c AS (SELECT * FROM read_parquet('{staged_glob("cdcs_chunks")}')),
+    per_hash AS (
+      SELECT host, chunk_hash, COUNT(*) AS n_occ,
+             COUNT(DISTINCT id) AS n_ids, MAX(length) AS length
+      FROM c GROUP BY host, chunk_hash
+    ),
+    shared AS (SELECT * FROM per_hash WHERE n_ids >= 2),
+    tot AS (
+      SELECT host, COUNT(DISTINCT id) AS n_docs, COUNT(*) AS n_chunks,
+             SUM(length) AS total_bytes
+      FROM c GROUP BY host
+    ),
+    sav AS (
+      SELECT host, SUM(length) AS dict_bytes,
+             SUM((n_occ - 1) * length) AS saved_bytes
+      FROM shared GROUP BY host
+    )
+    SELECT t.host, CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_chunks AS BIGINT) AS n_chunks,
+           CAST(t.total_bytes AS BIGINT) AS total_bytes,
+           CAST(COALESCE(s.dict_bytes, 0) AS BIGINT) AS dict_bytes,
+           CAST(COALESCE(s.saved_bytes, 0) AS BIGINT) AS saved_bytes,
+           CAST((1000 * COALESCE(s.saved_bytes, 0)) // t.total_bytes AS BIGINT)
+             AS saved_pm
+    FROM tot t LEFT JOIN sav s ON s.host = t.host
+    ORDER BY t.host
+    """,
+)
+def payload_cdc_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC at STORAGE-REALISTIC parameters (ROADMAP 5a): avg_bits=12
+    (~4 KB expected chunks, uint16 convolution mask), min 1 KB / max
+    16 KB — the FastCDC/casync operating point — over ~35 KB payloads
+    built so each host's documents embed a shared 24 KB host blob at a
+    DIFFERENT byte offset per document (doc-unique head of varying
+    length, then the blob, then a unique tail). Fixed-offset chunking
+    can never dedup content that moves; Gear boundaries re-synchronize
+    inside the shared region, so the host's interior blob chunks hash
+    identically across its documents, and the per-host
+    shared-dictionary savings estimate (operators/cdc.
+    cdc_host_dictionary_stats) prices exactly that: dictionary size
+    (one copy of every chunk shared by ≥ 2 docs of the host),
+    saved bytes, and the per-mille of payload the dictionary removes.
+    The boundary scan is the pinned Arrow kernel; the staged chunk
+    table is the oracle boundary — BOTH engines compute the entire
+    savings accounting from the same rows."""
+    from ocr_platform_spark.operators.cdc import cdc_chunk_table, cdc_host_dictionary_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    leaders = d.where(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("hid"), F.col("text").alias("ltext")
+    )
+    # aperiodic pseudo-random char streams (md5 chain blocks): repeated
+    # text would make whole regions hit-free under the gear mask (period
+    # shorter than the expected boundary gap -> only forced, offset-
+    # dependent boundaries -> nothing resynchronizes or dedups)
+    def _stream(col: F.Column, tag: str, n_blocks: int) -> F.Column:
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda i: F.md5(F.concat(col, F.lit(tag), i.cast("string"))),
+            ),
+            "",
+        )
+
+    pay = (
+        d.withColumn("hid", F.col("doc_id") % 8)
+        .join(F.broadcast(leaders), "hid")
+        .select(
+            "doc_id",
+            F.concat(F.lit("host-"), F.col("hid").cast("string")).alias("host"),
+            F.encode(
+                F.concat(
+                    # doc-unique head, length varies 13..5995 bytes -> the
+                    # shared blob below starts at a different offset per doc
+                    F.substring(
+                        _stream(F.col("text"), "h", 188),
+                        1,
+                        (F.col("doc_id") % 7) * 997 + 13,
+                    ),
+                    # 24 KB host-shared blob (identical for every doc of the host)
+                    _stream(F.col("ltext"), "b", 768),
+                    # doc-unique tail, 8-12 KB
+                    F.substring(
+                        _stream(F.col("text"), "t", 384),
+                        1,
+                        8192 + (F.col("doc_id") % 5) * 1024,
+                    ),
+                ),
+                "utf-8",
+            ).alias("payload"),
+        )
+    )
+    chunks = stage(
+        cdc_chunk_table(
+            pay, "doc_id", "payload", avg_bits=12, min_size=1024, max_size=16384
+        ).join(
+            pay.select(F.col("doc_id").alias("id"), "host"), "id"
+        ),
+        "cdcs_chunks",
+        partitions=2,
+    )
+    return cdc_host_dictionary_stats(chunks, "host").orderBy("host")
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -12469,7 +12576,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage",
 ]
 
 

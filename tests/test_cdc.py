@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ocr_platform_spark.operators.cdc import (
     cdc_boundaries,
+    cdc_boundaries_fast,
     cdc_chunk_table,
     cdc_dedup_stats,
     gear_table,
@@ -140,3 +141,59 @@ def test_fast_boundaries_bit_identical_to_scalar():
         for _ in range(25):
             data = bytes(rng.randrange(256) for _ in range(rng.randrange(4000)))
             assert cdc_boundaries(data, *params) == cdc_boundaries_fast(data, *params), params
+
+
+def test_storage_params_offset_shift_dedup():
+    """At the storage operating point (avg_bits=12 -> ~4-5 KB chunks,
+    uint16 mask path) a shared blob embedded at DIFFERENT offsets in two
+    payloads still shares most interior chunk hashes — the property that
+    makes host dictionaries work; and mean chunk size sits in the
+    expected band."""
+    rng = random.Random(7)
+    blob = bytes(rng.randrange(256) for _ in range(24576))
+    head_a = bytes(rng.randrange(256) for _ in range(1311))
+    head_b = bytes(rng.randrange(256) for _ in range(4979))
+    tail = bytes(rng.randrange(256) for _ in range(8192))
+    pa = head_a + blob + tail
+    pb = head_b + blob + tail
+    ha = {
+        hashlib.md5(pa[s:e]).hexdigest()
+        for s, e in cdc_boundaries_fast(pa, avg_bits=12, min_size=1024, max_size=16384)
+    }
+    hb = {
+        hashlib.md5(pb[s:e]).hexdigest()
+        for s, e in cdc_boundaries_fast(pb, avg_bits=12, min_size=1024, max_size=16384)
+    }
+    spans = cdc_boundaries_fast(pa, avg_bits=12, min_size=1024, max_size=16384)
+    mean = len(pa) / len(spans)
+    assert 1024 <= mean <= 16384
+    shared_bytes = 0
+    for s, e in spans:
+        if hashlib.md5(pa[s:e]).hexdigest() in hb:
+            shared_bytes += e - s
+    # the blob is ~72% of payload a; after one-chunk resync loss on each
+    # side of the shifted region most of it must still dedup
+    assert shared_bytes >= len(blob) // 2
+
+
+def test_host_dictionary_stats_accounting(spark):
+    """cdc_host_dictionary_stats: hand-checkable chunk table — shared
+    chunks are counted once in the dictionary, repeats are savings, and
+    hosts with no sharing report zero."""
+    from ocr_platform_spark.operators.cdc import cdc_host_dictionary_stats
+
+    rows = [
+        # host A: chunk x shared by docs 1 and 2 (100 bytes), doc 1 also
+        # repeats x internally -> 3 occurrences, dict keeps one copy
+        (1, "A", "x", 100), (1, "A", "x", 100), (2, "A", "x", 100),
+        (1, "A", "u", 40), (2, "A", "v", 60),
+        # host B: no cross-doc sharing ("w" repeats only within doc 3)
+        (3, "B", "w", 50), (3, "B", "w", 50), (4, "B", "z", 70),
+    ]
+    df = spark.createDataFrame(rows, "id long, host string, chunk_hash string, length int")
+    out = {r["host"]: r.asDict() for r in cdc_host_dictionary_stats(df, "host").collect()}
+    assert out["A"]["total_bytes"] == 400
+    assert out["A"]["dict_bytes"] == 100
+    assert out["A"]["saved_bytes"] == 200  # (3-1) * 100
+    assert out["A"]["saved_pm"] == 500
+    assert out["B"]["dict_bytes"] == 0 and out["B"]["saved_bytes"] == 0
