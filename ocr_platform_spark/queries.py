@@ -12513,6 +12513,275 @@ def payload_cdc_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_host_dictionary_stats(chunks, "host").orderBy("host")
 
 
+@q(
+    "anchor_training_pairs",
+    f"""
+    WITH e AS (
+      SELECT regexp_extract(src_url, '^https?://([^/?#]+)', 1) AS src_host,
+             regexp_extract(dst_url, '^https?://([^/?#]+)', 1) AS dst_host,
+             dst_url,
+             regexp_replace(trim(lower(anchor)), '\\s+', ' ', 'g') AS anchor
+      FROM read_parquet('{staged_glob("anchor_pair_edges")}')
+    ),
+    kept AS (
+      SELECT anchor, dst_url, src_host
+      FROM e
+      WHERE src_host <> dst_host
+        AND length(anchor) >= 3
+        AND anchor NOT IN ('home', 'next', 'previous', 'click here',
+                           'read more', 'more', 'link', 'here')
+    ),
+    sup AS (
+      SELECT anchor, dst_url,
+             COUNT(DISTINCT src_host) AS n_hosts, COUNT(*) AS n_links
+      FROM kept GROUP BY anchor, dst_url
+    ),
+    denoised AS (SELECT * FROM sup WHERE n_hosts >= 2)
+    SELECT anchor, dst_url, CAST(n_hosts AS BIGINT) AS n_hosts,
+           CAST(n_links AS BIGINT) AS n_links, CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor ORDER BY n_hosts DESC, n_links DESC, dst_url) AS rk
+      FROM denoised
+    ) WHERE rk <= 3
+    ORDER BY anchor, rank
+    """,
+)
+def anchor_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text WEAK-SUPERVISION mining — the classic free training
+    signal for retrieval/ranking models: an anchor is a human-written
+    query and its link target the labeled positive. Denoising is the
+    standard two-gate recipe: (1) cross-host links only (same-host
+    anchors are navigation furniture) and (2) support from ≥ 2 DISTINCT
+    source hosts (independent sites agreeing on the phrase); a
+    navigational stoplist drops the 'click here' class, and each anchor
+    keeps its top-3 targets by (host support, link count, url). Edge
+    supply = the quote-aware anchor kernel's real extraction over the
+    synthetic corpus UNIONED with a deterministic planted cross-host
+    recommendation layer (descriptive anchors drawn from target text —
+    the corpus's organic links are intra-host navigation). The union
+    edge table is staged; the oracle replays normalization, both denoise
+    gates, support counting and the per-anchor ranking. Everything
+    shuffles on (anchor, dst_url) — corpus-proportional keys, no
+    skew-prone host-wide grouping."""
+    from ocr_platform_spark.operators.linkgraph import extract_outlink_anchors
+    from ocr_platform_spark.operators.partitioning import host_of
+
+    organic = extract_outlink_anchors(_synth_docs(spark)).select(
+        "src_url", "dst_url", "anchor"
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    targets = d.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://target-"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+        ).alias("dst_url"),
+        F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 1, 4), " ").alias("anchor"),
+    )
+    # each target is recommended by 2-4 distinct referrer hosts
+    planted = targets.select(
+        "dst_url",
+        "anchor",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3) + 1)
+        ).alias("ref"),
+    ).select(
+        F.concat(
+            F.lit("https://blog-"), F.col("ref").cast("string"), F.lit(".example.net/post")
+        ).alias("src_url"),
+        "dst_url",
+        "anchor",
+    )
+    edges = stage(
+        organic.unionByName(planted), "anchor_pair_edges", partitions=4
+    )
+    e = edges.select(
+        host_of("src_url").alias("src_host"),
+        host_of("dst_url").alias("dst_host"),
+        "dst_url",
+        F.regexp_replace(F.trim(F.lower("anchor")), r"\s+", " ").alias("anchor"),
+    )
+    kept = e.where(
+        (F.col("src_host") != F.col("dst_host"))
+        & (F.length("anchor") >= 3)
+        & ~F.col("anchor").isin(
+            "home", "next", "previous", "click here", "read more", "more", "link", "here"
+        )
+    )
+    sup = kept.groupBy("anchor", "dst_url").agg(
+        F.countDistinct("src_host").alias("n_hosts"), F.count("*").alias("n_links")
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("n_hosts"), F.desc("n_links"), "dst_url"
+    )
+    return (
+        sup.where(F.col("n_hosts") >= 2)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "anchor",
+            "dst_url",
+            F.col("n_hosts").cast("long").alias("n_hosts"),
+            F.col("n_links").cast("long").alias("n_links"),
+            "rank",
+        )
+        .orderBy("anchor", "rank")
+    )
+
+
+@q(
+    "host_link_farm_pairs",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT
+             regexp_extract(src_url, '^https?://([^/?#]+)', 1) AS src_host,
+             regexp_extract(dst_url, '^https?://([^/?#]+)', 1) AS dst_host,
+             dst_url
+      FROM read_parquet('{staged_glob("farm_edges")}')
+      WHERE regexp_extract(src_url, '^https?://([^/?#]+)', 1)
+            <> regexp_extract(dst_url, '^https?://([^/?#]+)', 1)
+    ),
+    outs AS (SELECT DISTINCT src_host, dst_url FROM e),
+    osz AS (SELECT src_host, COUNT(*) AS n FROM outs GROUP BY src_host),
+    coup AS (
+      SELECT a.src_host AS host_a, b.src_host AS host_b, COUNT(*) AS n_shared_out
+      FROM outs a JOIN outs b ON a.dst_url = b.dst_url AND a.src_host < b.src_host
+      GROUP BY 1, 2
+    ),
+    ins AS (SELECT DISTINCT dst_host, src_host FROM e),
+    cocit AS (
+      SELECT a.dst_host AS host_a, b.dst_host AS host_b, COUNT(*) AS n_shared_in
+      FROM ins a JOIN ins b ON a.src_host = b.src_host AND a.dst_host < b.dst_host
+      GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT COALESCE(c.host_a, i.host_a) AS host_a,
+             COALESCE(c.host_b, i.host_b) AS host_b,
+             COALESCE(c.n_shared_out, 0) AS n_shared_out,
+             COALESCE(i.n_shared_in, 0) AS n_shared_in
+      FROM coup c FULL OUTER JOIN cocit i
+        ON c.host_a = i.host_a AND c.host_b = i.host_b
+    )
+    SELECT u.host_a, u.host_b,
+           CAST(u.n_shared_out AS BIGINT) AS n_shared_out,
+           CAST(u.n_shared_in AS BIGINT) AS n_shared_in,
+           CAST(CASE WHEN sa.n IS NULL OR sb.n IS NULL THEN 0
+                ELSE (1000 * u.n_shared_out) // (sa.n + sb.n - u.n_shared_out)
+                END AS BIGINT) AS coupling_x1000,
+           (u.n_shared_out >= 10 AND sa.n IS NOT NULL AND sb.n IS NOT NULL
+            AND (1000 * u.n_shared_out) // (sa.n + sb.n - u.n_shared_out) >= 600)
+             AS is_farm_pair
+    FROM u
+    LEFT JOIN osz sa ON sa.src_host = u.host_a
+    LEFT JOIN osz sb ON sb.src_host = u.host_b
+    ORDER BY u.host_a, u.host_b
+    """,
+)
+def host_link_farm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm detection by DUAL link-set overlap — the off-content spam
+    geometry TrustRank's seed flow can miss when a farm interlinks with
+    crawled-but-unseeded regions: per host pair, bibliographic COUPLING
+    (shared outlink urls — farms pushing the same promoted pages) and
+    CO-CITATION (shared referrer hosts — pages promoted by the same
+    farm), with the farm gate on integer coupling Jaccard ≥ 0.6 over ≥ 10
+    shared targets. The corpus's organic cross-host links stay below the
+    gate; a planted 3-host farm promoting one 20-url slate trips it, and
+    the promoted target hosts surface as strongly co-cited WITHOUT
+    tripping the coupling gate — the two directions separate promoter
+    from promoted. Both overlaps join on corpus-proportional keys
+    (dst_url / src_host), never per-host collected sets; the staged edge
+    list is the only kernel boundary and the oracle replays every set
+    size, overlap, quotient and gate."""
+    from ocr_platform_spark.operators.linkgraph import extract_outlinks
+    from ocr_platform_spark.operators.partitioning import host_of
+
+    organic = extract_outlinks(_synth_docs(spark)).select("src_url", "dst_url")
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    promo = d.where(F.col("doc_id") < 20).select(
+        F.concat(
+            F.lit("https://promo-"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example.org/offer/"), F.col("doc_id").cast("string"),
+        ).alias("dst_url")
+    )
+    planted = promo.crossJoin(
+        spark.range(3).select(
+            F.concat(F.lit("https://farm-"), F.col("id").cast("string"), F.lit(".example.biz/page"))
+            .alias("src_url")
+        )
+    ).select("src_url", "dst_url")
+    edges = stage(
+        organic.unionByName(planted), "farm_edges", partitions=4
+    )
+    e = (
+        edges.select(
+            host_of("src_url").alias("src_host"),
+            host_of("dst_url").alias("dst_host"),
+            "dst_url",
+        )
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+    outs = e.select("src_host", "dst_url").distinct()
+    osz = outs.groupBy("src_host").agg(F.count("*").alias("n"))
+    oa = outs.select(F.col("src_host").alias("host_a"), "dst_url")
+    ob = outs.select(F.col("src_host").alias("host_b"), "dst_url")
+    coup = (
+        oa.join(ob, "dst_url")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_shared_out"))
+    )
+    ins = e.select("dst_host", "src_host").distinct()
+    ia = ins.select(F.col("dst_host").alias("host_a"), "src_host")
+    ib = ins.select(F.col("dst_host").alias("host_b"), "src_host")
+    cocit = (
+        ia.join(ib, "src_host")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_shared_in"))
+    )
+    u = (
+        coup.join(cocit, ["host_a", "host_b"], "full_outer")
+        .select(
+            "host_a",
+            "host_b",
+            F.coalesce("n_shared_out", F.lit(0)).alias("n_shared_out"),
+            F.coalesce("n_shared_in", F.lit(0)).alias("n_shared_in"),
+        )
+    )
+    jac = F.expr(
+        "case when n_a is null or n_b is null then 0 "
+        "else (1000 * n_shared_out) div (n_a + n_b - n_shared_out) end"
+    )
+    return (
+        u.join(
+            F.broadcast(osz.select(F.col("src_host").alias("host_a"), F.col("n").alias("n_a"))),
+            "host_a",
+            "left",
+        )
+        .join(
+            F.broadcast(osz.select(F.col("src_host").alias("host_b"), F.col("n").alias("n_b"))),
+            "host_b",
+            "left",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            F.col("n_shared_out").cast("long").alias("n_shared_out"),
+            F.col("n_shared_in").cast("long").alias("n_shared_in"),
+            jac.cast("long").alias("coupling_x1000"),
+            (
+                (F.col("n_shared_out") >= 10)
+                & F.col("n_a").isNotNull()
+                & F.col("n_b").isNotNull()
+                & (jac >= 600)
+            ).alias("is_farm_pair"),
+        )
+        .orderBy("host_a", "host_b")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -12576,7 +12845,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs",
 ]
 
 
