@@ -12782,6 +12782,189 @@ def host_link_farm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fim_hash_sql(salt: str, mod_sql: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 6)) "
+        f"AS BIGINT) % ({mod_sql})"
+    )
+
+
+@q(
+    "corpus_fim_transform",
+    f"""
+    WITH e AS (SELECT * FROM read_parquet('{staged_glob("fim_enc")}')),
+    cut AS (
+      SELECT doc_id, n_tokens, ids, string_split(ids, ' ') AS ts,
+             ({_fim_hash_sql("-fimg", "1000")}) < 500 AND n_tokens > 0 AS applied,
+             {_fim_hash_sql("-fim1", "n_tokens + 1")} AS c1,
+             {_fim_hash_sql("-fim2", "n_tokens + 1")} AS c2
+      FROM e
+    ),
+    sp AS (
+      SELECT doc_id, n_tokens, ids, ts, applied,
+             least(c1, c2) AS lo, greatest(c1, c2) AS hi
+      FROM cut
+    )
+    SELECT doc_id, applied AS fim_applied,
+           CAST(CASE WHEN applied THEN n_tokens + 3 ELSE n_tokens END AS INT)
+             AS n_tokens,
+           CASE WHEN applied THEN array_to_string(
+                  list_concat(list_concat(list_concat(list_concat(
+                    ['-1'], ts[1:CAST(lo AS INT)]),
+                    ['-2']), ts[CAST(hi AS INT) + 1 : CAST(n_tokens AS INT)]),
+                    list_concat(['-3'], ts[CAST(lo AS INT) + 1 : CAST(hi AS INT)])),
+                  ' ')
+                ELSE ids END AS ids
+    FROM sp ORDER BY doc_id
+    """,
+)
+def corpus_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022 — the FIM
+    recipe code models train with): for a deterministic 50% of documents
+    (md5 gate), the encoded token sequence splits at two md5-derived cut
+    points into prefix/middle/suffix and reorders to PSM —
+    ``<PRE> prefix <SUF> suffix <MID> middle`` — with sentinel ids
+    -1/-2/-3 (the dense-rank vocabulary is positive, 0 is the EOS
+    reserve), completing the tokenizer chain train → encode → FIM →
+    pack. Everything after encoding is pure column arithmetic: the cut
+    points are per-row md5 draws modulo n+1 (the hash_bucket dialect
+    pair with a per-row modulus), splits are array slices, and the
+    reorder is one concat — so the oracle replays gate, cuts, slices and
+    the exact output id sequence per document from the staged encoded
+    table. Wholly map-side; no shuffle beyond the staged input."""
+    from ocr_platform_spark.operators.bpe import (
+        encode_with_segmentation,
+        train_bpe_merges,
+        word_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = word_counts(d, "text", min_count=2)
+    _merges, syms = train_bpe_merges(words, n_merges=_BPE_MERGES)
+    seg = stage(
+        syms.select(
+            F.regexp_replace("sym", " ", "").alias("word"),
+            F.split("sym", " ").alias("toks"),
+        ),
+        "fim_seg",
+    )
+    enc = stage(
+        encode_with_segmentation(d, seg, "doc_id", "text"), "fim_enc", partitions=4
+    )
+
+    def _h(salt: str, mod: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    n = F.col("n_tokens")
+    cut = enc.select(
+        "doc_id",
+        "n_tokens",
+        "ids",
+        F.split("ids", " ").alias("ts"),
+        ((_h("-fimg", F.lit(1000)) < 500) & (n > 0)).alias("applied"),
+        _h("-fim1", n + 1).alias("c1"),
+        _h("-fim2", n + 1).alias("c2"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "ids",
+        "ts",
+        "applied",
+        F.least("c1", "c2").alias("lo"),
+        F.greatest("c1", "c2").alias("hi"),
+    )
+    fim_ids = F.array_join(
+        F.concat(
+            F.array(F.lit("-1")),
+            F.expr("slice(ts, 1, cast(lo as int))"),
+            F.array(F.lit("-2")),
+            F.expr("slice(ts, cast(hi as int) + 1, cast(n_tokens - hi as int))"),
+            F.array(F.lit("-3")),
+            F.expr("slice(ts, cast(lo as int) + 1, cast(hi - lo as int))"),
+        ),
+        " ",
+    )
+    return cut.select(
+        "doc_id",
+        F.col("applied").alias("fim_applied"),
+        F.when(F.col("applied"), (n + 3).cast("int"))
+        .otherwise(n.cast("int"))
+        .alias("n_tokens"),
+        F.when(F.col("applied"), fim_ids).otherwise(F.col("ids")).alias("ids"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "doc_novelty_scores",
+    f"""
+    WITH hs AS (SELECT * FROM read_parquet('{staged_glob("novelty_hs")}')),
+    tr AS (SELECT id, unnest(hs) AS h FROM hs),
+    first AS (SELECT h, MIN(id) AS first_id FROM tr GROUP BY h),
+    nov AS (
+      SELECT tr.id, COUNT(*) AS n_novel
+      FROM tr JOIN first f ON f.h = tr.h AND f.first_id = tr.id
+      GROUP BY tr.id
+    )
+    SELECT hs.id AS doc_id,
+           CAST(len(hs.hs) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(nov.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(CASE WHEN len(hs.hs) > 0
+                THEN (1000 * COALESCE(nov.n_novel, 0)) // len(hs.hs)
+                ELSE 0 END AS BIGINT) AS novelty_pm
+    FROM hs LEFT JOIN nov ON nov.id = hs.id
+    ORDER BY doc_id
+    """,
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY under arrival order — the incremental-utility
+    signal diversity-aware curation ranks by (a document contributes
+    only what the corpus hasn't already seen; the marginal-value cousin
+    of dedup's binary verdict): each doc's score is the per-mille of its
+    distinct word shingles whose FIRST occurrence (minimum doc_id) is
+    this document. One explode, one map-combinable MIN keyed by shingle
+    hash (corpus-proportional key — parallelizes arbitrarily, no per-doc
+    state), one count-back join. The staged shingle table is the xxhash
+    boundary; the oracle replays first-occurrence assignment and every
+    quotient. Templated/syndicated documents score low; fresh content
+    scores near 1000 — thresholding this IS the quality-aware sampling
+    knob for over-crawled hosts."""
+    d = _t(spark, sf_dir, "documents")
+    hs = stage(
+        dedup.hashed_shingle_sets(d, "doc_id", "text"), "novelty_hs", partitions=8
+    )
+    tr = hs.select("id", F.explode("hs").alias("h"))
+    first = tr.groupBy("h").agg(F.min("id").alias("first_id"))
+    nov = (
+        tr.join(first, (tr.h == first.h) & (tr.id == F.col("first_id")))
+        .groupBy(tr.id)
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        hs.join(nov, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.size("hs").cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.size("hs") > 0,
+                F.expr("cast((1000 * coalesce(n_novel, 0)) div size(hs) as bigint)"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("novelty_pm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -12845,7 +13028,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores",
 ]
 
 
