@@ -155,6 +155,17 @@ HEADLINE = [
     "corpus_bpe_fertility",
     "crawl_trap_detection",
     "url_prefix_rollup",
+    # round-4 continuation (union-MinHash mirrors, index comparison report,
+    # RRF calibration, storage-point CDC, anchor mining, link farms, FIM,
+    # novelty)
+    "host_mirror_near_dups",
+    "retrieval_index_report",
+    "retrieval_rrf_sweep",
+    "payload_cdc_storage",
+    "anchor_training_pairs",
+    "host_link_farm_pairs",
+    "corpus_fim_transform",
+    "doc_novelty_scores",
 ]
 
 

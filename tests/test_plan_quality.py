@@ -409,3 +409,29 @@ def test_scalar_broadcast_queries_avoid_shuffle_joins(spark):
         plan = _formatted(CATALOG[name].fn(spark, SF))
         assert "SortMergeJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_round4_continuation_plans(spark):
+    # this session's entries: everything downstream of a staged table must
+    # stay JVM-side; dictionary-sized sides must broadcast
+    plan = _formatted(CATALOG["host_mirror_near_dups"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # host signature rejoin is host-dim-sized
+
+    # FIM is a pure projection over the staged encoded table
+    plan = _formatted(CATALOG["corpus_fim_transform"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+    # report tails read staged candidates: no Python, no cartesian pairs
+    for name in (
+        "retrieval_index_report",
+        "retrieval_rrf_sweep",
+        "payload_cdc_storage",
+        "anchor_training_pairs",
+        "host_link_farm_pairs",
+        "doc_novelty_scores",
+    ):
+        plan = _formatted(CATALOG[name].fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
