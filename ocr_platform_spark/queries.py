@@ -12965,6 +12965,129 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "event_burst_segments",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 24
+                  + EXTRACT(hour FROM ts) + 1 AS BIGINT) AS t
+      FROM events
+    ),
+    nmax AS (SELECT MAX(t) AS tn FROM ev),
+    grid AS (
+      SELECT et.event_type, CAST(unnest(generate_series(1, nmax.tn)) AS BIGINT) AS t
+      FROM (SELECT DISTINCT event_type FROM ev) et, nmax
+    ),
+    cnt AS (SELECT event_type, t, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+    kk0 AS (
+      SELECT g.event_type, g.t,
+             CAST(COALESCE(c.n, 0)
+                  + CASE WHEN g.event_type = 'click' AND g.t % 17 < 5
+                         THEN 12 ELSE 0 END AS BIGINT) AS k
+      FROM grid g LEFT JOIN cnt c ON c.event_type = g.event_type AND c.t = g.t
+    ),
+    params AS (
+      SELECT event_type, SUM(k) // COUNT(*) AS r0,
+             2 * (SUM(k) // COUNT(*)) + 1 AS r1,
+             greatest(2 * (SUM(k) // COUNT(*)), 2) AS gamma
+      FROM kk0 GROUP BY 1
+    ),
+    kk AS MATERIALIZED (
+      SELECT kk0.*, p.r0, p.r1, p.gamma
+      FROM kk0 JOIN params p ON p.event_type = kk0.event_type
+    ),
+    fwd AS (
+      SELECT event_type, t, k,
+             CAST(abs(k - r0) AS BIGINT) AS c0,
+             CAST(gamma + abs(k - r1) AS BIGINT) AS c1,
+             -1 AS f0, -1 AS f1
+      FROM kk WHERE t = 1
+      UNION ALL
+      SELECT k.event_type, k.t, k.k,
+             CAST(abs(k.k - k.r0) + least(f.c0, f.c1 + k.gamma) AS BIGINT),
+             CAST(abs(k.k - k.r1) + least(f.c1, f.c0 + k.gamma) AS BIGINT),
+             CASE WHEN f.c0 <= f.c1 + k.gamma THEN 0 ELSE 1 END,
+             CASE WHEN f.c1 <= f.c0 + k.gamma THEN 1 ELSE 0 END
+      FROM fwd f JOIN kk k ON k.event_type = f.event_type AND k.t = f.t + 1
+    ),
+    fwdm AS MATERIALIZED (SELECT * FROM fwd),
+    fin AS (SELECT event_type, MAX(t) AS tn FROM fwdm GROUP BY 1),
+    bwd AS (
+      SELECT f.event_type, f.t,
+             CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END AS s
+      FROM fwdm f JOIN fin ON fin.event_type = f.event_type AND f.t = fin.tn
+      UNION ALL
+      SELECT b.event_type, b.t - 1,
+             CASE WHEN b.s = 0 THEN f2.f0 ELSE f2.f1 END
+      FROM bwd b
+      JOIN fwdm f2 ON f2.event_type = b.event_type AND f2.t = b.t
+      WHERE b.t > 1
+    )
+    SELECT k.event_type, k.t, k.k, b.s = 1 AS in_burst
+    FROM kk k JOIN bwd b ON b.event_type = k.event_type AND b.t = k.t
+    ORDER BY k.event_type, k.t
+    """,
+)
+def event_burst_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-style BURST detection over the event stream (operators/
+    bursts.py) — the trending-content signal that drives burst-aware
+    crawl scheduling and sampling: each event type's dense hourly series
+    (zero-filled grid, a planted 5-of-17-hours boost on one type) is
+    labeled base/burst by the globally OPTIMAL two-state segmentation
+    minimizing Σ |k_t − r_state| + γ·transitions, integer costs
+    throughout. This is a different order-dependent-state class from the
+    engine's prefix sums and greedy folds: forward DP with provenance
+    plus a BACKWARD trace, run in Spark as two row-local expression
+    folds over each key's collected series (no Python, keys parallelize
+    arbitrarily) and replayed by the oracle as twin recursive CTEs —
+    forward recurrence, then backtrack — from raw parquet with no
+    staging at all. Hour indexing is date arithmetic (no epoch/timezone
+    dependence); the Spark fold is differentially pinned against a
+    pure-python reference in tests/test_bursts.py."""
+    from ocr_platform_spark.operators.bursts import burst_segments
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "event_type",
+        (
+            F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) * 24
+            + F.hour("ts")
+            + 1
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    tn = ev.agg(F.max("t").alias("tn"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(tn)).select(
+        "event_type", F.explode(F.sequence(F.lit(1).cast("long"), F.col("tn"))).alias("t")
+    )
+    cnt = ev.groupBy("event_type", "t").agg(F.count("*").alias("n"))
+    kk0 = grid.join(cnt, ["event_type", "t"], "left").select(
+        "event_type",
+        "t",
+        (
+            F.coalesce("n", F.lit(0))
+            + F.when(
+                (F.col("event_type") == "click") & (F.col("t") % 17 < 5), F.lit(12)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    params = kk0.groupBy("event_type").agg(
+        F.expr("sum(k) div count(*)").alias("r0"),
+        F.expr("2 * (sum(k) div count(*)) + 1").alias("r1"),
+        F.expr("greatest(2 * (sum(k) div count(*)), 2)").alias("gamma"),
+    )
+    kk = kk0.join(F.broadcast(params), "event_type")
+    return (
+        burst_segments(kk, key_col="event_type", t_col="t", k_col="k")
+        .orderBy("event_type", "t")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -13028,7 +13151,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments",
 ]
 
 
