@@ -570,3 +570,125 @@ def extract_outlink_anchors(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"src_url": src, "dst_url": dst, "anchor": anchor})
 
     return docs.select("url", "html").mapInPandas(kernel, _ANCHOR_EDGES_DDL)
+
+
+def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """(host, degree, n_triangles, clustering_x1000) over an undirected
+    host graph — triangle density separates organic neighborhoods from
+    link spam (farms interlink into near-cliques; Becchetti et al. 2008
+    use exactly this signal for web-spam demotion).
+
+    Scale shape: the classic degree-ordered ORIENTATION (Suri &
+    Vassilvitskii's MR triangle counting): each undirected edge points
+    from the (degree, host)-smaller endpoint to the larger, so every
+    triangle is enumerated exactly once from its smallest vertex and the
+    wedge join's fan-out is bounded by the max ORIENTED out-degree —
+    O(√m) on any graph — instead of the raw degree of the biggest hub.
+    Without orientation a 10^6-degree hub contributes 10^12 wedges; with
+    it, hubs sit on the receiving side of almost all their edges. Three
+    hash joins on host keys; per-host counts come from exploding each
+    triangle's three corners."""
+    und = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("h"))
+        .unionAll(und.select(F.col("v").alias("h")))
+        .groupBy("h")
+        .agg(F.count("*").alias("degree"))
+    )
+    ranked = und.join(
+        deg.select(F.col("h").alias("u"), F.col("degree").alias("du")), "u"
+    ).join(deg.select(F.col("h").alias("v"), F.col("degree").alias("dv")), "v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    o = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("y"),
+    )
+    wedges = (
+        o.select(F.col("x").alias("w_a"), F.col("y").alias("w_b"))
+        .join(
+            o.select(F.col("x").alias("w_b"), F.col("y").alias("w_c")),
+            "w_b",
+        )
+    )
+    tris = wedges.join(
+        o.select(F.col("x").alias("w_a"), F.col("y").alias("w_c")),
+        ["w_a", "w_c"],
+    )
+    per_host = (
+        tris.select(F.explode(F.array("w_a", "w_b", "w_c")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_host, "h", "left")
+        .select(
+            F.col("h").alias("host"),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+        .withColumn(
+            "clustering_x1000",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr("(2000 * n_triangles) div (degree * (degree - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+
+
+def resolve_pointer_chains(
+    decls: DataFrame,
+    url_col: str = "url",
+    canon_col: str = "canon",
+    doublings: int = 3,
+) -> DataFrame:
+    """(url, final_url, n_hops, resolved) — follow rel=canonical (or
+    redirect) declarations to their terminal target: canonical targets
+    often declare canonicals of their own, so naive one-hop rewriting
+    leaves chains (u → v → w) half-collapsed, and declaration CYCLES
+    (u → v → u) must surface as unresolved rather than loop forever.
+
+    Scale shape: POINTER DOUBLING — the step table S_k(u) = f^(2^k)(u)
+    composes with itself each round (one equi-join on the current
+    target), so a hop budget of 2^doublings costs ``doublings`` shuffle
+    joins instead of 2^doublings sequential ones; distances ride along as
+    d_{k+1} = d_k(u) + d_k(S_k(u)), which telescopes to
+    min(2^k, dist-to-root) because a root contributes 0. After the last
+    round, ``resolved`` checks the landing point is a fixed point of f —
+    cycle members and over-deep chains fail it. The DuckDB oracle
+    resolves the SAME budget one hop at a time (a different algorithm
+    reaching the same composition f^(2^k)), which cross-checks the
+    doubling algebra, not just the arithmetic."""
+    u, c = F.col(url_col), F.col(canon_col)
+    nodes = (
+        decls.select(u.alias("n"))
+        .unionAll(decls.select(c.alias("n")))
+        .distinct()
+    )
+    nxt = nodes.join(
+        decls.select(u.alias("n"), c.alias("_c")), "n", "left"
+    ).select("n", F.coalesce("_c", F.col("n")).alias("p"))
+    s = nxt.select(
+        "n", "p", F.when(F.col("p") == F.col("n"), 0).otherwise(1).cast("long").alias("d")
+    )
+    for _ in range(doublings):
+        hop = s.select(F.col("n").alias("p"), F.col("p").alias("p2"), F.col("d").alias("d2"))
+        s = s.join(hop, "p").select(
+            "n", F.col("p2").alias("p"), (F.col("d") + F.col("d2")).alias("d")
+        )
+    term = nxt.select(F.col("n").alias("p"), (F.col("p") == F.col("n")).alias("resolved"))
+    return s.join(term, "p").select(
+        F.col("n").alias(url_col),
+        F.col("p").alias("final_url"),
+        F.col("d").cast("long").alias("n_hops"),
+        "resolved",
+    )

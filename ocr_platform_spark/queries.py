@@ -13088,6 +13088,185 @@ def event_burst_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "host_triangle_stats",
+    """
+    WITH raw AS (
+      SELECT doc_id % 40 AS a,
+             (doc_id % 40 + 1 + doc_id % 13) % 40 AS b
+      FROM documents WHERE doc_id % 31 = 0
+      UNION ALL
+      SELECT doc_id % 5, (doc_id // 5) % 5 FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT 5, doc_id % 40 FROM documents WHERE doc_id % 11 = 0
+    ),
+    und AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a <> b
+    ),
+    deg AS (
+      SELECT h, COUNT(*) AS degree FROM (
+        SELECT u AS h FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY h
+    ),
+    o AS (
+      SELECT CASE WHEN (da.degree, und.u) < (db.degree, und.v)
+                  THEN und.u ELSE und.v END AS x,
+             CASE WHEN (da.degree, und.u) < (db.degree, und.v)
+                  THEN und.v ELSE und.u END AS y
+      FROM und
+      JOIN deg da ON da.h = und.u
+      JOIN deg db ON db.h = und.v
+    ),
+    tris AS (
+      SELECT w.w_a, w.w_b, w.w_c
+      FROM (
+        SELECT o1.x AS w_a, o1.y AS w_b, o2.y AS w_c
+        FROM o o1 JOIN o o2 ON o2.x = o1.y
+      ) w
+      JOIN o o3 ON o3.x = w.w_a AND o3.y = w.w_c
+    ),
+    per AS (
+      SELECT h, COUNT(*) AS n_triangles FROM (
+        SELECT w_a AS h FROM tris
+        UNION ALL SELECT w_b FROM tris
+        UNION ALL SELECT w_c FROM tris
+      ) GROUP BY h
+    )
+    SELECT 'h' || CAST(deg.h AS VARCHAR) AS host,
+           CAST(deg.degree AS BIGINT) AS degree,
+           CAST(COALESCE(per.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN deg.degree >= 2
+                THEN (2000 * COALESCE(per.n_triangles, 0))
+                     // (deg.degree * (deg.degree - 1))
+                ELSE 0 END AS BIGINT) AS clustering_x1000
+    FROM deg LEFT JOIN per ON per.h = deg.h
+    ORDER BY host
+    """,
+)
+def host_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the host
+    graph (operators/linkgraph.triangle_counts) — the web-spam signal of
+    Becchetti et al.: link farms interlink into near-cliques (clustering
+    → 1) while organic hosts sit in sparse neighborhoods. Enumeration
+    uses the degree-ordered ORIENTATION so each triangle is found once
+    from its smallest-degree corner and wedge fan-out is bounded O(√m)
+    even at a 10^6-degree hub — the thing that makes triangle counting
+    run at web scale at all. The host graph is derived deterministically
+    from doc arithmetic (a pseudo-random sparse layer, a planted K5
+    clique on hosts 0-4, and a hub spoke-set on host 5), so the oracle
+    is staging-free: DuckDB rebuilds the graph and replays
+    symmetrization, degrees, orientation, the two wedge joins and the
+    per-corner counts from raw parquet. The planted clique members show
+    clustering ≈ 1000·(pairs-among-neighbors); the hub's coefficient
+    collapses toward 0 — both visible in the output."""
+    from ocr_platform_spark.operators.linkgraph import triangle_counts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") % 40
+    raw = (
+        d.where(F.col("doc_id") % 31 == 0)
+        .select(h.alias("a"), ((h + 1 + F.col("doc_id") % 13) % 40).alias("b"))
+        .unionAll(
+            d.where(F.col("doc_id") < 25).select(
+                (F.col("doc_id") % 5).alias("a"),
+                (F.expr("doc_id div 5") % 5).alias("b"),
+            )
+        )
+        .unionAll(
+            d.where(F.col("doc_id") % 11 == 0).select(
+                F.lit(5).cast("long").alias("a"), (F.col("doc_id") % 40).alias("b")
+            )
+        )
+    )
+    return (
+        triangle_counts(raw, "a", "b")
+        .select(
+            F.concat(F.lit("h"), F.col("host").cast("string")).alias("host"),
+            "degree",
+            "n_triangles",
+            "clustering_x1000",
+        )
+        .orderBy("host")
+    )
+
+
+@q(
+    "url_canonical_chains",
+    """
+    WITH RECURSIVE decl AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+             CASE
+               WHEN doc_id % 8 BETWEEN 1 AND 5
+                 THEN 'u' || CAST(doc_id - 1 AS VARCHAR)
+               WHEN doc_id % 8 = 6 THEN 'u' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 16 = 7 THEN 'u' || CAST(doc_id + 8 AS VARCHAR)
+               WHEN doc_id % 16 = 15 THEN 'u' || CAST(doc_id - 8 AS VARCHAR)
+             END AS canon
+      FROM documents WHERE doc_id % 8 <> 0
+    ),
+    nodes AS (
+      SELECT DISTINCT n FROM (
+        SELECT url AS n FROM decl UNION ALL SELECT canon FROM decl
+      )
+    ),
+    nxt AS MATERIALIZED (
+      SELECT n, COALESCE(d.canon, n) AS p
+      FROM nodes LEFT JOIN decl d ON d.url = n
+    ),
+    walk AS (
+      SELECT n, p AS cur,
+             CAST(CASE WHEN p = n THEN 0 ELSE 1 END AS BIGINT) AS hops,
+             1 AS it
+      FROM nxt
+      UNION ALL
+      SELECT w.n, x.p,
+             w.hops + CASE WHEN x.p = w.cur THEN 0 ELSE 1 END,
+             w.it + 1
+      FROM walk w JOIN nxt x ON x.n = w.cur
+      WHERE w.it < 8
+    )
+    SELECT w.n AS url, w.cur AS final_url, w.hops AS n_hops,
+           t.p = w.cur AS resolved
+    FROM walk w JOIN nxt t ON t.n = w.cur
+    WHERE w.it = 8
+    ORDER BY url
+    """,
+)
+def url_canonical_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-declaration CHAIN resolution (operators/linkgraph.
+    resolve_pointer_chains): rel=canonical targets often declare their
+    own canonicals, so dedup keyed on the one-hop target still splits a
+    chain's members; this resolves every url to its terminal target by
+    POINTER DOUBLING — 3 shuffle joins cover an 8-hop budget (log cost,
+    the functional-graph path-compression trick), distances telescope to
+    min(budget, dist-to-root), and declaration cycles surface as
+    resolved=false instead of looping. Synthetic declarations plant
+    5-hop chains, explicit self-canonicals, and 2-cycles per 16-doc
+    block. The oracle resolves the SAME budget one hop at a time in a
+    recursive CTE — a different algorithm whose composition equals
+    f^(2^doublings), cross-checking the doubling algebra itself;
+    staging-free from raw parquet. (nxt is pulled through a MATERIALIZED
+    CTE: referenced from inside the recursion, an inline view would
+    re-evaluate per iteration.)"""
+    from ocr_platform_spark.operators.linkgraph import resolve_pointer_chains
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    decl = d.where(did % 8 != 0).select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        F.when(
+            (did % 8 >= 1) & (did % 8 <= 5),
+            F.concat(F.lit("u"), (did - 1).cast("string")),
+        )
+        .when(did % 8 == 6, F.concat(F.lit("u"), did.cast("string")))
+        .when(did % 16 == 7, F.concat(F.lit("u"), (did + 8).cast("string")))
+        .when(did % 16 == 15, F.concat(F.lit("u"), (did - 8).cast("string")))
+        .alias("canon"),
+    )
+    return resolve_pointer_chains(decl, "url", "canon", doublings=3).orderBy("url")
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; this round the window rotates to 50 of the 52 entries that have
@@ -13151,7 +13330,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains",
 ]
 
 

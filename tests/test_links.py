@@ -422,3 +422,50 @@ def test_host_spam_mass_separates_farm_from_seeded(spark):
     pr = {r["host"]: r["rank"] for r in host_pagerank(edges, iterations=6).collect()}
     tr = {r["host"]: r["rank"] for r in host_trustrank(edges, seeds, iterations=6).collect()}
     assert all(rows[h]["pr_rank"] == pr[h] and rows[h]["tr_rank"] == tr[h] for h in rows)
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 on a-d plus pendant e-a: each K4 member sits in 3 triangles;
+    a's coefficient dilutes from the pendant; e has none."""
+    from ocr_platform_spark.operators.linkgraph import triangle_counts
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("e", "a"), ("b", "a")]  # duplicate reversed edge
+    df = spark.createDataFrame(edges, "a string, b string")
+    out = {r["host"]: r.asDict() for r in triangle_counts(df, "a", "b").collect()}
+    assert out["b"]["n_triangles"] == 3 and out["b"]["clustering_x1000"] == 1000
+    assert out["a"]["degree"] == 4 and out["a"]["n_triangles"] == 3
+    assert out["a"]["clustering_x1000"] == 500  # 2*3 // (4*3) per mille
+    assert out["e"]["n_triangles"] == 0 and out["e"]["clustering_x1000"] == 0
+    # triangle conservation: each triangle counted at exactly 3 corners
+    assert sum(r["n_triangles"] for r in out.values()) % 3 == 0
+
+
+def test_resolve_pointer_chains_chain_cycle_self(spark):
+    from ocr_platform_spark.operators.linkgraph import resolve_pointer_chains
+
+    decls = [("c3", "c2"), ("c2", "c1"), ("c1", "root"),
+             ("s", "s"), ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(decls, "url string, canon string")
+    out = {r["url"]: r.asDict() for r in resolve_pointer_chains(df).collect()}
+    assert out["c3"]["final_url"] == "root" and out["c3"]["n_hops"] == 3
+    assert out["c2"]["final_url"] == "root" and out["c2"]["n_hops"] == 2
+    assert out["root"]["final_url"] == "root" and out["root"]["n_hops"] == 0
+    assert out["root"]["resolved"] and out["c3"]["resolved"]
+    assert out["s"]["n_hops"] == 0 and out["s"]["resolved"]
+    assert not out["x"]["resolved"] and out["x"]["n_hops"] == 8
+    assert out["x"]["final_url"] in ("x", "y")
+
+
+def test_resolve_pointer_chains_deep_chain_budget(spark):
+    """A chain longer than the 2^doublings budget stays unresolved; one
+    more doubling resolves it."""
+    from ocr_platform_spark.operators.linkgraph import resolve_pointer_chains
+
+    decls = [(f"n{i}", f"n{i-1}") for i in range(1, 12)]
+    df = spark.createDataFrame(decls, "url string, canon string")
+    out8 = {r["url"]: r.asDict() for r in resolve_pointer_chains(df, doublings=3).collect()}
+    assert not out8["n11"]["resolved"] and out8["n11"]["n_hops"] == 8
+    out16 = {r["url"]: r.asDict() for r in resolve_pointer_chains(df, doublings=4).collect()}
+    assert out16["n11"]["resolved"] and out16["n11"]["n_hops"] == 11
+    assert out16["n11"]["final_url"] == "n0"
