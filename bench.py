@@ -166,6 +166,9 @@ HEADLINE = [
     "host_link_farm_pairs",
     "corpus_fim_transform",
     "doc_novelty_scores",
+    "event_burst_segments",
+    "host_triangle_stats",
+    "url_canonical_chains",
 ]
 
 

@@ -435,3 +435,14 @@ def test_round4_continuation_plans(spark):
         plan = _formatted(CATALOG[name].fn(spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+    # burst DP and graph entries are wholly JVM-side expression/join work
+    for name in (
+        "event_burst_segments",
+        "host_triangle_stats",
+        "url_canonical_chains",
+    ):
+        plan = _formatted(CATALOG[name].fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
