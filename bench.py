@@ -169,6 +169,7 @@ HEADLINE = [
     "event_burst_segments",
     "host_triangle_stats",
     "url_canonical_chains",
+    "anchor_retrieval_eval",
 ]
 
 

@@ -13267,6 +13267,209 @@ def url_canonical_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_pointer_chains(decl, "url", "canon", doublings=3).orderBy("url")
 
 
+def _anchor_eval_oracle() -> str:
+    from ocr_platform_spark.operators import embed as _embed
+
+    return f"""
+    WITH e AS (
+      SELECT regexp_extract(src_url, '^https?://([^/?#]+)', 1) AS src_host,
+             regexp_extract(dst_url, '^https?://([^/?#]+)', 1) AS dst_host,
+             dst_url,
+             regexp_replace(trim(lower(anchor)), '\\s+', ' ', 'g') AS anchor
+      FROM read_parquet('{staged_glob("areval_edges")}')
+    ),
+    sup AS (
+      SELECT anchor, dst_url,
+             COUNT(DISTINCT src_host) AS n_hosts, COUNT(*) AS n_links
+      FROM e
+      WHERE src_host <> dst_host AND length(anchor) >= 3
+      GROUP BY anchor, dst_url
+    ),
+    mined AS (
+      SELECT anchor,
+             CAST(regexp_extract(dst_url, '/doc/([0-9]+)$', 1) AS BIGINT)
+               AS pos_doc_id
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY anchor ORDER BY n_hosts DESC, n_links DESC, dst_url) AS rk
+        FROM sup WHERE n_hosts >= 2
+      ) WHERE rk = 1
+    ),
+    qids AS (
+      SELECT anchor, pos_doc_id,
+             1000000 + CAST(('0x' || substr(md5(anchor || '-q'), 1, 6)) AS BIGINT)
+               % 1000000 AS qid
+      FROM mined
+    ),
+    embin AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN (SELECT DISTINCT pos_doc_id FROM mined) t
+        ON t.pos_doc_id = d.doc_id
+      UNION ALL
+      SELECT qid AS doc_id, anchor AS text FROM qids
+    ),
+    {_embed.derived_embeddings_cte(table="embin")},
+    scored AS (
+      SELECT q.anchor, q.pos_doc_id, t.pos_doc_id AS cand_id,
+             CASE WHEN nq > 0 AND ni > 0
+                  THEN round(CAST(dot AS DOUBLE)
+                             / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ni AS DOUBLE))), 6)
+                  ELSE 0.0 END AS cosine
+      FROM qids q
+      JOIN (SELECT DISTINCT pos_doc_id FROM mined) t ON TRUE,
+      LATERAL (
+        SELECT list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                       p -> p[1] * p[2])) AS dot,
+               list_sum(list_transform(a.embedding, x -> x * x)) AS nq,
+               list_sum(list_transform(b.embedding, x -> x * x)) AS ni
+        FROM demb a, demb b
+        WHERE a.doc_id = q.qid AND b.doc_id = t.pos_doc_id
+      )
+    ),
+    pc AS (
+      SELECT anchor, pos_doc_id, cosine AS pos_cos
+      FROM scored WHERE cand_id = pos_doc_id
+    ),
+    ranked AS (
+      SELECT pc.anchor, pc.pos_doc_id,
+             CAST(1 + COUNT(CASE WHEN s.cosine > pc.pos_cos
+                              OR (s.cosine = pc.pos_cos
+                                  AND s.cand_id < pc.pos_doc_id)
+                            THEN 1 END) AS INT) AS rank
+      FROM pc JOIN scored s ON s.anchor = pc.anchor
+      GROUP BY pc.anchor, pc.pos_doc_id
+    )
+    SELECT anchor, pos_doc_id, rank, rank = 1 AS hit_at_1,
+           CAST(CASE WHEN rank <= 10 THEN 1000000 // rank ELSE 0 END AS BIGINT)
+             AS rr_x1e6
+    FROM ranked ORDER BY anchor
+    """
+
+
+@q("anchor_retrieval_eval", _anchor_eval_oracle())
+def anchor_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END weak-supervision retrieval eval — the composition the
+    anchor pairs exist for: anchors mined from the link graph become
+    queries, their link targets the labeled positives, both sides embed
+    with the deterministic trigram-hash embedder, and each positive's
+    rank among ALL mined targets under exact integer-vector cosine
+    yields hit@1 / MRR — measuring whether anchor text actually
+    retrieves its target in embedding space (it should: planted anchors
+    are 4-word prefixes of their targets' text, so misses mark prefix
+    collisions). Mining replays the anchor_training_pairs gates from its
+    own staged edge union; query pseudo-doc ids are md5-derived; the
+    oracle recomputes every embedding from raw text (the shared
+    derived-embeddings CTE), every cosine, and every count-comparison
+    rank — nothing numeric crosses an engine boundary unverified. Query
+    and candidate sets are mining-sized; the rank needs no corpus-wide
+    window."""
+    from ocr_platform_spark.operators.embed import hashed_ngram_embedding
+    from ocr_platform_spark.operators.linkgraph import extract_outlink_anchors
+    from ocr_platform_spark.operators.partitioning import host_of
+
+    organic = extract_outlink_anchors(_synth_docs(spark)).select(
+        "src_url", "dst_url", "anchor"
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    targets = d.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://target-"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+        ).alias("dst_url"),
+        F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 1, 4), " ").alias("anchor"),
+    )
+    planted = targets.select(
+        "dst_url",
+        "anchor",
+        F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3) + 1)).alias("ref"),
+    ).select(
+        F.concat(
+            F.lit("https://blog-"), F.col("ref").cast("string"), F.lit(".example.net/post")
+        ).alias("src_url"),
+        "dst_url",
+        "anchor",
+    )
+    edges = stage(organic.unionByName(planted), "areval_edges", partitions=4)
+    e = edges.select(
+        host_of("src_url").alias("src_host"),
+        host_of("dst_url").alias("dst_host"),
+        "dst_url",
+        F.regexp_replace(F.trim(F.lower("anchor")), r"\s+", " ").alias("anchor"),
+    )
+    sup = (
+        e.where((F.col("src_host") != F.col("dst_host")) & (F.length("anchor") >= 3))
+        .groupBy("anchor", "dst_url")
+        .agg(F.countDistinct("src_host").alias("n_hosts"), F.count("*").alias("n_links"))
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("n_hosts"), F.desc("n_links"), "dst_url")
+    mined = (
+        sup.where(F.col("n_hosts") >= 2)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "anchor",
+            F.regexp_extract("dst_url", r"/doc/([0-9]+)$", 1).cast("long").alias("pos_doc_id"),
+        )
+    )
+    qids = mined.select(
+        "anchor",
+        "pos_doc_id",
+        (
+            F.lit(1000000)
+            + F.conv(
+                F.substring(F.md5(F.concat(F.col("anchor"), F.lit("-q"))), 1, 6), 16, 10
+            ).cast("long")
+            % 1000000
+        ).alias("qid"),
+    )
+    tset = mined.select("pos_doc_id").distinct()
+    embin = (
+        d.join(tset, d.doc_id == tset.pos_doc_id)
+        .select("doc_id", "text")
+        .unionByName(qids.select(F.col("qid").alias("doc_id"), F.col("anchor").alias("text")))
+    )
+    emb = hashed_ngram_embedding(embin, "doc_id", "text").select("id", "embedding")
+    qe = qids.join(emb, qids.qid == emb.id).select(
+        "anchor", "pos_doc_id", F.col("embedding").alias("q_v")
+    )
+    te = tset.join(emb, tset.pos_doc_id == emb.id).select(
+        F.col("pos_doc_id").alias("cand_id"), F.col("embedding").alias("i_v")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_v", "i_v", lambda a, b: a * b), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    nq = F.aggregate(F.transform("q_v", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
+    ni = F.aggregate(F.transform("i_v", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
+    cos = F.when(
+        (nq > 0) & (ni > 0),
+        F.round(dot.cast("double") / (F.sqrt(nq.cast("double")) * F.sqrt(ni.cast("double"))), 6),
+    ).otherwise(F.lit(0.0))
+    scored = qe.crossJoin(F.broadcast(te)).select(
+        "anchor", "pos_doc_id", "cand_id", cos.alias("cosine")
+    )
+    pc = scored.where(F.col("cand_id") == F.col("pos_doc_id")).select(
+        "anchor", F.col("cosine").alias("pos_cos")
+    )
+    before = (F.col("cosine") > F.col("pos_cos")) | (
+        (F.col("cosine") == F.col("pos_cos")) & (F.col("cand_id") < F.col("pos_doc_id"))
+    )
+    ranked = (
+        scored.join(F.broadcast(pc), "anchor")
+        .groupBy("anchor", "pos_doc_id")
+        .agg((F.lit(1) + F.count(F.when(before, 1))).cast("int").alias("rank"))
+    )
+    return ranked.select(
+        "anchor",
+        "pos_doc_id",
+        "rank",
+        (F.col("rank") == 1).alias("hit_at_1"),
+        F.when(F.col("rank") <= 10, F.expr("cast(1000000 div rank as bigint)"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rr_x1e6"),
+    ).orderBy("anchor")
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; round 4's window holds 50 entries that had never appeared in a
@@ -13326,7 +13529,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval",
 ]
 
 

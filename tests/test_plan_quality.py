@@ -446,3 +446,10 @@ def test_round4_continuation_plans(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+    # the anchor eval embeds via the pandas-UDF trigram embedder
+    # (ArrowEvalPython is the EXPECTED vectorized shape); ranking joins
+    # must broadcast the mining-sized sides
+    plan = _formatted(CATALOG["anchor_retrieval_eval"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
