@@ -170,6 +170,7 @@ HEADLINE = [
     "host_triangle_stats",
     "url_canonical_chains",
     "anchor_retrieval_eval",
+    "burst_aware_crawl_budget",
 ]
 
 

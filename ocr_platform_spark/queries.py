@@ -13470,6 +13470,215 @@ def anchor_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("anchor")
 
 
+@q(
+    "burst_aware_crawl_budget",
+    r"""
+    WITH RECURSIVE ev AS (
+      SELECT 'site-' || CAST(user_id % 40 AS VARCHAR) AS host,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 24
+                  + EXTRACT(hour FROM ts) + 1 AS BIGINT) AS t
+      FROM events
+    ),
+    nmax AS (SELECT MAX(t) AS tn FROM ev),
+    grid AS (
+      SELECT h.host, CAST(unnest(generate_series(1, nmax.tn)) AS BIGINT) AS t
+      FROM (SELECT DISTINCT host FROM ev) h, nmax
+    ),
+    cnt AS (SELECT host, t, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+    kk0 AS (
+      SELECT g.host, g.t,
+             CAST(COALESCE(c.n, 0)
+                  + CASE WHEN CAST(substr(g.host, 6) AS BIGINT) % 7 = 0
+                              AND g.t % 13 < 3
+                         THEN 9 ELSE 0 END AS BIGINT) AS k
+      FROM grid g LEFT JOIN cnt c ON c.host = g.host AND c.t = g.t
+    ),
+    params AS (
+      SELECT host, SUM(k) // COUNT(*) AS r0,
+             2 * (SUM(k) // COUNT(*)) + 1 AS r1,
+             greatest(2 * (SUM(k) // COUNT(*)), 2) AS gamma
+      FROM kk0 GROUP BY 1
+    ),
+    kk AS MATERIALIZED (
+      SELECT kk0.*, p.r0, p.r1, p.gamma
+      FROM kk0 JOIN params p ON p.host = kk0.host
+    ),
+    fwd AS (
+      SELECT host, t, k,
+             CAST(abs(k - r0) AS BIGINT) AS c0,
+             CAST(gamma + abs(k - r1) AS BIGINT) AS c1,
+             -1 AS f0, -1 AS f1
+      FROM kk WHERE t = 1
+      UNION ALL
+      SELECT k.host, k.t, k.k,
+             CAST(abs(k.k - k.r0) + least(f.c0, f.c1 + k.gamma) AS BIGINT),
+             CAST(abs(k.k - k.r1) + least(f.c1, f.c0 + k.gamma) AS BIGINT),
+             CASE WHEN f.c0 <= f.c1 + k.gamma THEN 0 ELSE 1 END,
+             CASE WHEN f.c1 <= f.c0 + k.gamma THEN 1 ELSE 0 END
+      FROM fwd f JOIN kk k ON k.host = f.host AND k.t = f.t + 1
+    ),
+    fwdm AS MATERIALIZED (SELECT * FROM fwd),
+    fin AS (SELECT host, MAX(t) AS tn FROM fwdm GROUP BY 1),
+    bwd AS (
+      SELECT f.host, f.t, CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END AS s
+      FROM fwdm f JOIN fin ON fin.host = f.host AND f.t = fin.tn
+      UNION ALL
+      SELECT b.host, b.t - 1, CASE WHEN b.s = 0 THEN f2.f0 ELSE f2.f1 END
+      FROM bwd b JOIN fwdm f2 ON f2.host = b.host AND f2.t = b.t
+      WHERE b.t > 1
+    ),
+    share AS (
+      SELECT host,
+             CAST((1000 * COUNT(CASE WHEN s = 1 THEN 1 END)) // COUNT(*) AS BIGINT)
+               AS burst_share_pm
+      FROM bwd GROUP BY host
+    ),
+    c AS (
+      SELECT doc_id,
+        CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS toks,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|that|with)\b')) AS DOUBLE) AS stops,
+        CAST(length(text) - length(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE) AS punct
+      FROM documents
+    ),
+    dq AS (
+      SELECT 'site-' || CAST(doc_id % 40 AS VARCHAR) AS host,
+        CAST(round(round(
+          least(toks / 100.0, 1.0) * 0.4
+          + least((CASE WHEN toks > 0 THEN stops / toks ELSE 0.0 END) * 5.0, 1.0) * 0.3
+          + (1.0 - least((CASE WHEN toks > 0 THEN punct / toks ELSE 1.0 END) * 2.0, 1.0)) * 0.3,
+          4) * 1000) AS BIGINT) AS q_x1000
+      FROM c
+    ),
+    m AS (
+      SELECT dq.host, CAST(SUM(q_x1000) AS BIGINT) AS mass,
+             CAST(COALESCE(MAX(sh.burst_share_pm), 0) AS BIGINT) AS burst_share_pm,
+             CAST(SUM(q_x1000) * (1000 + COALESCE(MAX(sh.burst_share_pm), 0)) // 1000
+                  AS BIGINT) AS boosted
+      FROM dq LEFT JOIN share sh ON sh.host = dq.host
+      GROUP BY dq.host
+    ),
+    tt AS (SELECT CAST(SUM(boosted) AS BIGINT) AS total FROM m),
+    b2 AS (
+      SELECT host, mass, burst_share_pm, boosted,
+             (1000 * boosted) // total AS base,
+             (1000 * boosted) % total AS rem
+      FROM m, tt
+    ),
+    l AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover FROM b2),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk FROM b2)
+    SELECT host, mass, burst_share_pm, boosted,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS slots,
+           CAST(least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, 120)
+                AS BIGINT) AS capped_slots
+    FROM r, l ORDER BY host
+    """,
+)
+def burst_aware_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURST-AWARE crawl budgeting — the composition the burst detector
+    exists for: each host's event series (user-keyed activity mapped to
+    hosts, a planted 3-of-13-hours surge on every 7th host) runs through
+    the optimal two-state segmentation, its per-mille of burst hours
+    multiplies the host's quality mass (trending hosts earn fresh-crawl
+    priority on top of quality), and the boosted masses apportion the
+    1000-slot budget by the exact largest-remainder rule with the
+    politeness cap. Chains three proven pieces — burst DP (twin
+    recursive CTEs), quality mass (host_quality_rollup substrate),
+    integer apportionment (crawl_budget_allocation) — into one
+    staging-free oracled plan; every intermediate is integer so the
+    composition hashes identically cross-engine. Scale: the DP is
+    per-host row-local, the apportionment shuffles host-count-sized
+    data, and the two scalar aggregates broadcast."""
+    from ocr_platform_spark.operators.bursts import burst_segments
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        F.concat(F.lit("site-"), (F.col("user_id") % 40).cast("string")).alias("host"),
+        (
+            F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) * 24
+            + F.hour("ts")
+            + 1
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    tn = ev.agg(F.max("t").alias("tn"))
+    grid = (
+        ev.select("host")
+        .distinct()
+        .crossJoin(F.broadcast(tn))
+        .select("host", F.explode(F.sequence(F.lit(1).cast("long"), F.col("tn"))).alias("t"))
+    )
+    cnt = ev.groupBy("host", "t").agg(F.count("*").alias("n"))
+    hid = F.substring("host", 6, 10).cast("long")
+    kk0 = grid.join(cnt, ["host", "t"], "left").select(
+        "host",
+        "t",
+        (
+            F.coalesce("n", F.lit(0))
+            + F.when((hid % 7 == 0) & (F.col("t") % 13 < 3), F.lit(9)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    params = kk0.groupBy("host").agg(
+        F.expr("sum(k) div count(*)").alias("r0"),
+        F.expr("2 * (sum(k) div count(*)) + 1").alias("r1"),
+        F.expr("greatest(2 * (sum(k) div count(*)), 2)").alias("gamma"),
+    )
+    kk = kk0.join(F.broadcast(params), "host")
+    seg = burst_segments(kk, key_col="host", t_col="t", k_col="k")
+    share = seg.groupBy("host").agg(
+        F.expr(
+            "cast((1000 * count(case when in_burst then 1 end)) div count(*) as bigint)"
+        ).alias("burst_share_pm")
+    )
+    d = _t(spark, sf_dir, "documents")
+    q1000 = F.round(TX.quality_score("text") * 1000).cast("long")
+    m = (
+        d.select(
+            F.concat(F.lit("site-"), (F.col("doc_id") % 40).cast("string")).alias("host"),
+            q1000.alias("q_x1000"),
+        )
+        .groupBy("host")
+        .agg(F.sum("q_x1000").cast("long").alias("mass"))
+        .join(F.broadcast(share), "host", "left")
+        .select(
+            "host",
+            "mass",
+            F.coalesce("burst_share_pm", F.lit(0)).cast("long").alias("burst_share_pm"),
+        )
+        .withColumn(
+            "boosted", F.expr("cast(mass * (1000 + burst_share_pm) div 1000 as bigint)")
+        )
+    )
+    total = m.agg(F.sum("boosted").cast("long").alias("total"))
+    b2 = m.crossJoin(F.broadcast(total)).select(
+        "host",
+        "mass",
+        "burst_share_pm",
+        "boosted",
+        F.expr("(1000 * boosted) div total").alias("base"),
+        F.pmod(F.lit(1000) * F.col("boosted"), F.col("total")).alias("rem"),
+    )
+    leftover = b2.agg((F.lit(1000) - F.sum("base")).cast("long").alias("leftover"))
+    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    slots = F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return (
+        b2.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "host",
+            "mass",
+            "burst_share_pm",
+            "boosted",
+            slots.cast("long").alias("slots"),
+            F.least(slots, F.lit(120)).cast("long").alias("capped_slots"),
+        )
+        .orderBy("host")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; round 4's window holds 50 entries that had never appeared in a
@@ -13529,7 +13738,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval", "burst_aware_crawl_budget",
 ]
 
 

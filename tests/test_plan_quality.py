@@ -441,6 +441,7 @@ def test_round4_continuation_plans(spark):
         "event_burst_segments",
         "host_triangle_stats",
         "url_canonical_chains",
+        "burst_aware_crawl_budget",
     ):
         plan = _formatted(CATALOG[name].fn(spark, SF))
         assert "BatchEvalPython" not in plan, name
