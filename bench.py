@@ -171,6 +171,7 @@ HEADLINE = [
     "url_canonical_chains",
     "anchor_retrieval_eval",
     "burst_aware_crawl_budget",
+    "cdx_index",
 ]
 
 

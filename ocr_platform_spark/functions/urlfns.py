@@ -173,3 +173,52 @@ def trap_flags_sql(expr: str) -> dict[str, str]:
         "param_heavy": f"len(list_filter(str_split({q}, '&'), x -> x <> '')) >= 6",
         "calendar_like": f"regexp_matches({path}, '/(19|20)[0-9]{{2}}/[0-9]{{1,2}}(/|$)')",
     }
+
+
+# --- SURT (Sort-friendly URI Reordering Transform) ---------------------------
+#
+# The key form CDX indexes sort by (org,example)/path?a=1&b=2): host labels
+# reversed so one host's captures — and one registered domain's subdomains —
+# are CONTIGUOUS under a plain lexicographic sort, which is what makes
+# binary-searchable CDX shards and prefix range-scans work. One rule set,
+# two dialects; parity pinned in tests/test_urlfns.py.
+
+
+def surt_key(col: Column | str) -> Column:
+    """SURT form of a url: lowercase; scheme and fragment dropped; default
+    ports dropped; leading ``www.`` dropped; host labels reversed and
+    comma-joined; empty path becomes ``/``; query params sorted."""
+    u = F.lower(_c(col))
+    auth = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://([^/?#]*)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(auth, r":(80|443)$", ""), r"^www\.", ""
+    )
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.regexp_replace(u, r"^[a-z][a-z0-9+.\-]*://[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    qsorted = F.array_join(F.array_sort(F.split(q, "&")), "&")
+    return F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), qsorted)),
+    )
+
+
+def surt_sql(expr: str) -> str:
+    """DuckDB twin of :func:`surt_key` — same regexes, same ops."""
+    u = f"lower({expr})"
+    auth = f"regexp_extract({u}, '^[a-z][a-z0-9+.\\-]*://([^/?#]*)', 1)"
+    host = f"regexp_replace(regexp_replace({auth}, ':(80|443)$', ''), '^www\\.', '')"
+    rev = f"list_aggregate(list_reverse(string_split({host}, '.')), 'string_agg', ',')"
+    rest = f"regexp_replace({u}, '^[a-z][a-z0-9+.\\-]*://[^/?#]*', '')"
+    path = f"regexp_extract({rest}, '^([^?#]*)', 1)"
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    q = f"regexp_extract({rest}, '\\?([^#]*)', 1)"
+    qsorted = f"array_to_string(list_sort(string_split({q}, '&')), '&')"
+    return (
+        f"{rev} || ')' || {path} || "
+        f"(CASE WHEN {q} = '' THEN '' ELSE '?' || {qsorted} END)"
+    )

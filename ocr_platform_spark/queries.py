@@ -13679,6 +13679,122 @@ def burst_aware_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdx_oracle() -> str:
+    from ocr_platform_spark.functions.urlfns import surt_sql
+    from ocr_platform_spark.operators.sampling import oracle_bucket_sql
+
+    return f"""
+    WITH caps AS (
+      SELECT doc_id, text, cap,
+             CASE WHEN cap = 0
+               THEN 'HTTPS://WWW.Site-' || CAST(doc_id % 24 AS VARCHAR)
+                    || '.Example.org/Doc/' || CAST(doc_id AS VARCHAR)
+                    || '?b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1'
+               ELSE 'https://site-' || CAST(doc_id % 24 AS VARCHAR)
+                    || '.example.org:443/doc/' || CAST(doc_id AS VARCHAR)
+                    || '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR)
+             END AS url,
+             '202401' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               || lpad(CAST((doc_id + cap * 7) % 24 AS VARCHAR), 2, '0') || '0000'
+               AS ts
+      FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS cap)
+    ),
+    rec AS (
+      SELECT {surt_sql("url")} AS surt, ts,
+             md5(text) AS digest, CAST(length(text) AS BIGINT) AS rec_len,
+             doc_id, cap
+      FROM caps
+    ),
+    sharded AS (
+      SELECT *, CAST({oracle_bucket_sql("surt", 4)} AS BIGINT) AS shard FROM rec
+    ),
+    laid AS (
+      SELECT surt, ts, digest, rec_len, shard,
+             CAST(COALESCE(SUM(rec_len) OVER (
+               PARTITION BY shard ORDER BY surt, ts, doc_id, cap
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS rec_offset
+      FROM sharded
+    )
+    SELECT surt, ts, digest, rec_len, shard, rec_offset
+    FROM laid ORDER BY shard, rec_offset, surt, ts
+    """
+
+
+@q("cdx_index", _cdx_oracle())
+def cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture-index construction — the artifact every WARC archive
+    ships beside its payloads (Common Crawl's cc-index): each capture
+    keys by its SURT form (functions/urlfns.surt_key — host labels
+    reversed so one host's, and one registered domain's, captures are
+    CONTIGUOUS under plain lexicographic order, which is what makes
+    binary-searchable shards and domain prefix-scans work), secondary-
+    sorted by timestamp, md5-bucketed into shards, and laid out with
+    exact per-record byte offsets via an exclusive running sum within
+    the shard — the (filename, offset, length) triple a replay service
+    seeks by. Two captures per url with scheme/case/port/param-order
+    variants land on ONE surt key (the normalization is the point). The
+    SURT rule set is a single source with a DuckDB twin (dialect parity
+    pinned in tests/test_urlfns.py over adversarial urls); ts strings
+    are pure lpad arithmetic; the whole index replays staging-free from
+    raw parquet. The only wide operation is the per-shard window over
+    key-sorted records — shard-partitioned, never a global sort."""
+    from ocr_platform_spark.functions.urlfns import surt_key
+    from ocr_platform_spark.operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    caps = d.crossJoin(
+        spark.range(2).select(F.col("id").cast("int").alias("cap"))
+    ).select(
+        "doc_id",
+        "text",
+        "cap",
+        F.when(
+            F.col("cap") == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Site-"), (F.col("doc_id") % 24).cast("string"),
+                F.lit(".Example.org/Doc/"), did,
+                F.lit("?b="), (F.col("doc_id") % 3).cast("string"), F.lit("&a=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site-"), (F.col("doc_id") % 24).cast("string"),
+                F.lit(".example.org:443/doc/"), did,
+                F.lit("?a=1&b="), (F.col("doc_id") % 3).cast("string"),
+            )
+        )
+        .alias("url"),
+        F.concat(
+            F.lit("202401"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            F.lpad(((F.col("doc_id") + F.col("cap") * 7) % 24).cast("string"), 2, "0"),
+            F.lit("0000"),
+        ).alias("ts"),
+    )
+    rec = caps.select(
+        surt_key("url").alias("surt"),
+        "ts",
+        F.md5("text").alias("digest"),
+        F.length("text").cast("long").alias("rec_len"),
+        "doc_id",
+        "cap",
+    ).withColumn("shard", hash_bucket(F.col("surt"), 4).cast("long"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("surt", "ts", "doc_id", "cap")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        rec.withColumn(
+            "rec_offset", F.coalesce(F.sum("rec_len").over(w), F.lit(0)).cast("long")
+        )
+        .select("surt", "ts", "digest", "rec_len", "shard", "rec_offset")
+        .orderBy("shard", "rec_offset", "surt", "ts")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; round 4's window holds 50 entries that had never appeared in a
@@ -13738,7 +13854,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval", "burst_aware_crawl_budget",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval", "burst_aware_crawl_budget", "cdx_index",
 ]
 
 

@@ -442,6 +442,7 @@ def test_round4_continuation_plans(spark):
         "host_triangle_stats",
         "url_canonical_chains",
         "burst_aware_crawl_budget",
+        "cdx_index",
     ):
         plan = _formatted(CATALOG[name].fn(spark, SF))
         assert "BatchEvalPython" not in plan, name

@@ -133,3 +133,48 @@ def test_trap_flags_cross_dialect_on_adversarial_urls(spark):
     assert by_url["https://a.org/x-2020/7/p"][3] is False     # year must start its segment
     assert by_url["https://a.org/s1/s2/s3/s4/s5/s6/s7/s8"][1] is True
     assert by_url["https://a.org/p?&&a=1#frag"][2] is False   # empty params don't count
+
+
+def test_surt_key_dialect_parity(spark):
+    """surt_key (Spark) ≡ surt_sql (DuckDB) on adversarial urls — case,
+    default/non-default ports, www, deep subdomains, duplicate params,
+    fragments, empty paths."""
+    import duckdb
+
+    from ocr_platform_spark.functions.urlfns import surt_key, surt_sql
+
+    urls = [
+        "https://www.Example.ORG:443/Path/To?b=2&a=1#frag",
+        "http://sub.deep.example.org:80/",
+        "https://example.org",
+        "https://example.org:8080/x?z=1",
+        "http://www.a.b.c.example.net/p/q/?x=1&x=0&y",
+        "https://xn--bcher-kva.example/path",
+        "http://example.org/UPPER/case?B=2&a=1&A=3",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(surt_key("url")).collect()]
+    vals = ", ".join("('" + u.replace("'", "''") + "')" for u in urls)
+    exp = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT {surt_sql('url')} FROM (VALUES {vals}) t(url)")
+        .fetchall()
+    ]
+    assert got == exp
+    # the sort-friendliness property: one host's keys share a prefix
+    assert got[0].startswith("org,example)") and got[2].startswith("org,example)")
+
+
+def test_surt_collapses_capture_variants(spark):
+    """Scheme case, www, default port and param order all map to ONE key."""
+    from ocr_platform_spark.functions.urlfns import surt_key
+
+    variants = [
+        "HTTPS://WWW.Example.org/doc/7?b=1&a=2",
+        "https://example.org:443/doc/7?a=2&b=1",
+        "http://www.example.org:80/doc/7?b=1&a=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    keys = {r[0] for r in df.select(surt_key("url")).collect()}
+    assert keys == {"org,example)/doc/7?a=2&b=1"}
