@@ -172,6 +172,7 @@ HEADLINE = [
     "anchor_retrieval_eval",
     "burst_aware_crawl_budget",
     "cdx_index",
+    "dedup_colocation_report",
 ]
 
 

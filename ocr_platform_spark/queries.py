@@ -13795,6 +13795,97 @@ def cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dedup_colocation_report",
+    f"""
+    WITH hs AS (SELECT * FROM read_parquet('{staged_glob("coloc_hs")}')),
+    c AS (SELECT * FROM read_parquet('{staged_glob("coloc_cands")}')),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM c JOIN hs a ON c.id_a = a.id JOIN hs b ON c.id_b = b.id
+      WHERE len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) > 0
+        AND CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+            / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.5
+    ),
+    marked AS (
+      SELECT v.id_a, v.id_b, sa.shard = sb.shard AS same_shard
+      FROM verified v
+      JOIN hs sa ON sa.id = v.id_a
+      JOIN hs sb ON sb.id = v.id_b
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(CASE WHEN same_shard THEN 1 END) AS BIGINT) AS n_intra
+      FROM marked
+    ),
+    ns AS (SELECT COUNT(DISTINCT shard) AS n_shards FROM hs)
+    SELECT n_pairs, n_intra,
+           CAST(CASE WHEN n_pairs > 0 THEN (1000 * n_intra) // n_pairs
+                ELSE 0 END AS BIGINT) AS colocation_pm,
+           CAST(1000 // n_shards AS BIGINT) AS random_baseline_pm
+    FROM agg, ns
+    """,
+)
+def dedup_colocation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-AWARE shard assignment, measured: route each document to
+    the shard of its FIRST MinHash band hash, and near-duplicate pairs
+    land in one shard at (roughly) the band's collision rate instead of
+    the 1/n_shards random baseline — which is what lets dedup run
+    SHARD-LOCALLY at 100 TB (per-shard exact verification, no
+    corpus-wide pair shuffle; stragglers handled by the later bands).
+    The report: of the verified near-dup pairs (exact Jaccard ≥ 0.5 over
+    staged shingle sets, the minhash_near_dups tail), the per-mille
+    co-located under band-sharding next to the 1000/n_shards baseline.
+    Shard assignment is xxhash-side and rides the staged table; the
+    oracle replays verification, the co-location join and both
+    quotients. Everything pair-scoped is candidate-bounded."""
+    d = _t(spark, sf_dir, "documents")
+    hs_raw = dedup.hashed_shingle_sets(d, "doc_id", "text")
+    sig = hs_raw.select(
+        "id", "hs", dedup.minhash_signature_from_hashes("hs", 16).alias("sig")
+    )
+    banded_all = sig.select(
+        "id",
+        "hs",
+        "sig",
+        F.posexplode(dedup.minhash_bands("sig", 16, 2)).alias("band_id", "band_hash"),
+    )
+    hs = stage(
+        banded_all.where(F.col("band_id") == 0).select(
+            "id", "hs", F.pmod("band_hash", F.lit(8)).cast("long").alias("shard")
+        ),
+        "coloc_hs",
+        partitions=8,
+    )
+    cands = stage(
+        dedup._bucket_pairs(
+            banded_all.select("id", "band_id", "band_hash"), "id", 64
+        ),
+        "coloc_cands",
+    )
+    sets_a = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("shard").alias("shard_a"))
+    sets_b = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("shard").alias("shard_b"))
+    j = cands.join(sets_a, "id_a").join(sets_b, "id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
+    verified = j.where(
+        (union > 0) & (inter.cast("double") / union >= 0.5)
+    ).select((F.col("shard_a") == F.col("shard_b")).alias("same_shard"))
+    agg = verified.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.count(F.when(F.col("same_shard"), 1)).cast("long").alias("n_intra"),
+    )
+    ns = hs.agg(F.countDistinct("shard").alias("n_shards"))
+    return agg.crossJoin(F.broadcast(ns)).select(
+        "n_pairs",
+        "n_intra",
+        F.expr(
+            "cast(case when n_pairs > 0 then (1000 * n_intra) div n_pairs else 0 end as bigint)"
+        ).alias("colocation_pm"),
+        F.expr("cast(1000 div n_shards as bigint)").alias("random_baseline_pm"),
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; round 4's window holds 50 entries that had never appeared in a
@@ -13854,7 +13945,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval", "burst_aware_crawl_budget", "cdx_index",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval", "burst_aware_crawl_budget", "cdx_index", "dedup_colocation_report",
 ]
 
 

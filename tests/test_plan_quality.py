@@ -425,6 +425,7 @@ def test_round4_continuation_plans(spark):
 
     # report tails read staged candidates: no Python, no cartesian pairs
     for name in (
+        "dedup_colocation_report",
         "retrieval_index_report",
         "retrieval_rrf_sweep",
         "payload_cdc_storage",
