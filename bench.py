@@ -173,6 +173,7 @@ HEADLINE = [
     "burst_aware_crawl_budget",
     "cdx_index",
     "dedup_colocation_report",
+    "wet_cdx_index",
 ]
 
 

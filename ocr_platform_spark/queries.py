@@ -13886,6 +13886,83 @@ def dedup_colocation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wet_cdx_oracle() -> str:
+    from ocr_platform_spark.functions.urlfns import surt_sql
+
+    return f"""
+    WITH idx AS (SELECT * FROM read_parquet('{staged_glob("wetcdx_index")}')),
+    laid AS (
+      SELECT {surt_sql("url")} AS surt,
+             strftime(wet_ts, '%Y%m%d%H%M%S') AS ts,
+             shard, rec_len, rec_offset,
+             CAST(COALESCE(SUM(rec_len) OVER (
+               PARTITION BY shard ORDER BY url
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS computed_offset
+      FROM idx
+    )
+    SELECT surt, ts, CAST(shard AS INT) AS shard, rec_len, rec_offset,
+           rec_offset = computed_offset AS offset_ok
+    FROM laid ORDER BY shard, rec_offset
+    """
+
+
+@q("wet_cdx_index", _wet_cdx_oracle())
+def wet_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX over a REAL archive write — byte-true offsets, not layout
+    algebra: the documents table flows through the indexed WET sink
+    (sources/wet.write_wet_shards_indexed — executors write per-record
+    gzip members and record each member's offset/length AS WRITTEN),
+    and the index becomes a CDX with SURT keys and WARC-style
+    timestamps. ``offset_ok`` cross-checks every recorded offset
+    against the layout recomputation (exclusive running sum of member
+    lengths in the shard's url order) — in BOTH engines, since the
+    oracle replays the SURT transform, the timestamp render and the
+    cumsum from the staged index; tests/test_wet.py additionally seeks
+    the actual shard files at the recorded offsets and decompresses
+    each member back to its url (the byte truth no SQL can see). The
+    sink's in-shard url order and xxhash sharding make the files — and
+    this index — byte-identical at any parallelism."""
+    import os as _os
+
+    from ocr_platform_spark.sources.wet import write_wet_shards_indexed
+    from ocr_platform_spark.staging import STAGE_ROOT
+
+    d = _t(spark, sf_dir, "documents")
+    inp = d.select(
+        F.concat(F.lit("https://"), "source", F.lit("/doc/"), "doc_id").alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") % 86400).alias("wet_ts"),
+        "text",
+    )
+    archive = _os.path.join(STAGE_ROOT, "wetcdx_archive")
+    idx = stage(
+        write_wet_shards_indexed(inp, archive, n_shards=4).drop("path"),
+        "wetcdx_index",
+        partitions=2,
+    )
+    from ocr_platform_spark.functions.urlfns import surt_key
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("url")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        idx.withColumn(
+            "computed_offset", F.coalesce(F.sum("rec_len").over(w), F.lit(0)).cast("long")
+        )
+        .select(
+            surt_key("url").alias("surt"),
+            F.date_format("wet_ts", "yyyyMMddHHmmss").alias("ts"),
+            F.col("shard").cast("int").alias("shard"),
+            "rec_len",
+            "rec_offset",
+            (F.col("rec_offset") == F.col("computed_offset")).alias("offset_ok"),
+        )
+        .orderBy("shard", "rec_offset")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; round 4's window holds 50 entries that had never appeared in a
@@ -13945,7 +14022,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval", "burst_aware_crawl_budget", "cdx_index", "dedup_colocation_report",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval", "burst_aware_crawl_budget", "cdx_index", "dedup_colocation_report", "wet_cdx_index",
 ]
 
 

@@ -134,3 +134,72 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["url", "wet_ts", "text"])
 
     return files.mapInPandas(kernel, _WET_DDL)
+
+
+_INDEX_DDL = (
+    "url string, wet_ts timestamp, shard int, path string, "
+    "rec_offset bigint, rec_len bigint"
+)
+
+
+def write_wet_shards_indexed(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    url_col: str = "url",
+    ts_col: str = "wet_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`write_wet_shards` that ALSO returns the per-record capture
+    index (url, ts, shard, path, rec_offset, rec_len) — the raw material
+    of a CDX: each gzip member's byte offset and length within its shard
+    file, recorded AS WRITTEN, so a replay service can
+    ``seek(rec_offset); read(rec_len)`` and decompress one record without
+    touching the rest of the shard. Files are byte-identical to the
+    unindexed sink (same member stream, same in-shard url order); the
+    index is record-count-sized and stays a DataFrame — nothing collects.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    keyed = (
+        df.select(
+            F.col(url_col).alias("url"),
+            F.col(ts_col).alias("wet_ts"),
+            F.col(text_col).alias("text"),
+        )
+        .withColumn("_shard", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int"))
+        .repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "url")
+    )
+
+    def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_platform_spark.sources.warc import build_warc_record  # executor
+
+        per_shard: dict[int, list[tuple[str, object, str]]] = {}
+        for pdf in batches:
+            for url, ts, text, sh in zip(
+                pdf["url"], pdf["wet_ts"], pdf["text"], pdf["_shard"]
+            ):
+                per_shard.setdefault(int(sh), []).append((url, ts, text))
+        rows = []
+        for sh, recs in sorted(per_shard.items()):
+            path = os.path.join(out_dir, f"shard-{sh:05d}.warc.wet.gz")
+            off = 0
+            with open(path, "wb") as f:
+                for url, ts, text in recs:
+                    member = gzip.compress(
+                        build_warc_record(
+                            url, ts, (text or "").encode("utf-8"), "conversion"
+                        ),
+                        mtime=0,
+                    )
+                    f.write(member)
+                    rows.append((url, ts, sh, path, off, len(member)))
+                    off += len(member)
+        yield pd.DataFrame(
+            rows,
+            columns=["url", "wet_ts", "shard", "path", "rec_offset", "rec_len"],
+        )
+
+    index = keyed.mapInPandas(writer, _INDEX_DDL).cache()
+    index.count()  # materialize: callers hold a completed write
+    return index

@@ -73,3 +73,45 @@ def test_reader_prunes_non_wet_files(spark, tmp_path):
     write_wet_shards(df, out, n_shards=1)
     (tmp_path / "wet" / "notes.txt").write_text("not a segment")
     assert read_wet(spark, out).count() == 5
+
+
+def test_indexed_sink_offsets_are_byte_true(spark, tmp_path):
+    """write_wet_shards_indexed: every recorded (offset, length) seeks to a
+    gzip member that decompresses to a record naming exactly that url; the
+    files are byte-identical to the unindexed sink's."""
+    import gzip
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.sources.wet import (
+        write_wet_shards,
+        write_wet_shards_indexed,
+    )
+
+    rows = [
+        (f"https://h{i % 3}.example.org/p/{i}",
+         f"2024-01-0{i % 9 + 1}T00:00:0{i % 10}", f"text body number {i} é")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "url string, ts string, text string").select(
+        "url", F.to_timestamp("ts").alias("wet_ts"), "text"
+    )
+    d1 = str(tmp_path / "indexed")
+    d2 = str(tmp_path / "plain")
+    idx = write_wet_shards_indexed(df, d1, n_shards=3).collect()
+    write_wet_shards(df, d2, n_shards=3)
+    for fn in sorted(os.listdir(d2)):
+        with open(os.path.join(d1, fn), "rb") as a, open(os.path.join(d2, fn), "rb") as b:
+            assert a.read() == b.read(), fn
+    assert len(idx) == 30
+    by_path: dict[str, int] = {}
+    for r in idx:
+        with open(r["path"], "rb") as f:
+            f.seek(r["rec_offset"])
+            member = f.read(r["rec_len"])
+        rec = gzip.decompress(member).decode("utf-8")
+        assert f"WARC-Target-URI: {r['url']}" in rec
+        by_path[r["path"]] = by_path.get(r["path"], 0) + r["rec_len"]
+    for path, total in by_path.items():
+        assert os.path.getsize(path) == total  # offsets tile the file exactly
