@@ -692,3 +692,54 @@ def resolve_pointer_chains(
         F.col("d").cast("long").alias("n_hops"),
         "resolved",
     )
+
+
+def seed_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "host",
+    iterations: int = 6,
+) -> DataFrame:
+    """(host, dist) — multi-source BFS hop distance from a seed set over a
+    DIRECTED host graph, the crawl-depth signal (frontier policies budget
+    by distance-from-seeds: TrustRank's flow says WHO to trust, this says
+    HOW FAR a crawl has wandered; unreachable hosts get dist = -1). Same
+    monotone join+agg loop as connected_components — dist(v) ←
+    min(dist(v), min over in-neighbours dist(u)+1), labels only decrease,
+    so a FIXED iteration count (the hop budget) replays bit-exactly in
+    any engine; lineage is truncated per iteration."""
+    nodes = (
+        edges.select(F.col(src_col).alias("id"))
+        .unionByName(edges.select(F.col(dst_col).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    dist = (
+        nodes.join(
+            seeds.select(F.col(seed_col).alias("id")).distinct().withColumn(
+                "_s", F.lit(0)
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.col("_s").cast("long").alias("dist"))
+    )
+    for it in range(iterations):
+        stepped = (
+            dist.where(F.col("dist").isNotNull())
+            .join(e, dist.id == e.src)
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(stepped)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("id").alias(seed_col), F.coalesce("dist", F.lit(-1)).cast("long").alias("dist")
+    )

@@ -13963,6 +13963,71 @@ def wet_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "crawl_depth_labels",
+    """
+    WITH RECURSIVE raw AS (
+      SELECT doc_id % 40 AS src, (doc_id % 40 + 1 + doc_id % 13) % 40 AS dst
+      FROM documents WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT doc_id % 40, (doc_id % 40 + 17) % 40
+      FROM documents WHERE doc_id % 21 = 0
+    ),
+    e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    nodes AS (
+      SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+    ),
+    walk AS (
+      SELECT n AS id, CAST(0 AS BIGINT) AS dist FROM nodes WHERE n IN (0, 9)
+      UNION ALL
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN e ON e.src = w.id
+      WHERE w.dist < 6
+    ),
+    best AS (SELECT id, MIN(dist) AS dist FROM walk GROUP BY id)
+    SELECT 'h' || CAST(nodes.n AS VARCHAR) AS host,
+           CAST(COALESCE(best.dist, -1) AS BIGINT) AS dist
+    FROM nodes LEFT JOIN best ON best.id = nodes.n
+    ORDER BY host
+    """,
+)
+def crawl_depth_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS crawl-depth labeling (operators/linkgraph.
+    seed_distances): hop distance from the seed set over the directed
+    host graph — the budget axis frontier policies cut on (pages N hops
+    from any trusted seed get shallower crawls; unreachable islands,
+    dist = -1, get none). The same monotone join+agg loop as connected
+    components with a +1 increment: distances only decrease, so a fixed
+    6-hop budget replays bit-exactly — Spark iterates with per-iteration
+    lineage truncation, the oracle walks a depth-capped recursive CTE
+    over the SAME deterministically derived graph (staging-free) and
+    takes per-node minima. The graph is doc-arithmetic (sparse ring
+    jumps + long chords) so both reachable shells and unreachable
+    islands exist at sf0.01."""
+    from ocr_platform_spark.operators.linkgraph import seed_distances
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") % 40
+    raw = (
+        d.where(F.col("doc_id") % 9 == 0)
+        .select(h.alias("src"), ((h + 1 + F.col("doc_id") % 13) % 40).alias("dst"))
+        .unionAll(
+            d.where(F.col("doc_id") % 21 == 0).select(
+                h.alias("src"), ((h + 17) % 40).alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    seeds = spark.createDataFrame([(0,), (9,)], "host long")
+    return (
+        seed_distances(raw, seeds, "src", "dst", "host", iterations=6)
+        .select(
+            F.concat(F.lit("h"), F.col("host").cast("string")).alias("host"), "dist"
+        )
+        .orderBy("host")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; round 4's window holds 50 entries that had never appeared in a
@@ -14022,7 +14087,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval", "burst_aware_crawl_budget", "cdx_index", "dedup_colocation_report", "wet_cdx_index",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval", "burst_aware_crawl_budget", "cdx_index", "dedup_colocation_report", "wet_cdx_index", "crawl_depth_labels",
 ]
 
 

@@ -469,3 +469,18 @@ def test_resolve_pointer_chains_deep_chain_budget(spark):
     out16 = {r["url"]: r.asDict() for r in resolve_pointer_chains(df, doublings=4).collect()}
     assert out16["n11"]["resolved"] and out16["n11"]["n_hops"] == 11
     assert out16["n11"]["final_url"] == "n0"
+
+
+def test_seed_distances_shells_and_islands(spark):
+    from ocr_platform_spark.operators.linkgraph import seed_distances
+
+    # s -> a -> b -> c (chain), cycle d <-> e reachable from b, island x -> y
+    edges = [("s", "a"), ("a", "b"), ("b", "c"), ("b", "d"), ("d", "e"),
+             ("e", "d"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "host string")
+    out = {r["host"]: r["dist"] for r in seed_distances(df, seeds, iterations=6).collect()}
+    assert out == {"s": 0, "a": 1, "b": 2, "c": 3, "d": 3, "e": 4, "x": -1, "y": -1}
+    # hop budget caps the frontier: with 2 iterations, c/e stay unreached
+    out2 = {r["host"]: r["dist"] for r in seed_distances(df, seeds, iterations=2).collect()}
+    assert out2["b"] == 2 and out2["c"] == -1 and out2["e"] == -1
