@@ -174,6 +174,8 @@ HEADLINE = [
     "cdx_index",
     "dedup_colocation_report",
     "wet_cdx_index",
+    "crawl_depth_labels",
+    "dedup_cluster_purity",
 ]
 
 

@@ -426,6 +426,8 @@ def test_round4_continuation_plans(spark):
     # report tails read staged candidates: no Python, no cartesian pairs
     for name in (
         "dedup_colocation_report",
+        "dedup_cluster_purity",
+        "wet_cdx_index",
         "retrieval_index_report",
         "retrieval_rrf_sweep",
         "payload_cdc_storage",
