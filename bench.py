@@ -176,6 +176,7 @@ HEADLINE = [
     "wet_cdx_index",
     "crawl_depth_labels",
     "dedup_cluster_purity",
+    "event_burst_transitions",
 ]
 
 

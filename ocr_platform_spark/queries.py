@@ -14180,6 +14180,116 @@ def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "event_burst_transitions",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 24
+                  + EXTRACT(hour FROM ts) + 1 AS BIGINT) AS t
+      FROM events
+    ),
+    nmax AS (SELECT MAX(t) AS tn FROM ev),
+    grid AS (
+      SELECT et.event_type, CAST(unnest(generate_series(1, nmax.tn)) AS BIGINT) AS t
+      FROM (SELECT DISTINCT event_type FROM ev) et, nmax
+    ),
+    cnt AS (SELECT event_type, t, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+    kk AS MATERIALIZED (
+      SELECT g.event_type, g.t,
+             CAST(COALESCE(c.n, 0)
+                  + CASE WHEN g.event_type = 'click' AND g.t % 17 < 5
+                         THEN 12 ELSE 0 END AS BIGINT) AS k
+      FROM grid g LEFT JOIN cnt c ON c.event_type = g.event_type AND c.t = g.t
+    ),
+    walk AS (
+      -- t=1 from the initial (False, 0) state: a single hot hour can
+      -- never reach enter_runs=2, so in_burst stays false
+      SELECT k.event_type, k.t, FALSE AS in_burst,
+             CAST(CASE WHEN k.k >= 8 THEN 1 ELSE 0 END AS INT) AS run,
+             CAST(NULL AS VARCHAR) AS kind
+      FROM kk k WHERE k.t = 1
+      UNION ALL
+      SELECT k.event_type, k.t,
+             CASE
+               WHEN NOT w.in_burst
+                 THEN (CASE WHEN k.k >= 8 THEN w.run + 1 ELSE 0 END) >= 2
+               ELSE NOT ((CASE WHEN k.k < 4 THEN w.run + 1 ELSE 0 END) >= 2)
+             END,
+             CASE
+               WHEN NOT w.in_burst THEN
+                 CASE WHEN (CASE WHEN k.k >= 8 THEN w.run + 1 ELSE 0 END) >= 2
+                      THEN 0 ELSE (CASE WHEN k.k >= 8 THEN w.run + 1 ELSE 0 END) END
+               ELSE
+                 CASE WHEN (CASE WHEN k.k < 4 THEN w.run + 1 ELSE 0 END) >= 2
+                      THEN 0 ELSE (CASE WHEN k.k < 4 THEN w.run + 1 ELSE 0 END) END
+             END,
+             CASE
+               WHEN NOT w.in_burst
+                    AND (CASE WHEN k.k >= 8 THEN w.run + 1 ELSE 0 END) >= 2
+                 THEN 'enter'
+               WHEN w.in_burst
+                    AND (CASE WHEN k.k < 4 THEN w.run + 1 ELSE 0 END) >= 2
+                 THEN 'exit'
+             END
+      FROM walk w JOIN kk k ON k.event_type = w.event_type AND k.t = w.t + 1
+    )
+    SELECT event_type AS key, t, kind
+    FROM walk WHERE kind IS NOT NULL
+    ORDER BY key, t
+    """,
+)
+def event_burst_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hysteresis burst detector's BATCH anchor (streaming/bursts.py):
+    enter after 2 consecutive hours at count ≥ 8, exit after 2
+    consecutive below 4 — the two-threshold rule an online crawler
+    actually reacts with (the optimal-DP entry is the offline yardstick;
+    this is its streamable cousin, and tests/test_streaming_bursts.py
+    pins the applyInPandasWithState face transition-for-transition equal
+    to this fold across arbitrary micro-batch splits). Series and
+    planted surge are the event_burst_segments grid; the fold is a
+    per-key python pass over hours-count-sized groups, and the oracle
+    replays the EXACT (in_burst, run) state machine one hour at a time
+    in a recursive CTE from raw parquet — staging-free."""
+    from ocr_platform_spark.streaming.bursts import burst_transitions_batch
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "event_type",
+        (
+            F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) * 24
+            + F.hour("ts")
+            + 1
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    tn = ev.agg(F.max("t").alias("tn"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("tn"))).alias("t"),
+        )
+    )
+    cnt = ev.groupBy("event_type", "t").agg(F.count("*").alias("n"))
+    kk = grid.join(cnt, ["event_type", "t"], "left").select(
+        F.col("event_type").alias("key"),
+        "t",
+        (
+            F.coalesce("n", F.lit(0))
+            + F.when(
+                (F.col("event_type") == "click") & (F.col("t") % 17 < 5), F.lit(12)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    return burst_transitions_batch(kk).orderBy("key", "t")
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; round 4's window holds 50 entries that had never appeared in a
@@ -14239,7 +14349,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval", "burst_aware_crawl_budget", "cdx_index", "dedup_colocation_report", "wet_cdx_index", "crawl_depth_labels", "dedup_cluster_purity",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval", "burst_aware_crawl_budget", "cdx_index", "dedup_colocation_report", "wet_cdx_index", "crawl_depth_labels", "dedup_cluster_purity", "event_burst_transitions",
 ]
 
 
