@@ -177,6 +177,7 @@ HEADLINE = [
     "crawl_depth_labels",
     "dedup_cluster_purity",
     "event_burst_transitions",
+    "host_spam_blocklist",
 ]
 
 

@@ -14290,6 +14290,181 @@ def event_burst_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burst_transitions_batch(kk).orderBy("key", "t")
 
 
+@q(
+    "host_spam_blocklist",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT
+             regexp_extract(src_url, '^https?://([^/?#]+)', 1) AS src_host,
+             regexp_extract(dst_url, '^https?://([^/?#]+)', 1) AS dst_host,
+             dst_url
+      FROM read_parquet('{staged_glob("blocklist_edges")}')
+      WHERE regexp_extract(src_url, '^https?://([^/?#]+)', 1)
+            <> regexp_extract(dst_url, '^https?://([^/?#]+)', 1)
+    ),
+    outs AS (SELECT DISTINCT src_host, dst_url FROM e),
+    osz AS (SELECT src_host, COUNT(*) AS n FROM outs GROUP BY src_host),
+    coup AS (
+      SELECT a.src_host AS host_a, b.src_host AS host_b, COUNT(*) AS n_shared
+      FROM outs a JOIN outs b ON a.dst_url = b.dst_url AND a.src_host < b.src_host
+      GROUP BY 1, 2
+    ),
+    farm AS (
+      SELECT host FROM (
+        SELECT c.host_a AS host FROM coup c
+        JOIN osz sa ON sa.src_host = c.host_a JOIN osz sb ON sb.src_host = c.host_b
+        WHERE c.n_shared >= 10
+          AND (1000 * c.n_shared) // (sa.n + sb.n - c.n_shared) >= 600
+        UNION ALL
+        SELECT c.host_b FROM coup c
+        JOIN osz sa ON sa.src_host = c.host_a JOIN osz sb ON sb.src_host = c.host_b
+        WHERE c.n_shared >= 10
+          AND (1000 * c.n_shared) // (sa.n + sb.n - c.n_shared) >= 600
+      ) GROUP BY host
+    ),
+    und AS (
+      SELECT DISTINCT least(src_host, dst_host) AS u, greatest(src_host, dst_host) AS v
+      FROM e
+    ),
+    deg AS (
+      SELECT h, COUNT(*) AS degree FROM (
+        SELECT u AS h FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY h
+    ),
+    o AS (
+      SELECT CASE WHEN (da.degree, und.u) < (db.degree, und.v)
+                  THEN und.u ELSE und.v END AS x,
+             CASE WHEN (da.degree, und.u) < (db.degree, und.v)
+                  THEN und.v ELSE und.u END AS y
+      FROM und JOIN deg da ON da.h = und.u JOIN deg db ON db.h = und.v
+    ),
+    tris AS (
+      SELECT w.w_a, w.w_b, w.w_c
+      FROM (SELECT o1.x AS w_a, o1.y AS w_b, o2.y AS w_c
+            FROM o o1 JOIN o o2 ON o2.x = o1.y) w
+      JOIN o o3 ON o3.x = w.w_a AND o3.y = w.w_c
+    ),
+    per AS (
+      SELECT h, COUNT(*) AS n_triangles FROM (
+        SELECT w_a AS h FROM tris UNION ALL SELECT w_b FROM tris
+        UNION ALL SELECT w_c FROM tris
+      ) GROUP BY h
+    ),
+    tri_stats AS (
+      SELECT deg.h AS host, deg.degree,
+             CASE WHEN deg.degree >= 2
+               THEN (2000 * COALESCE(per.n_triangles, 0))
+                    // (deg.degree * (deg.degree - 1))
+               ELSE 0 END AS clustering_x1000
+      FROM deg LEFT JOIN per ON per.h = deg.h
+    )
+    SELECT t.host,
+           CAST(t.degree AS BIGINT) AS degree,
+           CAST(t.clustering_x1000 AS BIGINT) AS clustering_x1000,
+           f.host IS NOT NULL AS farm_coupled,
+           t.degree >= 3 AND t.clustering_x1000 >= 800 AS clique_dense,
+           (f.host IS NOT NULL) OR (t.degree >= 3 AND t.clustering_x1000 >= 800)
+             AS is_blocked
+    FROM tri_stats t LEFT JOIN farm f ON f.host = t.host
+    ORDER BY t.host
+    """,
+)
+def host_spam_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational HOST BLOCKLIST — two independent spam geometries
+    fused into the verdict table a crawler actually consumes: (a)
+    bibliographic-coupling farm pairs (≥ 10 shared outlink urls at
+    Jaccard ≥ 0.6 — host_link_farm_pairs' gate) and (b) near-clique
+    interlinking (local clustering ≥ 0.8 at degree ≥ 3 —
+    host_triangle_stats' orientation-counted triangles), computed from
+    ONE shared edge list so the signals can't drift apart. The synthetic
+    graph plants a 3-host farm pushing a 20-url slate (trips coupling, a
+    star — zero triangles), a 4-host interlinked clique with distinct
+    per-pair landing pages (trips clique density, no shared-target
+    coupling), and organic sparse links (trips neither) — each signal
+    catches the geometry the other is blind to. Staged edges are the
+    only boundary; the oracle replays both chains and the OR-fusion."""
+    from ocr_platform_spark.operators.linkgraph import extract_outlinks, triangle_counts
+    from ocr_platform_spark.operators.partitioning import host_of
+
+    organic = extract_outlinks(_synth_docs(spark)).select("src_url", "dst_url")
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    promo = d.where(F.col("doc_id") < 20).select(
+        F.concat(
+            F.lit("https://promo-"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example.org/offer/"), F.col("doc_id").cast("string"),
+        ).alias("dst_url")
+    )
+    farm = promo.crossJoin(
+        spark.range(3).select(
+            F.concat(F.lit("https://farm-"), F.col("id").cast("string"), F.lit(".example.biz/page"))
+            .alias("src_url")
+        )
+    ).select("src_url", "dst_url")
+    # 4-host clique: every ordered pair links to a pair-specific page, so
+    # no two clique members share an outlink target (coupling-blind) but
+    # the host graph is K4 (clustering 1000)
+    ids = spark.range(4).select(F.col("id").alias("a")).crossJoin(
+        spark.range(4).select(F.col("id").alias("b"))
+    ).where(F.col("a") != F.col("b"))
+    clique = ids.select(
+        F.concat(F.lit("https://ring-"), F.col("a").cast("string"), F.lit(".example.net/out")).alias("src_url"),
+        F.concat(
+            F.lit("https://ring-"), F.col("b").cast("string"),
+            F.lit(".example.net/land/"), F.col("a").cast("string"),
+        ).alias("dst_url"),
+    )
+    edges = stage(
+        organic.unionByName(farm).unionByName(clique), "blocklist_edges", partitions=4
+    )
+    e = (
+        edges.select(
+            host_of("src_url").alias("src_host"),
+            host_of("dst_url").alias("dst_host"),
+            "dst_url",
+        )
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+    outs = e.select("src_host", "dst_url").distinct()
+    osz = outs.groupBy("src_host").agg(F.count("*").alias("n"))
+    oa = outs.select(F.col("src_host").alias("host_a"), "dst_url")
+    ob = outs.select(F.col("src_host").alias("host_b"), "dst_url")
+    coup = (
+        oa.join(ob, "dst_url")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_shared"))
+        .join(F.broadcast(osz.select(F.col("src_host").alias("host_a"), F.col("n").alias("n_a"))), "host_a")
+        .join(F.broadcast(osz.select(F.col("src_host").alias("host_b"), F.col("n").alias("n_b"))), "host_b")
+        .where(
+            (F.col("n_shared") >= 10)
+            & (F.expr("(1000 * n_shared) div (n_a + n_b - n_shared)") >= 600)
+        )
+    )
+    farm_hosts = (
+        coup.select(F.col("host_a").alias("host"))
+        .unionAll(coup.select(F.col("host_b").alias("host")))
+        .distinct()
+        .withColumn("_f", F.lit(True))
+    )
+    tri = triangle_counts(e.select(F.col("src_host").alias("a"), F.col("dst_host").alias("b")), "a", "b")
+    return (
+        tri.join(F.broadcast(farm_hosts), "host", "left")
+        .select(
+            "host",
+            "degree",
+            "clustering_x1000",
+            F.col("_f").isNotNull().alias("farm_coupled"),
+            ((F.col("degree") >= 3) & (F.col("clustering_x1000") >= 800)).alias("clique_dense"),
+            (
+                F.col("_f").isNotNull()
+                | ((F.col("degree") >= 3) & (F.col("clustering_x1000") >= 800))
+            ).alias("is_blocked"),
+        )
+        .orderBy("host")
+    )
+
+
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Rounds 1-3 driver-stamped 87 of the catalog
 # green; round 4's window holds 50 entries that had never appeared in a
@@ -14349,7 +14524,7 @@ _PRIORITY = [
     "events_hourly_incremental", "corpus_release_diff",
     "host_mirror_detection", "doc_keyphrases", "snapshot_expiry_plan",
     "split_leakage_audit", "retrieval_rrf_fusion",
-    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval", "burst_aware_crawl_budget", "cdx_index", "dedup_colocation_report", "wet_cdx_index", "crawl_depth_labels", "dedup_cluster_purity", "event_burst_transitions",
+    "host_mirror_near_dups", "retrieval_index_report", "retrieval_rrf_sweep", "payload_cdc_storage", "anchor_training_pairs", "host_link_farm_pairs", "corpus_fim_transform", "doc_novelty_scores", "event_burst_segments", "host_triangle_stats", "url_canonical_chains", "anchor_retrieval_eval", "burst_aware_crawl_budget", "cdx_index", "dedup_colocation_report", "wet_cdx_index", "crawl_depth_labels", "dedup_cluster_purity", "event_burst_transitions", "host_spam_blocklist",
 ]
 
 

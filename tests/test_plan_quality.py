@@ -428,6 +428,7 @@ def test_round4_continuation_plans(spark):
         "dedup_colocation_report",
         "dedup_cluster_purity",
         "wet_cdx_index",
+        "host_spam_blocklist",
         "retrieval_index_report",
         "retrieval_rrf_sweep",
         "payload_cdc_storage",
