@@ -185,15 +185,26 @@ def trap_flags_sql(expr: str) -> dict[str, str]:
 
 
 def surt_key(col: Column | str) -> Column:
-    """SURT form of a url: lowercase; scheme and fragment dropped; default
-    ports dropped; leading ``www.`` dropped; host labels reversed and
+    """SURT form of a url: lowercase; scheme and fragment dropped; userinfo
+    dropped; the scheme's OWN default port dropped (``:80`` only for http,
+    ``:443`` only for https — a non-default-port capture like
+    ``https://host:80/x`` keeps its port and does NOT collide with
+    ``http://host/x``); leading ``www.`` dropped; host labels reversed and
     comma-joined; empty path becomes ``/``; query params sorted."""
     u = F.lower(_c(col))
+    scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.\-]*)://", 1)
     auth = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://([^/?#]*)", 1)
-    host = F.regexp_replace(
-        F.regexp_replace(auth, r":(80|443)$", ""), r"^www\.", ""
+    auth = F.regexp_replace(auth, r"^[^/@]*@", "")
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
     )
-    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    port = F.regexp_extract(auth, r"(:[0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(auth, r":[0-9]+$", ""), r"^www\.", ""
+    )
+    rev = F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","), port)
     rest = F.regexp_replace(u, r"^[a-z][a-z0-9+.\-]*://[^/?#]*", "")
     path = F.regexp_extract(rest, r"^([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
@@ -210,9 +221,20 @@ def surt_key(col: Column | str) -> Column:
 def surt_sql(expr: str) -> str:
     """DuckDB twin of :func:`surt_key` — same regexes, same ops."""
     u = f"lower({expr})"
+    scheme = f"regexp_extract({u}, '^([a-z][a-z0-9+.\\-]*)://', 1)"
     auth = f"regexp_extract({u}, '^[a-z][a-z0-9+.\\-]*://([^/?#]*)', 1)"
-    host = f"regexp_replace(regexp_replace({auth}, ':(80|443)$', ''), '^www\\.', '')"
-    rev = f"list_aggregate(list_reverse(string_split({host}, '.')), 'string_agg', ',')"
+    auth = f"regexp_replace({auth}, '^[^/@]*@', '')"
+    auth = (
+        f"(CASE WHEN {scheme} = 'http' THEN regexp_replace({auth}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({auth}, ':443$', '') "
+        f"ELSE {auth} END)"
+    )
+    port = f"regexp_extract({auth}, '(:[0-9]+)$', 1)"
+    host = f"regexp_replace(regexp_replace({auth}, ':[0-9]+$', ''), '^www\\.', '')"
+    rev = (
+        f"(list_aggregate(list_reverse(string_split({host}, '.')), "
+        f"'string_agg', ',') || {port})"
+    )
     rest = f"regexp_replace({u}, '^[a-z][a-z0-9+.\\-]*://[^/?#]*', '')"
     path = f"regexp_extract({rest}, '^([^?#]*)', 1)"
     path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"

@@ -676,9 +676,9 @@ def host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def host_cardinality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact companion of ``host_cardinality``: the url column is staged,
-    and BOTH engines independently derive the host (Spark ``parse_url``,
-    DuckDB regexp) and count distinct — pinning the exact value the HLL
-    sketch approximates."""
+    and BOTH engines independently derive the host (the ONE shared regex,
+    partitioning.HOST_RE ≡ frontier.HOST_SQL) and count distinct —
+    pinning the exact value the HLL sketch approximates."""
     from ocr_platform_spark.operators.partitioning import host_of
 
     urls = stage(_synth_docs(spark).select("url"), "host_urls", partitions=2)

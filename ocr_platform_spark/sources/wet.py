@@ -45,6 +45,23 @@ _WET_DDL = "url string, wet_ts timestamp, text string"
 _MANIFEST_DDL = "shard string, n_records bigint, n_bytes bigint"
 
 
+def _atomic_write(path: str, data: bytes) -> None:
+    """Write ``data`` to ``path`` via a same-directory temp file +
+    ``os.replace`` so a shard is either absent or complete — a retried /
+    speculative task attempt or a cache-evicted recomputation re-running
+    the writer can no longer leave a half-rewritten file visible while a
+    previously returned index points into it (content is a pure function
+    of the data, so whichever attempt wins the rename produces identical
+    bytes). The temp name carries the pid: concurrent attempts on one host
+    must not share it."""
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def build_wet_segment(rows: list[tuple[str, object, str]], compress: bool = True) -> bytes:
     """A WET segment from (url, ts, text) rows: per-record gzip members
     (fetch-by-offset layout), ``conversion`` record type, UTF-8 payload."""
@@ -99,8 +116,7 @@ def write_wet_shards(
         for sh, recs in sorted(per_shard.items()):
             seg = build_wet_segment(recs)
             path = os.path.join(out_dir, f"shard-{sh:05d}.warc.wet.gz")
-            with open(path, "wb") as f:
-                f.write(seg)
+            _atomic_write(path, seg)
             rows.append((path, len(recs), len(seg)))
         yield pd.DataFrame(rows, columns=["shard", "n_records", "n_bytes"])
 
@@ -158,6 +174,11 @@ def write_wet_shards_indexed(
     touching the rest of the shard. Files are byte-identical to the
     unindexed sink (same member stream, same in-shard url order); the
     index is record-count-sized and stays a DataFrame — nothing collects.
+
+    Shards land via temp-file + ``os.replace`` (``_atomic_write``), so a
+    retried or speculative attempt swaps in a complete, byte-identical
+    file rather than rewriting in place under a live index — recorded
+    offsets stay valid no matter which attempt's rename wins.
     """
     os.makedirs(out_dir, exist_ok=True)
     keyed = (
@@ -184,17 +205,18 @@ def write_wet_shards_indexed(
         for sh, recs in sorted(per_shard.items()):
             path = os.path.join(out_dir, f"shard-{sh:05d}.warc.wet.gz")
             off = 0
-            with open(path, "wb") as f:
-                for url, ts, text in recs:
-                    member = gzip.compress(
-                        build_warc_record(
-                            url, ts, (text or "").encode("utf-8"), "conversion"
-                        ),
-                        mtime=0,
-                    )
-                    f.write(member)
-                    rows.append((url, ts, sh, path, off, len(member)))
-                    off += len(member)
+            members = []
+            for url, ts, text in recs:
+                member = gzip.compress(
+                    build_warc_record(
+                        url, ts, (text or "").encode("utf-8"), "conversion"
+                    ),
+                    mtime=0,
+                )
+                members.append(member)
+                rows.append((url, ts, sh, path, off, len(member)))
+                off += len(member)
+            _atomic_write(path, b"".join(members))
         yield pd.DataFrame(
             rows,
             columns=["url", "wet_ts", "shard", "path", "rec_offset", "rec_len"],

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _OUT_DDL = "key string, t bigint, kind string"
-_STATE_DDL = "in_burst boolean, run int"
+_STATE_DDL = "in_burst boolean, run int, last_t bigint"
 
 DEFAULT_HI = 8
 DEFAULT_LO = 4
@@ -101,13 +101,23 @@ def _stream_func(
     for pdf in pdfs:
         rows.extend(zip((int(t) for t in pdf["t"]), (int(v) for v in pdf["k"])))
     rows.sort()
-    in_burst, run = state.get if state.exists else (False, 0)
+    in_burst, run, last_t = state.get if state.exists else (False, 0, -1)
+    # Out-of-order guard: the fold assumes per-key t order ACROSS
+    # micro-batches. An interval at or before the already-folded frontier
+    # cannot be folded as if current (silent mis-folding); it is excluded
+    # from the fold and surfaced in-band as a ``late`` row so violations
+    # of the ordering contract are detected, not swallowed.
+    late = [(t, k) for t, k in rows if t <= last_t]
+    rows = [(t, k) for t, k in rows if t > last_t]
+    if rows:
+        last_t = rows[-1][0]
     trans, in_burst, run = fold_transitions(rows, in_burst, run)
-    state.update((in_burst, run))
-    if trans:
+    state.update((in_burst, run, last_t))
+    out = [(t, "late") for t, _ in late] + trans
+    if out:
         yield pd.DataFrame(
-            {"key": [k_key] * len(trans), "t": [t for t, _ in trans],
-             "kind": [kind for _, kind in trans]}
+            {"key": [k_key] * len(out), "t": [t for t, _ in out],
+             "kind": [kind for _, kind in out]}
         )
 
 
@@ -115,7 +125,10 @@ def burst_transitions_stream(counts_stream: DataFrame) -> DataFrame:
     """Streaming face over a (key, t, k) stream: same fold, state carried
     across micro-batches. Intervals must arrive per key in t order across
     batches (the upstream hourly aggregate emits them that way); within a
-    batch any order is fine (sorted before folding)."""
+    batch any order is fine (sorted before folding). A row at or before
+    the key's folded frontier (``t <= last_t`` in state) violates that
+    contract: it is NOT folded and comes back as ``kind='late'`` instead,
+    so out-of-order input is detected rather than silently mis-folded."""
     return counts_stream.groupBy("key").applyInPandasWithState(
         _stream_func,
         outputStructType=_OUT_DDL,

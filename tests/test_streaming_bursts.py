@@ -105,3 +105,51 @@ def test_stream_matches_batch_across_microbatch_splits(spark, tmp_path):
     assert got == expected
     assert any(kind == "enter" for _, _, kind in got)
     assert any(kind == "exit" for _, _, kind in got)
+
+
+def test_stream_flags_out_of_order_intervals_as_late(spark, tmp_path):
+    """An interval arriving at or before a key's already-folded frontier
+    (t <= last_t in state) is NOT folded — it surfaces as kind='late' and
+    leaves the transition stream exactly what the in-order rows alone
+    produce (no silent mis-folding)."""
+    in_order = [("a", t, k) for t, k in enumerate([0, 9, 9, 2, 2, 3, 9, 9, 2, 2])]
+    batch_df = spark.createDataFrame(in_order, "key string, t long, k long")
+    expected = {
+        (r["key"], r["t"], r["kind"])
+        for r in burst_transitions_batch(batch_df).collect()
+    }
+    assert expected  # the series transitions; the late rows must not add more
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    # batch 0: t in [0, 6) — folds through t=5, frontier last_t=5
+    pd.DataFrame(
+        [r for r in in_order if r[1] < 6], columns=["key", "t", "k"]
+    ).to_parquet(os.path.join(input_dir, "batch-0.parquet"))
+    # batch 1: the rest PLUS two contract violators (t=1 replay, t=5 dup)
+    late_rows = [("a", 1, 9), ("a", 5, 9)]
+    pd.DataFrame(
+        [r for r in in_order if r[1] >= 6] + late_rows,
+        columns=["key", "t", "k"],
+    ).to_parquet(os.path.join(input_dir, "batch-1.parquet"))
+    stream = (
+        spark.readStream.schema("key string, t long, k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        burst_transitions_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = [(r["key"], r["t"], r["kind"]) for r in spark.read.parquet(out_dir).collect()]
+    assert {g for g in got if g[2] == "late"} == {("a", 1, "late"), ("a", 5, "late")}
+    assert {g for g in got if g[2] != "late"} == expected
