@@ -743,3 +743,98 @@ def seed_distances(
     return dist.select(
         F.col("id").alias(seed_col), F.coalesce("dist", F.lit(-1)).cast("long").alias("dist")
     )
+
+
+def spam_host_blocklist(
+    edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    min_shared: int = 10,
+    min_jaccard_x1000: int = 600,
+    min_degree: int = 3,
+    min_clustering_x1000: int = 800,
+) -> DataFrame:
+    """The operational HOST BLOCKLIST over a (src_url, dst_url) edge list
+    — two independent spam geometries fused into one verdict table
+    (host, degree, clustering_x1000, farm_coupled, clique_dense,
+    is_blocked):
+
+    (a) bibliographic-coupling FARM pairs: hosts sharing ≥ ``min_shared``
+        outlink urls at Jaccard ≥ ``min_jaccard_x1000``/1000 (integer
+        arithmetic; a promo slate pushed by many doorway hosts);
+    (b) near-CLIQUE interlinking: local clustering ≥
+        ``min_clustering_x1000``/1000 at degree ≥ ``min_degree`` over the
+        undirected host graph (:func:`triangle_counts` — degree-ordered
+        orientation, O(√m) wedge fan-out).
+
+    Each geometry catches what the other is blind to: a star farm has
+    zero triangles; a clique with per-pair landing pages shares no
+    outlink targets. One shared edge list feeds both so the signals
+    cannot drift apart. The catalog query ``host_spam_blocklist`` and the
+    funnel gate in plans/pipeline.corpus_refine_stages both consume this
+    one implementation.
+
+    Scale shape: hosts (not urls) are the grain everywhere past the
+    first projection; the coupling self-join is on dst_url with the
+    per-host outdegree sides broadcast (host-count-sized); triangle
+    counting is the oriented wedge join. Nothing is corpus-sized."""
+    from ocr_platform_spark.operators.partitioning import host_of
+
+    e = (
+        edges.select(
+            host_of(src_col).alias("src_host"),
+            host_of(dst_col).alias("dst_host"),
+            F.col(dst_col).alias("dst_url"),
+        )
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+    outs = e.select("src_host", "dst_url").distinct()
+    osz = outs.groupBy("src_host").agg(F.count("*").alias("n"))
+    oa = outs.select(F.col("src_host").alias("host_a"), "dst_url")
+    ob = outs.select(F.col("src_host").alias("host_b"), "dst_url")
+    coup = (
+        oa.join(ob, "dst_url")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_shared"))
+        .join(
+            F.broadcast(
+                osz.select(F.col("src_host").alias("host_a"), F.col("n").alias("n_a"))
+            ),
+            "host_a",
+        )
+        .join(
+            F.broadcast(
+                osz.select(F.col("src_host").alias("host_b"), F.col("n").alias("n_b"))
+            ),
+            "host_b",
+        )
+        .where(
+            (F.col("n_shared") >= min_shared)
+            & (
+                F.expr("(1000 * n_shared) div (n_a + n_b - n_shared)")
+                >= min_jaccard_x1000
+            )
+        )
+    )
+    farm_hosts = (
+        coup.select(F.col("host_a").alias("host"))
+        .unionAll(coup.select(F.col("host_b").alias("host")))
+        .distinct()
+        .withColumn("_f", F.lit(True))
+    )
+    tri = triangle_counts(
+        e.select(F.col("src_host").alias("a"), F.col("dst_host").alias("b")), "a", "b"
+    )
+    clique = (F.col("degree") >= min_degree) & (
+        F.col("clustering_x1000") >= min_clustering_x1000
+    )
+    return tri.join(F.broadcast(farm_hosts), "host", "left").select(
+        "host",
+        "degree",
+        "clustering_x1000",
+        F.col("_f").isNotNull().alias("farm_coupled"),
+        clique.alias("clique_dense"),
+        (F.col("_f").isNotNull() | clique).alias("is_blocked"),
+    )

@@ -14302,15 +14302,19 @@ def event_burst_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burst_transitions_batch(kk).orderBy("key", "t")
 
 
-@q(
-    "host_spam_blocklist",
-    f"""
-    WITH e AS (
+def _spam_blocklist_ctes(glob: str) -> str:
+    """DuckDB CTE chain replaying operators/linkgraph.spam_host_blocklist
+    over a staged (src_url, dst_url) edge table — coupling farm pairs,
+    oriented triangle clustering, and the OR-fusion inputs. ONE source of
+    truth for every oracle that consumes the blocklist
+    (``host_spam_blocklist``, ``corpus_spam_gate_report``); ends at
+    ``farm`` + ``tri_stats`` so callers pick their own projection."""
+    return f"""e AS (
       SELECT DISTINCT
              regexp_extract(src_url, '^https?://([^/?#]+)', 1) AS src_host,
              regexp_extract(dst_url, '^https?://([^/?#]+)', 1) AS dst_host,
              dst_url
-      FROM read_parquet('{staged_glob("blocklist_edges")}')
+      FROM read_parquet('{glob}')
       WHERE regexp_extract(src_url, '^https?://([^/?#]+)', 1)
             <> regexp_extract(dst_url, '^https?://([^/?#]+)', 1)
     ),
@@ -14369,7 +14373,13 @@ def event_burst_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     // (deg.degree * (deg.degree - 1))
                ELSE 0 END AS clustering_x1000
       FROM deg LEFT JOIN per ON per.h = deg.h
-    )
+    )"""
+
+
+@q(
+    "host_spam_blocklist",
+    f"""
+    WITH {_spam_blocklist_ctes(staged_glob("blocklist_edges"))}
     SELECT t.host,
            CAST(t.degree AS BIGINT) AS degree,
            CAST(t.clustering_x1000 AS BIGINT) AS clustering_x1000,
@@ -14394,9 +14404,14 @@ def host_spam_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair landing pages (trips clique density, no shared-target
     coupling), and organic sparse links (trips neither) — each signal
     catches the geometry the other is blind to. Staged edges are the
-    only boundary; the oracle replays both chains and the OR-fusion."""
-    from ocr_platform_spark.operators.linkgraph import extract_outlinks, triangle_counts
-    from ocr_platform_spark.operators.partitioning import host_of
+    only boundary; the oracle replays both chains and the OR-fusion.
+    Both signal chains live in operators/linkgraph.spam_host_blocklist —
+    the same implementation the curation funnel's spam gate consumes
+    (plans/pipeline.corpus_refine_stages)."""
+    from ocr_platform_spark.operators.linkgraph import (
+        extract_outlinks,
+        spam_host_blocklist,
+    )
 
     organic = extract_outlinks(_synth_docs(spark)).select("src_url", "dst_url")
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -14428,53 +14443,168 @@ def host_spam_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = stage(
         organic.unionByName(farm).unionByName(clique), "blocklist_edges", partitions=4
     )
-    e = (
-        edges.select(
-            host_of("src_url").alias("src_host"),
-            host_of("dst_url").alias("dst_host"),
-            "dst_url",
+    return spam_host_blocklist(edges).orderBy("host")
+
+
+@q(
+    "corpus_spam_gate_report",
+    f"""
+    WITH {_spam_blocklist_ctes(staged_glob("spamgate_edges"))},
+    blocked AS (
+      SELECT t.host FROM tri_stats t LEFT JOIN farm f ON f.host = t.host
+      WHERE f.host IS NOT NULL
+         OR (t.degree >= 3 AND t.clustering_x1000 >= 800)
+    ),
+    docs AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 10 = 0
+                    THEN 'https://farm-' || CAST(doc_id % 3 AS VARCHAR)
+                         || '.example.biz/p/' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 10 = 5
+                    THEN 'https://ring-' || CAST(doc_id % 4 AS VARCHAR)
+                         || '.example.net/p/' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 10 = 7
+                    THEN 'https://promo-' || CAST(doc_id % 4 AS VARCHAR)
+                         || '.example.org/offer/' || CAST(doc_id AS VARCHAR)
+                  ELSE 'https://site-' || CAST(doc_id % 40 AS VARCHAR)
+                       || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             END AS url
+      FROM documents
+    ),
+    dh AS (
+      SELECT doc_id, text,
+             regexp_extract(url, '^https?://([^/?#]+)', 1) AS host
+      FROM docs
+    ),
+    kept AS (
+      SELECT doc_id, text FROM dh
+      WHERE host NOT IN (SELECT host FROM blocked)
+    ),
+    split2 AS (
+      SELECT doc_id, string_split_regex(text, '\\n{{2,}}') AS ps FROM kept
+    ),
+    paras AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS idx, ps[i] AS para
+      FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM split2)
+      WHERE length(ps[i]) >= 1
+    ),
+    toks AS (
+      SELECT doc_id, idx,
+             CAST(len(list_filter(string_split_regex(para, '\s+'), x -> x <> ''))
+                  AS BIGINT) AS tok
+      FROM paras
+    ),
+    cum AS (
+      SELECT doc_id, idx, tok,
+             COALESCE(SUM(tok) OVER (PARTITION BY doc_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM toks
+    ),
+    chunkcnt AS (
+      SELECT COUNT(*) AS n FROM (
+        SELECT doc_id, cum_before // 40 AS cid FROM cum GROUP BY doc_id, cum_before // 40
+      )
+    )
+    SELECT CAST(stage_no AS INT) AS stage_no, stage, CAST(n AS BIGINT) AS n
+    FROM (
+      VALUES (0, 'input',         (SELECT COUNT(*) FROM docs)),
+             (1, 'spam_gate',     (SELECT COUNT(*) FROM kept)),
+             (2, 'chunks',        (SELECT n FROM chunkcnt)),
+             (3, 'blocked_hosts', (SELECT COUNT(*) FROM blocked))
+    ) AS v(stage_no, stage, n)
+    ORDER BY stage_no
+    """,
+)
+def corpus_spam_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The host spam BLOCKLIST as a curation-funnel stage
+    (plans/pipeline.corpus_refine_stages ``spam_blocklist=...`` — the way
+    the spam-mass gate works), oracle-verified as a funnel: documents get
+    deterministic urls (every 10th doc on a planted farm host, every
+    10th+5 on a clique host, every 10th+7 on a PROMO host — a spam
+    *target* that must NOT be blocked, the overfire check — rest on clean
+    site hosts) → the spam gate drops docs whose url host the fused
+    coupling/clique blocklist (operators/linkgraph.spam_host_blocklist,
+    the r4-green ``host_spam_blocklist`` implementation, same planted
+    edge graph) marks blocked → paragraph chunking of the survivors
+    (40-token budget). The oracle replays the whole coupling + oriented-
+    triangle chain from the staged edges AND the url synthesis/host gate
+    from the raw parquet; stage counts plus the blocked-host count are
+    cross-engine checked. The gate itself is a broadcast anti-join on a
+    host-count-sized verdict table — no corpus shuffle."""
+    from ocr_platform_spark.operators.linkgraph import (
+        extract_outlinks,
+        spam_host_blocklist,
+    )
+    from ocr_platform_spark.plans.pipeline import corpus_refine_stages
+
+    organic = extract_outlinks(_synth_docs(spark)).select("src_url", "dst_url")
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    promo = d.where(F.col("doc_id") < 20).select(
+        F.concat(
+            F.lit("https://promo-"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example.org/offer/"), F.col("doc_id").cast("string"),
+        ).alias("dst_url")
+    )
+    farm = promo.crossJoin(
+        spark.range(3).select(
+            F.concat(F.lit("https://farm-"), F.col("id").cast("string"),
+                     F.lit(".example.biz/page")).alias("src_url")
         )
-        .where(F.col("src_host") != F.col("dst_host"))
-        .distinct()
+    ).select("src_url", "dst_url")
+    ids = spark.range(4).select(F.col("id").alias("a")).crossJoin(
+        spark.range(4).select(F.col("id").alias("b"))
+    ).where(F.col("a") != F.col("b"))
+    clique = ids.select(
+        F.concat(F.lit("https://ring-"), F.col("a").cast("string"),
+                 F.lit(".example.net/out")).alias("src_url"),
+        F.concat(
+            F.lit("https://ring-"), F.col("b").cast("string"),
+            F.lit(".example.net/land/"), F.col("a").cast("string"),
+        ).alias("dst_url"),
     )
-    outs = e.select("src_host", "dst_url").distinct()
-    osz = outs.groupBy("src_host").agg(F.count("*").alias("n"))
-    oa = outs.select(F.col("src_host").alias("host_a"), "dst_url")
-    ob = outs.select(F.col("src_host").alias("host_b"), "dst_url")
-    coup = (
-        oa.join(ob, "dst_url")
-        .where(F.col("host_a") < F.col("host_b"))
-        .groupBy("host_a", "host_b")
-        .agg(F.count("*").alias("n_shared"))
-        .join(F.broadcast(osz.select(F.col("src_host").alias("host_a"), F.col("n").alias("n_a"))), "host_a")
-        .join(F.broadcast(osz.select(F.col("src_host").alias("host_b"), F.col("n").alias("n_b"))), "host_b")
-        .where(
-            (F.col("n_shared") >= 10)
-            & (F.expr("(1000 * n_shared) div (n_a + n_b - n_shared)") >= 600)
+    edges = stage(
+        organic.unionByName(farm).unionByName(clique), "spamgate_edges", partitions=4
+    )
+    blocklist = spam_host_blocklist(edges)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("https://farm-"), (F.col("doc_id") % 3).cast("string"),
+                     F.lit(".example.biz/p/"), F.col("doc_id").cast("string")),
         )
-    )
-    farm_hosts = (
-        coup.select(F.col("host_a").alias("host"))
-        .unionAll(coup.select(F.col("host_b").alias("host")))
-        .distinct()
-        .withColumn("_f", F.lit(True))
-    )
-    tri = triangle_counts(e.select(F.col("src_host").alias("a"), F.col("dst_host").alias("b")), "a", "b")
-    return (
-        tri.join(F.broadcast(farm_hosts), "host", "left")
-        .select(
-            "host",
-            "degree",
-            "clustering_x1000",
-            F.col("_f").isNotNull().alias("farm_coupled"),
-            ((F.col("degree") >= 3) & (F.col("clustering_x1000") >= 800)).alias("clique_dense"),
-            (
-                F.col("_f").isNotNull()
-                | ((F.col("degree") >= 3) & (F.col("clustering_x1000") >= 800))
-            ).alias("is_blocked"),
+        .when(
+            F.col("doc_id") % 10 == 5,
+            F.concat(F.lit("https://ring-"), (F.col("doc_id") % 4).cast("string"),
+                     F.lit(".example.net/p/"), F.col("doc_id").cast("string")),
         )
-        .orderBy("host")
+        .when(
+            F.col("doc_id") % 10 == 7,
+            F.concat(F.lit("https://promo-"), (F.col("doc_id") % 4).cast("string"),
+                     F.lit(".example.org/offer/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://site-"), (F.col("doc_id") % 40).cast("string"),
+                     F.lit(".example.com/doc/"), F.col("doc_id").cast("string"))
+        )
+        .alias("url"),
     )
+    _, _, metrics = corpus_refine_stages(
+        docs, spam_blocklist=blocklist, url_col="url", chunk_budget=40
+    )
+    n0 = docs.count()
+    n1 = n0 - metrics["spam_gate_dropped"]
+    n_blocked = blocklist.where(F.col("is_blocked")).count()
+    rows = [
+        (0, "input", n0),
+        (1, "spam_gate", n1),
+        (2, "chunks", metrics["n_chunks"]),
+        (3, "blocked_hosts", n_blocked),
+    ]
+    return spark.createDataFrame(rows, "stage_no int, stage string, n bigint")
+
 
 
 # Driver-facing ordering: the per-round correctness harness records the
