@@ -838,3 +838,218 @@ def spam_host_blocklist(
         clique.alias("clique_dense"),
         (F.col("_f").isNotNull() | clique).alias("is_blocked"),
     )
+
+
+def host_pagerank_states(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> list[DataFrame]:
+    """The per-iteration rank tables ``[ranks_0, …, ranks_k]`` of
+    :func:`host_pagerank` — the PERSISTED STATE a production run keeps
+    (host-grain × k rows, e.g. as a partitioned Iceberg table keyed by
+    iteration) so a later edge delta can be folded by
+    :func:`host_pagerank_delta` without re-walking the whole graph.
+    ``ranks_k`` is bit-identical to ``host_pagerank(edges, k)`` (same
+    recurrence, every iteration checkpointed because the delta fold
+    consumes each level twice)."""
+    spark = edges.sparkSession
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_hosts = hosts.count()
+    if n_hosts == 0:
+        z = hosts.withColumn("rank", F.lit(0).cast("long"))
+        return [z for _ in range(iterations + 1)]
+    base = ((100 - damping_pct) * scale // 100) // n_hosts
+    deg = edges.groupBy("src_host").agg(F.count("*").alias("out_deg")).localCheckpoint(
+        eager=True
+    )
+    ranks = hosts.withColumn(
+        "rank", F.lit(scale // n_hosts).cast("long")
+    ).localCheckpoint(eager=True)
+    states = [ranks]
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges.src_host == ranks.host)
+            .join(deg, "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("rank div out_deg").alias("contrib"),
+            )
+            .groupBy("host")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            hosts.join(contribs, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(inc, 0)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        states.append(ranks)
+    return states
+
+
+def host_pagerank_delta(
+    edges: DataFrame,
+    states: list[DataFrame],
+    added: DataFrame | None = None,
+    removed: DataFrame | None = None,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """DELTA-PUSH maintenance of the fixed-iteration integer PageRank: fold
+    an edge delta (``added`` rows; ``removed`` = (src_host, dst_host)
+    PAIRS, every matching edge row goes) into a previous run's
+    :func:`host_pagerank_states`, producing ranks BIT-IDENTICAL to
+    ``host_pagerank(new_edges, k)`` — the ``events_hourly_incremental``
+    monoid-state idea applied to a recurrence: instead of a mergeable
+    aggregate, the persisted state is the per-iteration rank ladder, and
+    the delta re-derives only the rungs the delta can reach.
+
+    Per iteration i, only hosts whose rank CAN change are recomputed:
+
+        touched_src(i)  = changed(i-1) ∪ S        (S = srcs of the delta)
+        affected_dst(i) = out-neighbours of touched_src(i) ∪ dst(removed)
+        changed(i)      = {h ∈ affected_dst(i) : new rank ≠ stored rank}
+
+    Everything else provably keeps its stored rank (a rank differs at i
+    only if an in-neighbour differed at i-1 or its in-edge set changed),
+    so per-iteration EDGE work collapses from O(m) to O(edges touching
+    the delta's i-hop out-neighbourhood) — the recrawl win: a small edge
+    delta touches a shallow cone, not the web. The stored level is read
+    once per iteration to diff the recomputed rows; the full output table
+    is assembled ONCE at the end (stored ranks overlaid with the final
+    changed set). All delta-sized frames broadcast.
+
+    Falls back to a full :func:`host_pagerank` recompute when the delta
+    changes the VERTEX set (a new or vanished host shifts the per-host
+    base term ``(1-d)·scale/n`` and the uniform start vector, which
+    perturbs every rank — no locality to exploit; real recrawl deltas
+    between established hosts preserve the vertex set, and batch host
+    arrivals are when production systems rebuild anyway).
+    ``metrics_out`` receives ``fallback``, per-iteration
+    ``affected_counts`` / ``changed_counts`` and ``n_hosts``."""
+    spark = edges.sparkSession
+    iterations = len(states) - 1
+
+    def _pairs(df: DataFrame | None) -> DataFrame:
+        if df is None:
+            return spark.createDataFrame([], "src_host string, dst_host string")
+        return df.select("src_host", "dst_host")
+
+    added, removed = _pairs(added), _pairs(removed)
+    new_edges = edges.join(
+        removed, ["src_host", "dst_host"], "left_anti"
+    ).unionByName(added).localCheckpoint(eager=True)
+
+    hosts_old = states[0].select("host")
+    hosts_new = (
+        new_edges.select(F.col("src_host").alias("host"))
+        .unionByName(new_edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    n_hosts = hosts_old.count()
+    vertex_drift = (
+        hosts_new.join(hosts_old, "host", "left_anti").limit(1).count()
+        + hosts_old.join(hosts_new, "host", "left_anti").limit(1).count()
+    )
+    if vertex_drift:
+        if metrics_out is not None:
+            metrics_out["fallback"] = "vertex-set-changed"
+        return host_pagerank(
+            new_edges, iterations=iterations, damping_pct=damping_pct, scale=scale
+        )
+    if metrics_out is not None:
+        metrics_out.update(
+            {"fallback": None, "n_hosts": n_hosts,
+             "affected_counts": [], "changed_counts": []}
+        )
+
+    base = ((100 - damping_pct) * scale // 100) // n_hosts
+    deg_new = (
+        new_edges.groupBy("src_host").agg(F.count("*").alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
+    # the structural set S: srcs whose contribution routing or out_deg
+    # changed — delta-sized, broadcast everywhere below
+    s_hosts = (
+        added.select(F.col("src_host").alias("host"))
+        .unionByName(removed.select(F.col("src_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rm_dst = removed.select(F.col("dst_host").alias("host")).distinct()
+
+    # ranks_0 is the uniform start vector — identical old/new (same hosts)
+    changed = spark.createDataFrame([], "host string, rank long").localCheckpoint(
+        eager=True
+    )
+    for i in range(1, iterations + 1):
+        touched = (
+            changed.select("host").unionByName(s_hosts).distinct()
+        )
+        affected = (
+            new_edges.join(
+                F.broadcast(touched.withColumnRenamed("host", "src_host")),
+                "src_host",
+                "left_semi",
+            )
+            .select(F.col("dst_host").alias("host"))
+            .unionByName(rm_dst)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        in_edges = new_edges.join(
+            F.broadcast(affected.withColumnRenamed("host", "dst_host")),
+            "dst_host",
+            "left_semi",
+        )
+        prev_rank = states[i - 1].join(
+            F.broadcast(changed.select("host", F.col("rank").alias("_new"))),
+            "host",
+            "left",
+        ).select("host", F.coalesce("_new", "rank").alias("rank"))
+        contribs = (
+            in_edges.join(prev_rank, in_edges.src_host == prev_rank.host)
+            .join(deg_new, "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("rank div out_deg").alias("contrib"),
+            )
+            .groupBy("host")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        recomputed = affected.join(contribs, "host", "left").select(
+            "host",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(inc, 0)) div 100")
+            ).cast("long").alias("rank"),
+        )
+        changed = (
+            recomputed.alias("n")
+            .join(states[i].alias("o"), "host")
+            .where(F.col("n.rank") != F.col("o.rank"))
+            .select("host", F.col("n.rank").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        if metrics_out is not None:
+            metrics_out["affected_counts"].append(affected.count())
+            metrics_out["changed_counts"].append(changed.count())
+    final = states[iterations].join(
+        F.broadcast(changed.select("host", F.col("rank").alias("_new"))),
+        "host",
+        "left",
+    ).select("host", F.coalesce("_new", "rank").cast("long").alias("rank"))
+    return final.orderBy(F.desc("rank"), "host")

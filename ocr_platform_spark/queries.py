@@ -14606,6 +14606,123 @@ def corpus_spam_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "stage_no int, stage string, n bigint")
 
 
+_PRD_ITER = 6
+
+
+@q(
+    "host_pagerank_delta",
+    f"""
+    WITH RECURSIVE
+    b AS (SELECT src_host, dst_host FROM read_parquet('{staged_glob("prd_base")}')),
+    ra AS (SELECT src_host, dst_host FROM read_parquet('{staged_glob("prd_add")}')),
+    rm AS (SELECT src_host, dst_host FROM read_parquet('{staged_glob("prd_rm")}')),
+    e AS MATERIALIZED (
+      SELECT b.src_host, b.dst_host FROM b
+      WHERE NOT EXISTS (SELECT 1 FROM rm
+                        WHERE rm.src_host = b.src_host AND rm.dst_host = b.dst_host)
+      UNION ALL
+      SELECT src_host, dst_host FROM ra
+    ),
+    deg AS MATERIALIZED (SELECT src_host, COUNT(*) AS out_deg FROM e GROUP BY src_host),
+    hosts AS MATERIALIZED (SELECT DISTINCT host FROM
+              (SELECT src_host AS host FROM e UNION ALL SELECT dst_host AS host FROM e)),
+    e2 AS MATERIALIZED (
+      SELECT src_host, dst_host, FALSE AS phantom FROM e
+      UNION ALL
+      SELECT host, host, TRUE FROM hosts
+    ),
+    pr AS (
+      SELECT 0 AS it, host,
+             CAST(CAST({_PR_SCALE} AS BIGINT) // (SELECT COUNT(*) FROM hosts) AS BIGINT) AS rank
+      FROM hosts
+      UNION ALL
+      SELECT p.it + 1, e2.dst_host AS host,
+             CAST( ((CAST({100 - _PR_DAMP} AS BIGINT) * {_PR_SCALE}) // 100)
+                     // (SELECT COUNT(*) FROM hosts)
+                   + (CAST({_PR_DAMP} AS BIGINT)
+                      * SUM(CASE WHEN e2.phantom THEN CAST(0 AS BIGINT)
+                                 ELSE p.rank // d.out_deg END)) // 100
+               AS BIGINT) AS rank
+      FROM pr p
+      JOIN e2 ON e2.src_host = p.host
+      LEFT JOIN deg d ON d.src_host = p.host
+      WHERE p.it < {_PRD_ITER}
+      GROUP BY p.it, e2.dst_host
+    )
+    SELECT host, rank FROM pr WHERE it = {_PRD_ITER} ORDER BY rank DESC, host
+    """,
+)
+def host_pagerank_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL PageRank (operators/linkgraph.host_pagerank_delta —
+    ROADMAP 6e): a recrawl's edge delta (staged adds: reversed existing
+    pairs; staged removals: pairs guarded so no host vanishes) is folded
+    into the previous run's persisted per-iteration rank ladder
+    (host_pagerank_states), recomputing per iteration ONLY the delta's
+    reachable cone — per-iteration edge work is the i-hop out-
+    neighbourhood of the changed sources, not the whole graph. The oracle
+    recomputes the SAME fixed-point-free integer recurrence FROM SCRATCH
+    over the post-delta edge set with a recursive CTE: a hash match
+    proves delta-maintained ranks ≡ full recompute bit-for-bit, the
+    differential-correctness contract of delta-push maintenance.
+    Exactness of the incremental path (no silent fallback) is pinned in
+    tests/test_links.py; the vertex-set-drift fallback is tested there
+    too."""
+    from ocr_platform_spark.operators.linkgraph import (
+        extract_outlinks,
+        host_edges,
+        host_pagerank_delta,
+        host_pagerank_states,
+    )
+
+    docs = _synth_docs(spark)
+    base = stage(host_edges(extract_outlinks(docs)), "prd_base", partitions=4)
+    dp = base.select("src_host", "dst_host").distinct()
+    cnt = (
+        dp.select(F.col("src_host").alias("host"))
+        .unionAll(dp.select(F.col("dst_host").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").alias("c"))
+    )
+    guarded = (
+        dp.join(
+            cnt.select(F.col("host").alias("src_host"), F.col("c").alias("_cs")),
+            "src_host",
+        )
+        .join(
+            cnt.select(F.col("host").alias("dst_host"), F.col("c").alias("_cd")),
+            "dst_host",
+        )
+        .where(
+            (F.col("_cs") >= 3)
+            & (F.col("_cd") >= 3)
+            & (F.pmod(F.xxhash64("src_host", "dst_host"), F.lit(5)) == 0)
+        )
+    )
+    w_src = Window.partitionBy("src_host").orderBy("dst_host")
+    w_dst = Window.partitionBy("dst_host").orderBy("src_host")
+    removed = stage(
+        guarded.withColumn("_rs", F.row_number().over(w_src))
+        .where(F.col("_rs") == 1)
+        .withColumn("_rd", F.row_number().over(w_dst))
+        .where(F.col("_rd") == 1)
+        .select("src_host", "dst_host"),
+        "prd_rm",
+        partitions=1,
+    )
+    added = stage(
+        dp.select(
+            F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
+        )
+        .join(dp, ["src_host", "dst_host"], "left_anti")
+        .where(F.pmod(F.xxhash64("src_host", "dst_host"), F.lit(7)) == 0),
+        "prd_add",
+        partitions=1,
+    )
+    states = host_pagerank_states(base, iterations=_PRD_ITER)
+    return host_pagerank_delta(base, states, added=added, removed=removed)
+
+
+
 
 # Driver-facing ordering: the per-round correctness harness records the
 # FIRST 50 queries() entries. Cumulative driver coverage after round 4 is

@@ -484,3 +484,85 @@ def test_seed_distances_shells_and_islands(spark):
     # hop budget caps the frontier: with 2 iterations, c/e stay unreached
     out2 = {r["host"]: r["dist"] for r in seed_distances(df, seeds, iterations=2).collect()}
     assert out2["b"] == 2 and out2["c"] == -1 and out2["e"] == -1
+
+
+def test_host_pagerank_delta_bit_identical_to_full(spark):
+    """Folding an edge delta (adds + pair-removals) into stored
+    per-iteration states reproduces host_pagerank over the new edge set
+    BIT-FOR-BIT — the delta-push fold computes the same recurrence for
+    reachable hosts and provably copies the rest."""
+    import random
+
+    from ocr_platform_spark.operators.linkgraph import (
+        host_pagerank,
+        host_pagerank_delta,
+        host_pagerank_states,
+    )
+
+    rng = random.Random(7)
+    hosts = [f"h{i:02d}" for i in range(30)]
+    pairs = set()
+    while len(pairs) < 120:
+        a, b = rng.sample(hosts, 2)
+        pairs.add((a, b))
+    pairs = sorted(pairs)
+    e = spark.createDataFrame(pairs, "src_host string, dst_host string")
+    states = host_pagerank_states(e, iterations=5)
+    removed = spark.createDataFrame(pairs[20:24], "src_host string, dst_host string")
+    added = spark.createDataFrame(
+        [(b, a) for a, b in pairs[60:66] if (b, a) not in pairs],
+        "src_host string, dst_host string",
+    )
+    m = {}
+    inc = host_pagerank_delta(e, states, added=added, removed=removed, metrics_out=m)
+    new_e = e.join(removed, ["src_host", "dst_host"], "left_anti").unionByName(added)
+    full = host_pagerank(new_e, iterations=5)
+    assert [tuple(r) for r in inc.collect()] == [tuple(r) for r in full.collect()]
+    assert m["fallback"] is None
+
+
+def test_host_pagerank_delta_locality_on_sparse_cone(spark):
+    """On a long chain, a delta at the tail touches only its i-hop
+    downstream cone — per-iteration affected counts stay far below the
+    host count (the whole point of delta maintenance)."""
+    from ocr_platform_spark.operators.linkgraph import (
+        host_pagerank,
+        host_pagerank_delta,
+        host_pagerank_states,
+    )
+
+    n = 60
+    chain = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(n - 1)]
+    # two parallel chain edges near the tail so a removal keeps the vertex set
+    extra = [("c050", "c052"), ("c051", "c053")]
+    e = spark.createDataFrame(chain + extra, "src_host string, dst_host string")
+    states = host_pagerank_states(e, iterations=5)
+    removed = spark.createDataFrame([("c050", "c052")], "src_host string, dst_host string")
+    m = {}
+    inc = host_pagerank_delta(e, states, removed=removed, metrics_out=m)
+    new_e = e.join(removed, ["src_host", "dst_host"], "left_anti")
+    full = host_pagerank(new_e, iterations=5)
+    assert [tuple(r) for r in inc.collect()] == [tuple(r) for r in full.collect()]
+    # the affected cone is the delta's downstream neighbourhood, not the graph
+    assert max(m["affected_counts"]) <= 10 < m["n_hosts"]
+
+
+def test_host_pagerank_delta_vertex_drift_falls_back(spark):
+    """A delta that introduces a NEW host shifts the per-host base term —
+    the fold detects it and recomputes from scratch (still exact)."""
+    from ocr_platform_spark.operators.linkgraph import (
+        host_pagerank,
+        host_pagerank_delta,
+        host_pagerank_states,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src_host string, dst_host string"
+    )
+    states = host_pagerank_states(e, iterations=4)
+    added = spark.createDataFrame([("a", "newhost")], "src_host string, dst_host string")
+    m = {}
+    inc = host_pagerank_delta(e, states, added=added, metrics_out=m)
+    full = host_pagerank(e.unionByName(added), iterations=4)
+    assert m["fallback"] == "vertex-set-changed"
+    assert [tuple(r) for r in inc.collect()] == [tuple(r) for r in full.collect()]
