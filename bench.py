@@ -178,6 +178,9 @@ HEADLINE = [
     "dedup_cluster_purity",
     "event_burst_transitions",
     "host_spam_blocklist",
+    # round-5 additions
+    "corpus_spam_gate_report",
+    "host_pagerank_delta",
 ]
 
 
