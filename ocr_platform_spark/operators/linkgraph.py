@@ -907,6 +907,7 @@ def host_pagerank_delta(
     damping_pct: int = 85,
     scale: int = 10**9,
     metrics_out: dict | None = None,
+    states_out: list | None = None,
 ) -> DataFrame:
     """DELTA-PUSH maintenance of the fixed-iteration integer PageRank: fold
     an edge delta (``added`` rows; ``removed`` = (src_host, dst_host)
@@ -939,7 +940,16 @@ def host_pagerank_delta(
     between established hosts preserve the vertex set, and batch host
     arrivals are when production systems rebuild anyway).
     ``metrics_out`` receives ``fallback``, per-iteration
-    ``affected_counts`` / ``changed_counts`` and ``n_hosts``."""
+    ``affected_counts`` / ``changed_counts`` and ``n_hosts``.
+
+    Pass ``states_out`` (a list) to ALSO receive the updated full ladder
+    ``[ranks_0', …, ranks_k']`` — each level is the stored level with
+    that iteration's changed set overlaid (a broadcast join, assembled
+    lazily) — so a subsequent delta can fold against the post-delta state
+    without a rebuild: the chained-fold contract (delta₂ over the updated
+    ladder ≡ full recompute over both deltas) is pinned in
+    tests/test_links.py. On fallback the ladder is rebuilt from scratch
+    instead."""
     spark = edges.sparkSession
     iterations = len(states) - 1
 
@@ -967,6 +977,14 @@ def host_pagerank_delta(
     if vertex_drift:
         if metrics_out is not None:
             metrics_out["fallback"] = "vertex-set-changed"
+        if states_out is not None:
+            states_out.extend(
+                host_pagerank_states(
+                    new_edges, iterations=iterations,
+                    damping_pct=damping_pct, scale=scale,
+                )
+            )
+            return states_out[-1].orderBy(F.desc("rank"), "host")
         return host_pagerank(
             new_edges, iterations=iterations, damping_pct=damping_pct, scale=scale
         )
@@ -991,10 +1009,19 @@ def host_pagerank_delta(
     )
     rm_dst = removed.select(F.col("dst_host").alias("host")).distinct()
 
+    def _overlay(level: DataFrame, chg: DataFrame) -> DataFrame:
+        return level.join(
+            F.broadcast(chg.select("host", F.col("rank").alias("_new"))),
+            "host",
+            "left",
+        ).select("host", F.coalesce("_new", "rank").cast("long").alias("rank"))
+
     # ranks_0 is the uniform start vector — identical old/new (same hosts)
     changed = spark.createDataFrame([], "host string, rank long").localCheckpoint(
         eager=True
     )
+    if states_out is not None:
+        states_out.append(states[0])
     for i in range(1, iterations + 1):
         touched = (
             changed.select("host").unionByName(s_hosts).distinct()
@@ -1047,9 +1074,7 @@ def host_pagerank_delta(
         if metrics_out is not None:
             metrics_out["affected_counts"].append(affected.count())
             metrics_out["changed_counts"].append(changed.count())
-    final = states[iterations].join(
-        F.broadcast(changed.select("host", F.col("rank").alias("_new"))),
-        "host",
-        "left",
-    ).select("host", F.coalesce("_new", "rank").cast("long").alias("rank"))
+        if states_out is not None:
+            states_out.append(_overlay(states[i], changed))
+    final = _overlay(states[iterations], changed)
     return final.orderBy(F.desc("rank"), "host")

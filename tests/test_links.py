@@ -566,3 +566,43 @@ def test_host_pagerank_delta_vertex_drift_falls_back(spark):
     full = host_pagerank(e.unionByName(added), iterations=4)
     assert m["fallback"] == "vertex-set-changed"
     assert [tuple(r) for r in inc.collect()] == [tuple(r) for r in full.collect()]
+
+
+def test_host_pagerank_delta_chained_folds(spark):
+    """Folding delta2 against the UPDATED ladder emitted by delta1's
+    states_out equals a full recompute over both deltas — the chained
+    maintenance contract a recrawl pipeline runs day after day."""
+    import random
+
+    from ocr_platform_spark.operators.linkgraph import (
+        host_pagerank,
+        host_pagerank_delta,
+        host_pagerank_states,
+    )
+
+    rng = random.Random(11)
+    hosts = [f"h{i:02d}" for i in range(24)]
+    pairs = set()
+    while len(pairs) < 90:
+        a, b = rng.sample(hosts, 2)
+        pairs.add((a, b))
+    pairs = sorted(pairs)
+    e0 = spark.createDataFrame(pairs, "src_host string, dst_host string")
+    states0 = host_pagerank_states(e0, iterations=4)
+
+    add1 = spark.createDataFrame(
+        [(b, a) for a, b in pairs[5:9] if (b, a) not in pairs],
+        "src_host string, dst_host string",
+    )
+    states1: list = []
+    host_pagerank_delta(e0, states0, added=add1, states_out=states1)
+    assert len(states1) == len(states0)
+    e1 = e0.unionByName(add1)
+
+    rm2 = spark.createDataFrame(pairs[30:33], "src_host string, dst_host string")
+    m = {}
+    inc2 = host_pagerank_delta(e1, states1, removed=rm2, metrics_out=m)
+    e2 = e1.join(rm2, ["src_host", "dst_host"], "left_anti")
+    full = host_pagerank(e2, iterations=4)
+    assert m["fallback"] is None
+    assert [tuple(r) for r in inc2.collect()] == [tuple(r) for r in full.collect()]
