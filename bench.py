@@ -181,6 +181,7 @@ HEADLINE = [
     # round-5 additions
     "corpus_spam_gate_report",
     "host_pagerank_delta",
+    "recrawl_rank_maintenance",
 ]
 
 

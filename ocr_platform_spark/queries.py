@@ -14722,6 +14722,140 @@ def host_pagerank_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank_delta(base, states, added=added, removed=removed)
 
 
+@q(
+    "recrawl_rank_maintenance",
+    f"""
+    WITH RECURSIVE
+    prevu AS (SELECT src_url, dst_url FROM read_parquet('{staged_glob("rcm_prev")}')),
+    ch AS (
+      SELECT substr(md5(dst_url), 1, 2) AS _b, src_url, dst_url
+      FROM prevu WHERE substr(md5(src_url), 1, 1) IN ('0', '1', '2')
+    ),
+    keep AS (
+      SELECT src_url, dst_url FROM prevu
+      WHERE substr(md5(src_url), 1, 1) NOT IN ('0', '1', '2')
+    ),
+    chn AS (
+      SELECT _b, src_url, dst_url,
+             ROW_NUMBER() OVER (PARTITION BY _b ORDER BY src_url, dst_url) AS _rn,
+             COUNT(*) OVER (PARTITION BY _b) AS _n
+      FROM ch
+    ),
+    rot AS (
+      SELECT l.src_url, r.dst_url
+      FROM chn l JOIN chn r ON r._b = l._b AND r._rn = l._rn % l._n + 1
+    ),
+    curru AS (
+      SELECT src_url, dst_url FROM keep
+      UNION ALL SELECT src_url, dst_url FROM rot
+    ),
+    e AS MATERIALIZED (
+      SELECT regexp_extract(src_url, '^https?://([^/?#]+)', 1) AS src_host,
+             regexp_extract(dst_url, '^https?://([^/?#]+)', 1) AS dst_host
+      FROM curru
+    ),
+    deg AS MATERIALIZED (SELECT src_host, COUNT(*) AS out_deg FROM e GROUP BY src_host),
+    hosts AS MATERIALIZED (SELECT DISTINCT host FROM
+              (SELECT src_host AS host FROM e UNION ALL SELECT dst_host AS host FROM e)),
+    e2 AS MATERIALIZED (
+      SELECT src_host, dst_host, FALSE AS phantom FROM e
+      UNION ALL
+      SELECT host, host, TRUE FROM hosts
+    ),
+    pr AS (
+      SELECT 0 AS it, host,
+             CAST(CAST({_PR_SCALE} AS BIGINT) // (SELECT COUNT(*) FROM hosts) AS BIGINT) AS rank
+      FROM hosts
+      UNION ALL
+      SELECT p.it + 1, e2.dst_host AS host,
+             CAST( ((CAST({100 - _PR_DAMP} AS BIGINT) * {_PR_SCALE}) // 100)
+                     // (SELECT COUNT(*) FROM hosts)
+                   + (CAST({_PR_DAMP} AS BIGINT)
+                      * SUM(CASE WHEN e2.phantom THEN CAST(0 AS BIGINT)
+                                 ELSE p.rank // d.out_deg END)) // 100
+               AS BIGINT) AS rank
+      FROM pr p
+      JOIN e2 ON e2.src_host = p.host
+      LEFT JOIN deg d ON d.src_host = p.host
+      WHERE p.it < {_PRD_ITER}
+      GROUP BY p.it, e2.dst_host
+    )
+    SELECT host, rank FROM pr WHERE it = {_PRD_ITER} ORDER BY rank DESC, host
+    """,
+)
+def recrawl_rank_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recrawl→rank-maintenance COMPOSITION end-to-end: a recrawl
+    rewires links on ~19% of pages (docs whose url md5 starts 0/1/2 —
+    the SAME rule in both engines — have their outlink targets rotated
+    among the changed edges of the same dst-url md5 bucket — a
+    PERMUTATION of existing dst urls (256 bounded window partitions that
+    deliberately mix hosts so host pairings actually change), so the
+    vertex set is preserved BY CONSTRUCTION and the incremental path
+    never falls back). The url-grain diff is then
+    lifted to an exact HOST-grain multiset delta (pairs whose
+    multiplicity changed: remove-all + re-add-at-current-multiplicity)
+    and folded into the previous crawl's persisted rank ladder with
+    host_pagerank_delta. ONLY the pre-recrawl url-grain edge table is
+    staged: the oracle independently replays the change rule, the
+    rotation, the host projection, and the full integer recurrence FROM
+    SCRATCH over the post-recrawl graph — a hash match verifies the
+    change model, the delta derivation, AND the incremental fold in one
+    comparison. This is the daily loop tools/run_graph_maintenance.py
+    ships: recrawl → delta → fold, never a full graph re-walk."""
+    from ocr_platform_spark.operators.linkgraph import (
+        extract_outlinks,
+        host_edges,
+        host_pagerank_delta,
+        host_pagerank_states,
+    )
+    from ocr_platform_spark.operators.partitioning import host_of
+
+    prev = stage(
+        extract_outlinks(_synth_docs(spark)).distinct(), "rcm_prev", partitions=4
+    )
+    first = F.substring(F.md5("src_url"), 1, 1)
+    ch = prev.where(first.isin("0", "1", "2")).select(
+        F.substring(F.md5("dst_url"), 1, 2).alias("_b"), "src_url", "dst_url"
+    )
+    keep = prev.where(~first.isin("0", "1", "2")).select("src_url", "dst_url")
+    w = Window.partitionBy("_b").orderBy("src_url", "dst_url")
+    chn = ch.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy("_b"))
+    )
+    rot = (
+        chn.alias("l")
+        .join(
+            chn.select(
+                F.col("_b"), F.col("_rn").alias("_take"),
+                F.col("dst_url").alias("_dst"),
+            ).alias("r"),
+            (F.col("l._b") == F.col("r._b"))
+            & (F.col("_take") == F.col("l._rn") % F.col("l._n") + 1),
+        )
+        .select(F.col("l.src_url").alias("src_url"), F.col("_dst").alias("dst_url"))
+    )
+    curr = keep.unionByName(rot)
+
+    prev_h = host_edges(prev)
+    curr_h = host_edges(curr)
+    pc = prev_h.groupBy("src_host", "dst_host").agg(F.count("*").alias("_pc"))
+    cc = curr_h.groupBy("src_host", "dst_host").agg(F.count("*").alias("_cc"))
+    chg = (
+        pc.join(cc, ["src_host", "dst_host"], "full")
+        .where(F.coalesce("_pc", F.lit(0)) != F.coalesce("_cc", F.lit(0)))
+        .localCheckpoint(eager=True)
+    )
+    removed = chg.where(F.col("_pc").isNotNull()).select("src_host", "dst_host")
+    added = curr_h.join(
+        chg.where(F.col("_cc").isNotNull()).select("src_host", "dst_host"),
+        ["src_host", "dst_host"],
+        "left_semi",
+    )
+    states = host_pagerank_states(prev_h, iterations=_PRD_ITER)
+    return host_pagerank_delta(prev_h, states, added=added, removed=removed)
+
+
+
 
 
 # Driver-facing ordering: the per-round correctness harness records the

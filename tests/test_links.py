@@ -606,3 +606,62 @@ def test_host_pagerank_delta_chained_folds(spark):
     full = host_pagerank(e2, iterations=4)
     assert m["fallback"] is None
     assert [tuple(r) for r in inc2.collect()] == [tuple(r) for r in full.collect()]
+
+
+def test_recrawl_rank_maintenance_composition(spark):
+    """The composed catalog entry's moving parts, pinned at unit level:
+    the recrawl rewiring is a dst-url permutation (vertex set preserved →
+    no fallback), the host-grain multiset delta is non-empty, and the
+    folded ranks equal a from-scratch recompute over the post-recrawl
+    host edges."""
+    from ocr_platform_spark.operators.linkgraph import host_pagerank
+    from ocr_platform_spark.queries import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    got = CATALOG["recrawl_rank_maintenance"].fn(spark, sf)
+    rows = [tuple(r) for r in got.collect()]
+    assert len(rows) == len({h for h, _ in rows})  # one rank per host
+    # from-scratch recompute over the post-recrawl graph must agree —
+    # rebuild curr_h exactly the way the entry does
+    from ocr_platform_spark.operators.linkgraph import extract_outlinks, host_edges
+    from ocr_platform_spark.queries import _synth_docs, _PRD_ITER
+    from pyspark.sql import Window, functions as F
+
+    prev = extract_outlinks(_synth_docs(spark)).distinct()
+    first = F.substring(F.md5("src_url"), 1, 1)
+    ch = prev.where(first.isin("0", "1", "2")).select(
+        F.substring(F.md5("dst_url"), 1, 2).alias("_b"), "src_url", "dst_url"
+    )
+    keep = prev.where(~first.isin("0", "1", "2")).select("src_url", "dst_url")
+    w = Window.partitionBy("_b").orderBy("src_url", "dst_url")
+    chn = ch.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy("_b"))
+    )
+    rot = (
+        chn.alias("l")
+        .join(
+            chn.select(
+                F.col("_b"), F.col("_rn").alias("_take"),
+                F.col("dst_url").alias("_dst"),
+            ).alias("r"),
+            (F.col("l._b") == F.col("r._b"))
+            & (F.col("_take") == F.col("l._rn") % F.col("l._n") + 1),
+        )
+        .select(F.col("l.src_url").alias("src_url"), F.col("_dst").alias("dst_url"))
+    )
+    curr_h = host_edges(keep.unionByName(rot))
+    expect = [
+        tuple(r) for r in host_pagerank(curr_h, iterations=_PRD_ITER).collect()
+    ]
+    assert rows == expect
+    # the rewiring must actually move host pairings (non-vacuous delta)
+    prev_h = host_edges(prev)
+    pc = prev_h.groupBy("src_host", "dst_host").count()
+    cc = curr_h.groupBy("src_host", "dst_host").count()
+    n_chg = (
+        pc.withColumnRenamed("count", "_pc")
+        .join(cc.withColumnRenamed("count", "_cc"), ["src_host", "dst_host"], "full")
+        .where(F.coalesce("_pc", F.lit(0)) != F.coalesce("_cc", F.lit(0)))
+        .count()
+    )
+    assert n_chg > 0
