@@ -182,6 +182,7 @@ HEADLINE = [
     "corpus_spam_gate_report",
     "host_pagerank_delta",
     "recrawl_rank_maintenance",
+    "host_ppr_vectors",
 ]
 
 

@@ -1078,3 +1078,82 @@ def host_pagerank_delta(
             states_out.append(_overlay(states[i], changed))
     final = _overlay(states[iterations], changed)
     return final.orderBy(F.desc("rank"), "host")
+
+
+def host_ppr(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 6,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """BATCHED personalized PageRank: one integer recurrence per seed
+    host, all seeds advanced together through ONE set of joins per
+    iteration — (seed, host, rank) with teleport mass restarting entirely
+    at the seed:
+
+        rank_0(s, h)  = scale if h = s else 0
+        rank'(s, h)   = [h = s]·((100-d)·scale div 100)
+                        + (d · Σ_{src→h} rank(s, src) div out_deg(src)) div 100
+
+    The per-seed vectors are the topic-conditioned authority signal a
+    crawler uses to prioritize hosts near trusted hubs (Haveliwala's
+    topic-sensitive PageRank; same integer discipline as
+    :func:`host_pagerank`, so any engine replaying the recurrence matches
+    bit-for-bit — the catalog oracle does, with seed carried as a column
+    of the recursive CTE).
+
+    Scale shape: ``seeds`` is hub-count-sized and broadcast into the
+    start vector; each iteration is one edges⋈ranks join keyed on the
+    source host (seed rides along as a grouping column, so k seeds cost
+    one pass over k·m join rows, not k passes) plus a (seed, host)
+    aggregate. State is (n_seeds × n_hosts) rows — bounded by the hub
+    list, not the corpus."""
+    spark = edges.sparkSession
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = F.broadcast(seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct())
+    base = (100 - damping_pct) * scale // 100
+    deg = edges.groupBy("src_host").agg(F.count("*").alias("out_deg")).localCheckpoint(
+        eager=True
+    )
+    ranks = (
+        hosts.crossJoin(seeds)
+        .select(
+            "seed",
+            "host",
+            F.when(F.col("host") == F.col("seed"), F.lit(scale))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grid = ranks.select("seed", "host")
+    for i in range(iterations):
+        contribs = (
+            edges.join(ranks, edges.src_host == ranks.host)
+            .join(deg, "src_host")
+            .select(
+                "seed",
+                F.col("dst_host").alias("host"),
+                F.expr("rank div out_deg").alias("contrib"),
+            )
+            .groupBy("seed", "host")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = grid.join(contribs, ["seed", "host"], "left").select(
+            "seed",
+            "host",
+            (
+                F.when(F.col("host") == F.col("seed"), F.lit(base)).otherwise(F.lit(0))
+                + F.expr(f"({damping_pct} * coalesce(inc, 0)) div 100")
+            ).cast("long").alias("rank"),
+        )
+        if (i + 1) % 3 == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.orderBy("seed", F.desc("rank"), "host")

@@ -14855,6 +14855,75 @@ def recrawl_rank_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank_delta(prev_h, states, added=added, removed=removed)
 
 
+@q(
+    "host_ppr_vectors",
+    f"""
+    WITH RECURSIVE
+    e AS (SELECT * FROM read_parquet('{staged_glob("ppr_edges")}')),
+    deg AS MATERIALIZED (SELECT src_host, COUNT(*) AS out_deg FROM e GROUP BY src_host),
+    hosts AS MATERIALIZED (SELECT DISTINCT host FROM
+              (SELECT src_host AS host FROM e UNION ALL SELECT dst_host AS host FROM e)),
+    e2 AS MATERIALIZED (
+      SELECT src_host, dst_host, FALSE AS phantom FROM e
+      UNION ALL
+      SELECT host, host, TRUE FROM hosts
+    ),
+    seeds AS MATERIALIZED (SELECT host AS seed FROM hosts ORDER BY host LIMIT 3),
+    pr AS (
+      SELECT 0 AS it, s.seed, h.host,
+             CAST(CASE WHEN h.host = s.seed THEN {_PR_SCALE} ELSE 0 END AS BIGINT) AS rank
+      FROM seeds s CROSS JOIN hosts h
+      UNION ALL
+      SELECT p.it + 1, p.seed, e2.dst_host AS host,
+             CAST( (CASE WHEN e2.dst_host = p.seed
+                         THEN (CAST({100 - _PR_DAMP} AS BIGINT) * {_PR_SCALE}) // 100
+                         ELSE 0 END)
+                   + (CAST({_PR_DAMP} AS BIGINT)
+                      * SUM(CASE WHEN e2.phantom THEN CAST(0 AS BIGINT)
+                                 ELSE p.rank // d.out_deg END)) // 100
+               AS BIGINT) AS rank
+      FROM pr p
+      JOIN e2 ON e2.src_host = p.host
+      LEFT JOIN deg d ON d.src_host = p.host
+      WHERE p.it < {_PRD_ITER}
+      GROUP BY p.it, p.seed, e2.dst_host
+    )
+    SELECT seed, host, rank FROM pr WHERE it = {_PRD_ITER}
+    ORDER BY seed, rank DESC, host
+    """,
+)
+def host_ppr_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED personalized PageRank (operators/linkgraph.host_ppr;
+    Haveliwala's topic-sensitive PageRank in the same exact-integer
+    discipline as host_pagerank): one rank VECTOR per seed hub, all
+    seeds advanced through ONE edges⋈ranks join per iteration with the
+    seed riding as a grouping column — k seeds cost one pass over k·m
+    join rows, not k sequential recurrences. Seeds are the three
+    lexicographically-first hosts (the same deterministic rule in both
+    engines). The oracle replays the whole k-seed recurrence with seed
+    carried as a recursive-CTE column — every (seed, host, rank) cell
+    bit-checked. The per-seed vectors are the topic-conditioned
+    authority a crawler uses to prioritize fetches near trusted hubs."""
+    from ocr_platform_spark.operators.linkgraph import (
+        extract_outlinks,
+        host_edges,
+        host_ppr,
+    )
+
+    docs = _synth_docs(spark)
+    edges = stage(host_edges(extract_outlinks(docs)), "ppr_edges", partitions=4)
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    seeds = hosts.orderBy("host").limit(3)
+    return host_ppr(edges, seeds, iterations=_PRD_ITER).orderBy(
+        "seed", F.desc("rank"), "host"
+    )
+
+
+
 
 
 

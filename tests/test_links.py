@@ -665,3 +665,50 @@ def test_recrawl_rank_maintenance_composition(spark):
         .count()
     )
     assert n_chg > 0
+
+
+def test_host_ppr_single_seed_equals_trustrank(spark):
+    """PPR with one seed IS TrustRank with that one seed (same integer
+    recurrence: full teleport mass at the seed) — a cross-operator
+    differential that pins the batched implementation."""
+    import random
+
+    from ocr_platform_spark.operators.linkgraph import host_ppr, host_trustrank
+
+    rng = random.Random(5)
+    hosts = [f"h{i:02d}" for i in range(18)]
+    pairs = set()
+    while len(pairs) < 60:
+        a, b = rng.sample(hosts, 2)
+        pairs.add((a, b))
+    e = spark.createDataFrame(sorted(pairs), "src_host string, dst_host string")
+    seed = spark.createDataFrame([("h03",)], "seed string")
+    ppr = host_ppr(e, seed, iterations=5)
+    tr = host_trustrank(e, seed.withColumnRenamed("seed", "host"), iterations=5)
+    got = [(r["host"], r["rank"]) for r in ppr.select("host", "rank").collect()]
+    expect = [(r["host"], r["rank"]) for r in tr.collect()]
+    assert got == expect
+
+
+def test_host_ppr_batched_seeds_localize(spark):
+    """Per-seed vectors: mass concentrates downstream of each seed on a
+    disjoint two-chain graph — cross-chain cells stay zero, and total
+    per-seed mass never exceeds the scale (integer leak is one-sided)."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.linkgraph import host_ppr
+
+    chain_a = [(f"a{i}", f"a{i + 1}") for i in range(6)]
+    chain_b = [(f"b{i}", f"b{i + 1}") for i in range(6)]
+    e = spark.createDataFrame(chain_a + chain_b, "src_host string, dst_host string")
+    seeds = spark.createDataFrame([("a0",), ("b0",)], "seed string")
+    out = host_ppr(e, seeds, iterations=4)
+    rows = {(r["seed"], r["host"]): r["rank"] for r in out.collect()}
+    # no mass ever crosses between the disjoint chains
+    assert all(v == 0 for (s, h), v in rows.items() if h[0] != s[0])
+    # the seed's own chain carries mass beyond the seed
+    assert rows[("a0", "a1")] > 0 and rows[("b0", "b1")] > 0
+    totals = (
+        out.groupBy("seed").agg(F.sum("rank").alias("t")).collect()
+    )
+    assert all(t["t"] <= 10**9 for t in totals)
